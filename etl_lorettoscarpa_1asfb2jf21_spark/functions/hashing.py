@@ -1,0 +1,48 @@
+"""Content-hash row identity (SURVEY.md §2 D4, F1-F3).
+
+Parity target: reference app/utils.py:16-25 (gerar_hash) — MD5 over the
+lowercased/trimmed business key joined with "-". The reference does this with
+a row-at-a-time pandas apply; here it is a single native expression
+(md5(concat_ws(...))) that byte-matches hashlib.md5 output, verified in
+tests/test_functions.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Business-key columns in the exact order the reference joins them
+# (app/utils.py:17-23): Tipo, Grupo, Categoria, Data, Descricao, Valor.
+BUSINESS_KEY = ["Tipo", "Grupo", "Categoria", "Data", "Descricao"]
+
+
+def canonical_key(cols: Sequence[Column | str], sep: str = "-") -> Column:
+    """lower(trim(c)) for each part, joined with ``sep``.
+
+    NULL parts are treated as empty string (concat_ws skips nulls, which
+    would shift fields; coalesce pins each slot).
+    """
+    parts = []
+    for c in cols:
+        col = F.col(c) if isinstance(c, str) else c
+        parts.append(F.coalesce(F.lower(F.trim(col.cast("string"))), F.lit("")))
+    return F.concat_ws(sep, *parts)
+
+
+def business_key_hash(
+    key_cols: Sequence[Column | str] = tuple(BUSINESS_KEY),
+    valor_col: Column | str = "Valor",
+) -> Column:
+    """MD5 hex digest of the canonical business key + raw Valor string.
+
+    The Valor part is cast to string but NOT lower/trimmed, matching the
+    reference which str()-ifies the already-normalized Decimal.
+    """
+    v = F.col(valor_col) if isinstance(valor_col, str) else valor_col
+    base = F.concat_ws(
+        "-", canonical_key(list(key_cols)), F.coalesce(v.cast("string"), F.lit(""))
+    )
+    return F.md5(base)

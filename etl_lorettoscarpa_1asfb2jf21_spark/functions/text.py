@@ -1,0 +1,120 @@
+"""Text-analysis expressions for large-scale training-data pipelines (X3).
+
+All pure Column expressions (JVM-side, codegen-friendly) so they hold up on
+100 TB of documents: language-ID (stopword-ratio heuristic), quality scoring,
+token counting, document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny high-frequency stopword sets; enough for a coarse n-gram/stopword
+# heuristic language ID. Word-boundary regexes keep semantics identical in
+# the DuckDB oracle.
+_EN_STOPWORDS = ["the", "and", "of", "to", "in", "is", "that", "for", "with", "it"]
+_PT_STOPWORDS = ["de", "que", "e", "o", "a", "do", "da", "em", "um", "para"]
+_ES_STOPWORDS = ["el", "la", "que", "y", "los", "del", "las", "por", "un", "con"]
+
+
+def _stopword_hits(col: Column, words: list[str]) -> Column:
+    """Total occurrences of any word in ``words`` (word-bounded, case-insens)."""
+    pattern = r"(?i)\b(" + "|".join(words) + r")\b"
+    return F.coalesce(
+        F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0))), F.lit(0)
+    )
+
+
+def detect_language_expr(col: Column | str) -> Column:
+    """Coarse language ID: argmax of stopword-hit counts, 'und' when no hits."""
+    c = F.col(col) if isinstance(col, str) else col
+    en = _stopword_hits(c, _EN_STOPWORDS)
+    pt = _stopword_hits(c, _PT_STOPWORDS)
+    es = _stopword_hits(c, _ES_STOPWORDS)
+    return (
+        F.when((en >= pt) & (en >= es) & (en > 0), F.lit("en"))
+        .when((pt >= es) & (pt > 0), F.lit("pt"))
+        .when(es > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def token_count_expr(col: Column | str) -> Column:
+    """Whitespace token count; 0 for empty/blank/null text."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(F.coalesce(c, F.lit("")))
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def word_like_token_count_expr(col: Column | str) -> Column:
+    """BPE-ish token estimate: count word/number/punct-run matches.
+
+    Regex groups: letter runs, digit runs, single punctuation — a cheap
+    stand-in for subword tokenizers when budgeting token counts at scale.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    pattern = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return F.coalesce(
+        F.size(F.regexp_extract_all(F.coalesce(c, F.lit("")), F.lit(pattern), F.lit(0))),
+        F.lit(0),
+    )
+
+
+def quality_score_expr(col: Column | str) -> Column:
+    """Heuristic quality score in [0,1] from length/punct/stopword ratios.
+
+    score = 0.4 * min(1, n_tokens/100)
+          + 0.3 * (1 - punct_ratio)             # punct chars / total chars
+          + 0.3 * min(1, stopword_ratio * 5)    # stopwords / tokens
+    Computed with deterministic double arithmetic (no aggregation order
+    dependence), so the DuckDB oracle reproduces it bit-for-bit.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    text = F.coalesce(c, F.lit(""))
+    n_chars = F.length(text)
+    n_tokens = token_count_expr(text).cast("double")
+    n_punct = F.coalesce(
+        F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), F.lit(0))), F.lit(0)
+    ).cast("double")
+    n_stop = _stopword_hits(text, _EN_STOPWORDS).cast("double")
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars.cast("double")).otherwise(F.lit(1.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    return (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * F.least(F.lit(1.0), stop_ratio * F.lit(5.0))
+    )
+
+
+def normalized_text_expr(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), r"\s+", " "))
+
+
+def rolling_fingerprint_expr(col: Column | str) -> Column:
+    """Deterministic document fingerprint: MD5 of the normalized text.
+
+    The content-defined (rolling-hash / winnowing) variant lives in
+    operators.dedup.simhash_dedup; this exact fingerprint is the
+    oracle-checkable baseline.
+    """
+    return F.md5(normalized_text_expr(col))
+
+
+def char_ngrams_expr(col: Column | str, n: int = 3) -> Column:
+    """Array of character n-grams (shingles) over the normalized text.
+
+    Built with sequence+transform+substring — stays JVM-side; no UDF.
+    """
+    c = normalized_text_expr(col)
+    # positions 1 .. len-n+1; empty array when text shorter than n
+    return F.when(F.length(c) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - F.lit(n - 1)),
+            lambda i: c.substr(i, F.lit(n)),
+        )
+    )

@@ -1,0 +1,52 @@
+"""Vector math over ``array<float>`` embedding columns (X2 support).
+
+Native higher-order functions (zip_with / aggregate) — executed JVM-side,
+no Python round-trip, so a brute-force top-k scan stays shuffle-and-codegen
+bound even at 10^9 vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two float arrays (double result)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm_expr(a: Column | str) -> Column:
+    """Euclidean norm of a float array."""
+    ca = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(
+            F.transform(ca, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_similarity_expr(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; 0.0 when either vector has zero norm."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    denom = l2_norm_expr(ca) * l2_norm_expr(cb)
+    return F.when(denom > 0, dot_expr(ca, cb) / denom).otherwise(F.lit(0.0))
+
+
+def normalize_expr(a: Column | str) -> Column:
+    """Unit-normalize a float array (pre-normalizing query+corpus turns
+    cosine top-k into dot-product top-k — half the per-pair flops)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    n = l2_norm_expr(ca)
+    return F.when(n > 0, F.transform(ca, lambda x: x.cast("double") / n)).otherwise(
+        F.transform(ca, lambda x: x.cast("double"))
+    )

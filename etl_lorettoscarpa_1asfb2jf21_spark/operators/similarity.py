@@ -1,0 +1,179 @@
+"""Top-k vector similarity search over array<float> embeddings (X2).
+
+Two paths:
+
+* brute_force_topk — exact: broadcast the (small) query set against the
+  corpus, cosine per pair via native higher-order functions, per-query top-k
+  with a window rank. Linear in |corpus| × |queries|; the corpus is never
+  shuffled — at 100 TB this is a single map-side pass over the corpus scan
+  plus a k-row-per-query aggregation.
+
+* lsh_topk — approximate: random-hyperplane (SimHash-for-cosine) bucketing.
+  Signature = sign bits of dot(v, hyperplane_j); candidates share a bucket in
+  at least one band; exact cosine re-rank within candidates. Sub-linear
+  candidate generation; recall tunable via (planes, bands).
+
+Embedding near-duplicate detection (cosine > threshold pairs) reuses the
+same bucketing (embedding_neardup_pairs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity_expr
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    corpus_id: str = "c_id",
+    corpus_vec: str = "c_vec",
+) -> DataFrame:
+    """Exact cosine top-k: (q_id, c_id, sim, rank) with rank<=k per query.
+
+    Ties broken by corpus id for determinism (oracle-comparable).
+    """
+    q = F.broadcast(queries.select(F.col(query_id), F.col(query_vec)))
+    pairs = corpus.select(F.col(corpus_id), F.col(corpus_vec)).crossJoin(q)
+    sim = pairs.withColumn("sim", cosine_similarity_expr(query_vec, corpus_vec))
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((planes, dim)).tolist()
+
+
+def _signature_bits(vec_col: str, hyperplanes: list[list[float]]):
+    """One sign bit per hyperplane, as an array<int> column (native dot)."""
+    bits = []
+    for hp in hyperplanes:
+        hp_lit = F.array(*[F.lit(float(x)) for x in hp])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), hp_lit, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, 1).otherwise(0))
+    return F.array(*bits)
+
+
+def _band_buckets(bits_col, planes: int, bands: int):
+    """Array of (band, bucket-hash) structs from a sign-bit array."""
+    per_band = planes // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[bits_col[b * per_band + i] for i in range(per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    corpus_id: str = "c_id",
+    corpus_vec: str = "c_vec",
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH buckets.
+
+    Join is on (band, bucket) — linear candidate generation; exact cosine
+    re-rank on candidates only. May return <k rows per query (recall<1).
+    """
+    hps = _hyperplanes(dim, planes, seed)
+
+    def bucketize(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+        bits = _signature_bits(vec_col, hps)
+        return (
+            df.select(F.col(id_col), F.col(vec_col))
+            .withColumn("_bb", F.explode(_band_buckets(bits, planes, bands)))
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.col("_bb.band").alias(f"{prefix}band"),
+                F.col("_bb.bucket").alias(f"{prefix}bucket"),
+            )
+        )
+
+    qb = F.broadcast(bucketize(queries, query_id, query_vec, "q_"))
+    cb = bucketize(corpus, corpus_id, corpus_vec, "c_")
+    cand = (
+        cb.join(
+            qb,
+            (F.col("q_band") == F.col("c_band")) & (F.col("q_bucket") == F.col("c_bucket")),
+        )
+        .select(query_id, query_vec, corpus_id, corpus_vec)
+        .dropDuplicates([query_id, corpus_id])
+    )
+    sim = cand.withColumn("sim", cosine_similarity_expr(query_vec, corpus_vec))
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "sim", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """(id_a, id_b, sim) pairs with cosine >= threshold, LSH-blocked."""
+    hps = _hyperplanes(dim, planes, seed)
+    bits = _signature_bits(vec_col, hps)
+    b = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_bb", F.explode(_band_buckets(_signature_bits("_v", hps), planes, bands)))
+        .select("_id", "_v", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
+    )
+    l, r = b.alias("l"), b.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("l._v").alias("_va"),
+            F.col("r._id").alias("id_b"),
+            F.col("r._v").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("sim", cosine_similarity_expr("_va", "_vb"))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

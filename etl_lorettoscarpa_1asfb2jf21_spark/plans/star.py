@@ -1,0 +1,237 @@
+"""Star-schema warehouse build — full EP1+EP2 parity with the reference.
+
+Reference control flow (app/etl.py:136-149): staging read-back → ordered
+loader chain dim_tempo → dim_tipo → dim_grupo → dim_categoria →
+dim_classificacao → fato_lancamento, each an ``INSERT … ON CONFLICT DO
+NOTHING``. Here each loader is a lazy DataFrame lineage over one cached
+staging frame; idempotence comes from operators.upsert.insert_if_absent
+(dedup-within-batch + left-anti against existing), surrogate keys from
+operators.surrogate (row_number, offset by max existing id).
+
+Scale notes: dims are distinct-projections of staging (partial+final hash
+aggregate, map-side combined); the fact build is a 5-way star join where
+every dim side is broadcast (dims are small by construction). The only
+global sort is the row_number over each *dim's* distinct values — bounded by
+dim cardinality, never by fact size.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.dates import month_string_to_date, time_attributes
+from ..functions.hashing import business_key_hash
+from ..functions.locale import normalize_valor
+from ..operators.surrogate import next_offset, with_surrogate_key
+from ..operators.upsert import insert_if_absent
+from ..operators.validate import split_valid_invalid
+from ..schemas import REQUIRED_COLUMNS
+from ..sources.csv_locale import read_lancamentos_csv
+
+
+# --------------------------------------------------------------- bronze
+
+def ingest_lancamentos(
+    spark: SparkSession, csv_path: str
+) -> tuple[DataFrame, DataFrame]:
+    """EP1: CSV → validated staging frame (+ quarantine frame).
+
+    Steps (app/app.py:22-79): locale CSV scan → contract validation with
+    blank→NULL coercion → Valor default "0" → id_hash → exact Decimal Valor.
+    Returns (staging, quarantine); both lazy.
+    """
+    raw = read_lancamentos_csv(spark, csv_path)
+    # Valor may be legitimately blank → "0" (app/app.py:65), so validate on
+    # the other six columns and default Valor separately.
+    required_strict = [c for c in REQUIRED_COLUMNS if c != "Valor"]
+    valid, invalid = split_valid_invalid(raw, required_strict)
+    staging = (
+        valid.withColumn(
+            "Valor",
+            F.when(F.trim(F.coalesce(F.col("Valor"), F.lit(""))) == "", F.lit("0"))
+            .otherwise(F.col("Valor")),
+        )
+        .withColumn("id_hash", business_key_hash())
+        .withColumn("Valor", normalize_valor("Valor"))
+    )
+    return staging, invalid
+
+
+# --------------------------------------------------------------- warehouse
+
+@dataclass
+class Warehouse:
+    """The six gold tables as DataFrames (None = not yet built)."""
+
+    dim_tempo: DataFrame | None = None
+    dim_tipo: DataFrame | None = None
+    dim_grupo: DataFrame | None = None
+    dim_categoria: DataFrame | None = None
+    dim_classificacao: DataFrame | None = None
+    fato_lancamento: DataFrame | None = None
+
+    def counts(self) -> dict[str, int]:
+        return {
+            name: (df.count() if df is not None else 0)
+            for name, df in vars(self).items()
+        }
+
+
+def _append(existing: DataFrame | None, new: DataFrame) -> DataFrame:
+    if existing is None:
+        return new
+    return existing.unionByName(new)
+
+
+def _load_dim_tempo(staging: DataFrame, existing: DataFrame | None) -> DataFrame:
+    """app/etl.py:20-40: distinct Data → parse MM/yyyy → 5 time attrs."""
+    months = (
+        staging.na.drop(subset=["Data"])
+        .select("Data")
+        .distinct()
+        .withColumn("_d", month_string_to_date("Data"))
+        .withColumns(time_attributes("_d"))
+        .select("ano", "mes", "semana", "data_inicio", "data_fim")
+    )
+    new = insert_if_absent(months, existing, ["ano", "mes"])
+    keyed = with_surrogate_key(
+        new, "id_tempo", ["ano", "mes"], offset=next_offset(existing, "id_tempo")
+    ).select("id_tempo", "ano", "mes", "semana", "data_inicio", "data_fim")
+    return _append(existing, keyed)
+
+
+def _load_simple_dim(
+    staging: DataFrame,
+    existing: DataFrame | None,
+    src_col: str,
+    id_col: str,
+    name_col: str,
+    not_null: bool = False,
+) -> DataFrame:
+    """dim_tipo (app/etl.py:43-55) / dim_classificacao (app/etl.py:57-70):
+    SELECT DISTINCT → ON CONFLICT(name) DO NOTHING."""
+    vals = staging.select(F.col(src_col).alias(name_col))
+    if not_null:
+        vals = vals.filter(F.col(name_col).isNotNull())
+    vals = vals.distinct()
+    new = insert_if_absent(vals, existing, [name_col])
+    keyed = with_surrogate_key(
+        new, id_col, [name_col], offset=next_offset(existing, id_col)
+    ).select(id_col, name_col)
+    return _append(existing, keyed)
+
+
+def _load_dim_grupo(
+    staging: DataFrame, dim_tipo: DataFrame, existing: DataFrame | None
+) -> DataFrame:
+    """app/etl.py:72-85: distinct (Tipo,Grupo) ⋈ dim_tipo → (id_tipo, nome_grupo)."""
+    pairs = (
+        staging.select(F.col("Tipo"), F.col("Grupo").alias("nome_grupo"))
+        .distinct()
+        .join(F.broadcast(dim_tipo), F.col("Tipo") == dim_tipo["nome_tipo"], "inner")
+        .select("id_tipo", "nome_grupo")
+    )
+    new = insert_if_absent(pairs, existing, ["id_tipo", "nome_grupo"])
+    keyed = with_surrogate_key(
+        new, "id_grupo", ["id_tipo", "nome_grupo"], offset=next_offset(existing, "id_grupo")
+    ).select("id_grupo", "id_tipo", "nome_grupo")
+    return _append(existing, keyed)
+
+
+def _load_dim_categoria(
+    staging: DataFrame,
+    dim_tipo: DataFrame,
+    dim_grupo: DataFrame,
+    existing: DataFrame | None,
+) -> DataFrame:
+    """app/etl.py:88-102: distinct (Tipo,Grupo,Categoria) ⋈ tipo ⋈ grupo
+    (composite key J2) → (id_grupo, nome_categoria)."""
+    triples = staging.select("Tipo", "Grupo", F.col("Categoria").alias("nome_categoria")).distinct()
+    resolved = (
+        triples.join(F.broadcast(dim_tipo), triples["Tipo"] == dim_tipo["nome_tipo"], "inner")
+        .join(
+            F.broadcast(dim_grupo),
+            (F.col("Grupo") == dim_grupo["nome_grupo"])
+            & (dim_tipo["id_tipo"] == dim_grupo["id_tipo"]),
+            "inner",
+        )
+        .select(dim_grupo["id_grupo"], "nome_categoria")
+    )
+    new = insert_if_absent(resolved, existing, ["id_grupo", "nome_categoria"])
+    keyed = with_surrogate_key(
+        new,
+        "id_categoria",
+        ["id_grupo", "nome_categoria"],
+        offset=next_offset(existing, "id_categoria"),
+    ).select("id_categoria", "id_grupo", "nome_categoria")
+    return _append(existing, keyed)
+
+
+def _load_fato(staging: DataFrame, wh: Warehouse, existing: DataFrame | None) -> DataFrame:
+    """app/etl.py:105-133: 5-way star join (J4) resolving every FK, join to
+    dim_tempo on computed (ano,mes) keys (J3), ON CONFLICT(id_hash) (J5)."""
+    dt, dg, dc, dcl, dtmp = (
+        wh.dim_tipo,
+        wh.dim_grupo,
+        wh.dim_categoria,
+        wh.dim_classificacao,
+        wh.dim_tempo,
+    )
+    s = staging.withColumn("_data_parsed", month_string_to_date("Data"))
+    fact = (
+        s.join(F.broadcast(dt), s["Tipo"] == dt["nome_tipo"], "inner")
+        .join(
+            F.broadcast(dg),
+            (s["Grupo"] == dg["nome_grupo"]) & (dt["id_tipo"] == dg["id_tipo"]),
+            "inner",
+        )
+        .join(
+            F.broadcast(dc),
+            (s["Categoria"] == dc["nome_categoria"]) & (dg["id_grupo"] == dc["id_grupo"]),
+            "inner",
+        )
+        .join(F.broadcast(dcl), s["Classificacao"] == dcl["nome_classificacao"], "left")
+        .join(
+            F.broadcast(dtmp),
+            (dtmp["ano"] == F.year("_data_parsed")) & (dtmp["mes"] == F.month("_data_parsed")),
+            "inner",
+        )
+        .select(
+            dt["id_tipo"],
+            dg["id_grupo"],
+            dc["id_categoria"],
+            dtmp["id_tempo"],
+            dcl["id_classificacao"],
+            s["Descricao"].alias("descricao"),
+            s["Valor"].alias("valor"),
+            s["id_hash"],
+        )
+    )
+    new = insert_if_absent(fact, existing, ["id_hash"])
+    return _append(existing, new)
+
+
+def run_etl(staging: DataFrame, warehouse: Warehouse | None = None) -> Warehouse:
+    """EP2: ordered loader chain over one cached staging frame.
+
+    Pass an existing Warehouse for incremental (idempotent) loads; re-running
+    with the same staging batch grows no table (tested).
+    """
+    wh = warehouse or Warehouse()
+    staging = staging.cache()
+    out = Warehouse()
+    out.dim_tempo = _load_dim_tempo(staging, wh.dim_tempo).cache()
+    out.dim_tipo = _load_simple_dim(staging, wh.dim_tipo, "Tipo", "id_tipo", "nome_tipo").cache()
+    out.dim_grupo = _load_dim_grupo(staging, out.dim_tipo, wh.dim_grupo).cache()
+    out.dim_categoria = _load_dim_categoria(
+        staging, out.dim_tipo, out.dim_grupo, wh.dim_categoria
+    ).cache()
+    out.dim_classificacao = _load_simple_dim(
+        staging, wh.dim_classificacao, "Classificacao", "id_classificacao",
+        "nome_classificacao", not_null=True,
+    ).cache()
+    out.fato_lancamento = _load_fato(staging, out, wh.fato_lancamento)
+    return out

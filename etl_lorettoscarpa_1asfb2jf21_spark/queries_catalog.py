@@ -1,0 +1,475 @@
+"""Named query catalog: SURVEY.md §2 operator → (Spark callable, DuckDB oracle).
+
+Each QUERIES[name] is ``(spark, sf_dir) -> DataFrame``; ORACLE_SQL[name] is
+the ANSI-SQL twin DuckDB runs on the same parquet (views pre-registered by
+the driver). Column names/aliases match exactly on both sides — the driver
+sorts columns by name before hashing values.
+
+Aggregates use exact Decimal arithmetic (cast inputs to DECIMAL(18,2) before
+SUM) so Spark and DuckDB produce bit-identical results regardless of
+addition order — double sums would be order-dependent.
+
+Output-dtype policy (so both engines land on identical pandas values):
+  * final numeric aggregates are CAST(... AS DOUBLE) on both sides —
+    DuckDB's fetchdf converts DECIMAL to float64 while Spark yields Decimal
+    objects, which some comparators treat as unequal;
+  * dates/timestamps in output are ISO strings on both sides;
+  * integer outputs are BIGINT on both sides (Spark year()/row_number()
+    are 32-bit, DuckDB EXTRACT/ROW_NUMBER are 64-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from .functions.hashing import canonical_key
+from .plans.flagship import flagship_star_rollup
+from .sources.tables import load_table
+
+DEC = DecimalType(18, 2)
+
+QUERIES: dict = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a (spark, sf_dir) -> DataFrame callable under ``name``."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# Flagship (A3 + J4): 5-way star join → monthly decimal rollup
+# =====================================================================
+
+query(
+    "flagship_star_rollup",
+    """
+    SELECT r_name AS region_name, n_name AS nation_name,
+           EXTRACT(YEAR FROM o_orderdate) AS ano,
+           EXTRACT(MONTH FROM o_orderdate) AS mes,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY 1, 2, 3, 4
+    """,
+)(flagship_star_rollup)
+
+
+# =====================================================================
+# Projection / filter / predicates (P1-P8)
+# =====================================================================
+
+@query(
+    "p1_projection",
+    "SELECT c_custkey, c_name, c_mktsegment FROM customer",
+)
+def p1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: column pruning — scan must read only 3 of 5 columns."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "p2_filter_notnull",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice AS total
+    FROM orders
+    WHERE o_orderstatus IS NOT NULL AND o_totalprice > 100000
+    """,
+)
+def p2_filter_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: IS NOT NULL + comparison filter, pushed into the parquet scan."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isNotNull() & (F.col("o_totalprice") > 100000)
+    ).select("o_orderkey", "o_orderstatus", F.col("o_totalprice").alias("total"))
+
+
+@query(
+    "p4_blank_to_null",
+    """
+    SELECT doc_id,
+           CASE WHEN regexp_matches(source, '^\\s*$') THEN NULL ELSE source END AS source_norm
+    FROM documents
+    """,
+)
+def p4_blank_to_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: ''/whitespace-only → NULL normalization (app/app.py:35-36)."""
+    from .operators.validate import blank_to_null
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", blank_to_null("source").alias("source_norm"))
+
+
+@query(
+    "p5_any_null_rows",
+    """
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE event_type IS NULL OR props IS NULL
+    """,
+)
+def p5_any_null_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: row-wise any-null mask over a column subset."""
+    from .operators.validate import any_null_mask
+
+    e = load_table(spark, sf_dir, "events")
+    return e.filter(any_null_mask(["event_type", "props"])).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@query(
+    "p7_null_fill",
+    """
+    SELECT event_id, COALESCE(event_type, 'unknown') AS event_type_filled
+    FROM events
+    """,
+)
+def p7_null_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: fillna default value (app/app.py:65)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.na.fill({"event_type": "unknown"}).select(
+        "event_id", F.col("event_type").alias("event_type_filled")
+    )
+
+
+# =====================================================================
+# Distinct / dedup (D1-D4)
+# =====================================================================
+
+@query("d1_distinct_single", "SELECT DISTINCT c_mktsegment FROM customer")
+def d1_distinct_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/D2: single-column distinct (hash aggregate)."""
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@query(
+    "d2_distinct_multi",
+    """
+    SELECT DISTINCT EXTRACT(YEAR FROM o_orderdate) AS ano,
+                    EXTRACT(MONTH FROM o_orderdate) AS mes
+    FROM orders
+    """,
+)
+def d2_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 over a computed key — the dim_tempo distinct (app/etl.py:27)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.year("o_orderdate").cast("long").alias("ano"),
+        F.month("o_orderdate").cast("long").alias("mes"),
+    ).distinct()
+
+
+@query(
+    "d3_dedup_by_key",
+    """
+    SELECT l_orderkey, l_linenumber
+    FROM (SELECT l_orderkey, l_linenumber,
+                 ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+          FROM lineitem)
+    WHERE rn = 1
+    """,
+)
+def d3_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: key-scoped dedup — first row per key by a deterministic order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "d4_content_hash",
+    """
+    SELECT p_partkey,
+           md5(concat_ws('-', lower(trim(p_name)), lower(trim(p_brand)),
+                         lower(trim(p_type)))) AS id_hash
+    FROM part
+    """,
+)
+def d4_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4/F1-F3: MD5 content identity over a canonicalized business key."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.md5(canonical_key(["p_name", "p_brand", "p_type"])).alias("id_hash"),
+    )
+
+
+# =====================================================================
+# Joins (J1-J5)
+# =====================================================================
+
+@query(
+    "j1_equi_join",
+    """
+    SELECT o_orderkey, c_name, o_totalprice AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'O'
+    """,
+)
+def j1_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: single-key inner equi join (FK resolution)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select("o_orderkey", "c_name", F.col("o_totalprice").alias("total"))
+    )
+
+
+@query(
+    "j2_composite_join",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, g.n_lines
+    FROM lineitem l
+    JOIN (SELECT l_partkey, l_suppkey, COUNT(*) AS n_lines
+          FROM lineitem GROUP BY 1, 2) g
+      ON l.l_partkey = g.l_partkey AND l.l_suppkey = g.l_suppkey
+    WHERE g.n_lines > 1
+    """,
+)
+def j2_composite_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: composite-key (2-column) equi join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_partkey", "l_suppkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        li.join(g, ["l_partkey", "l_suppkey"])
+        .filter(F.col("n_lines") > 1)
+        .select("l_orderkey", "l_linenumber", "n_lines")
+    )
+
+
+@query(
+    "j3_computed_key_join",
+    """
+    SELECT o_orderkey, t.ano, t.mes, t.n_orders
+    FROM orders o
+    JOIN (SELECT EXTRACT(YEAR FROM o_orderdate) AS ano,
+                 EXTRACT(MONTH FROM o_orderdate) AS mes,
+                 COUNT(*) AS n_orders
+          FROM orders GROUP BY 1, 2) t
+      ON t.ano = EXTRACT(YEAR FROM o.o_orderdate)
+     AND t.mes = EXTRACT(MONTH FROM o.o_orderdate)
+    """,
+)
+def j3_computed_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: join on keys computed by date-parse+extract on the probe side
+    (the fact→dim_tempo pattern, app/etl.py:127-128)."""
+    o = load_table(spark, sf_dir, "orders")
+    t = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("ano"),
+        F.month("o_orderdate").cast("long").alias("mes"),
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    return o.join(
+        F.broadcast(t),
+        (t["ano"] == F.year(o["o_orderdate"])) & (t["mes"] == F.month(o["o_orderdate"])),
+    ).select("o_orderkey", "ano", "mes", "n_orders")
+
+
+@query(
+    "j4_star_join",
+    """
+    SELECT n_name AS nation_name, o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def j4_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: 5-way star join chain with dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .filter(F.col("r_name").isNotNull())
+        .groupBy(F.col("n_name").alias("nation_name"), "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "j5_anti_join",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j5_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: left-anti join — the ON CONFLICT DO NOTHING mechanism."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        on="c_custkey",
+        how="left_anti",
+    ).select("c_custkey", "c_name")
+
+
+# =====================================================================
+# Aggregations (A1-A3)
+# =====================================================================
+
+@query("a1_count", "SELECT COUNT(*) AS n FROM lineitem")
+def a1_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: total row count."""
+    return load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "a3_grouped_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2024-12-01'
+    GROUP BY 1, 2
+    """,
+)
+def a3_grouped_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: TPC-H Q1-style grouped aggregation with exact decimal sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-12-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# =====================================================================
+# Scalar functions (F4-F13)
+# =====================================================================
+
+@query(
+    "f4_f6_brl_decimal",
+    """
+    SELECT p_partkey,
+           CAST(CAST(replace(replace(brl, '.', ''), ',', '.') AS DECIMAL(15,2)) AS DOUBLE) AS valor
+    FROM (SELECT p_partkey,
+                 replace(replace(replace(CAST(CAST(p_retailprice AS DECIMAL(15,2)) AS VARCHAR),
+                         '.', '#'), ',', '.'), '#', ',') AS brl
+          FROM part)
+    """,
+)
+def f4_f6_brl_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4-F6: Brazilian money-string round-trip — synthesize "1234,56"-style
+    strings from part.p_retailprice, then parse with the engine's native
+    locale pipeline back to exact Decimal."""
+    from .functions.locale import parse_brl_decimal
+
+    p = load_table(spark, sf_dir, "part")
+    brl = F.translate(
+        F.col("p_retailprice").cast(DecimalType(15, 2)).cast("string"), ".,", ",."
+    )
+    return p.select("p_partkey", parse_brl_decimal(brl).cast("double").alias("valor"))
+
+
+@query(
+    "f8_f13_date_derivation",
+    """
+    SELECT DISTINCT
+           strftime(o_orderdate, '%m/%Y') AS data_str,
+           EXTRACT(YEAR FROM o_orderdate) AS ano,
+           EXTRACT(MONTH FROM o_orderdate) AS mes,
+           CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS data_inicio,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS data_fim
+    FROM orders
+    """,
+)
+def f8_f13_date_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8-F13 (ex-semana, checked separately): MM/yyyy format+parse round
+    trip, year/month extraction, month boundaries. Dates emitted as ISO
+    strings (output-dtype policy)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.date_format("o_orderdate", "MM/yyyy").alias("data_str"),
+        F.year("o_orderdate").cast("long").alias("ano"),
+        F.month("o_orderdate").cast("long").alias("mes"),
+        F.trunc("o_orderdate", "month").cast("string").alias("data_inicio"),
+        F.last_day("o_orderdate").cast("string").alias("data_fim"),
+    ).distinct()
+
+
+@query(
+    "f11_iso_week",
+    """
+    SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d, week(o_orderdate) AS semana
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def f11_iso_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: ISO-8601 week number (pandas isocalendar().week parity)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.to_date("o_orderdate").cast("string").alias("d"),
+        F.weekofyear("o_orderdate").cast("long").alias("semana"),
+    ).distinct()
+
+
+# =====================================================================
+# Surrogate keys (K1)
+# =====================================================================
+
+@query(
+    "k1_surrogate_keys",
+    """
+    SELECT ROW_NUMBER() OVER (ORDER BY c_mktsegment) AS id_segmento,
+           c_mktsegment AS nome_segmento
+    FROM (SELECT DISTINCT c_mktsegment FROM customer)
+    """,
+)
+def k1_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1: SERIAL → dense deterministic row_number surrogate keys."""
+    from .operators.surrogate import with_surrogate_key
+
+    seg = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("nome_segmento"))
+        .distinct()
+    )
+    return with_surrogate_key(seg, "id_segmento", ["nome_segmento"]).select(
+        F.col("id_segmento").cast("long"), "nome_segmento"
+    )

@@ -1,0 +1,62 @@
+"""Parquet table loaders for the driver testdata (TESTDATA.md).
+
+Table scan parity (SURVEY.md §2 S2): the reference reads staging back with
+``pd.read_sql("SELECT * FROM …")`` — a full eager driver materialization.
+Here a scan is a lazy parquet read; Catalyst prunes columns and pushes
+predicates into the scan (verified in tests/test_plans.py via the formatted
+plan's ReadSchema/PushedFilters).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TPCH_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = _read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos-as-long → microsecond timestamp (see _read_parquet)
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read that tolerates TIMESTAMP(NANOS) columns.
+
+    Spark 4 rejects INT64 nanosecond timestamps outright
+    (PARQUET_TYPE_ILLEGAL); ``spark.sql.legacy.parquet.nanosAsLong`` reads
+    them as raw nanos-since-epoch longs, which load_table converts back to a
+    microsecond TimestampType column. The conf must be set before the scan
+    task runs (the failure is task-time, not plan-time), so set it always.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path)
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TPCH_TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql() use."""
+    for n in TPCH_TABLES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
