@@ -33,16 +33,28 @@ def canonical_key(cols: Sequence[Column | str], sep: str = "-") -> Column:
 
 
 def business_key_hash(
-    key_cols: Sequence[Column | str] = tuple(BUSINESS_KEY),
-    valor_col: Column | str = "Valor",
+    tipo: str = "Tipo",
+    grupo: str = "Grupo",
+    categoria: str = "Categoria",
+    data: str = "Data",
+    descricao: str = "Descricao",
+    valor: str = "Valor",
 ) -> Column:
-    """MD5 hex digest of the canonical business key + raw Valor string.
-
-    The Valor part is cast to string but NOT lower/trimmed, matching the
-    reference which str()-ifies the already-normalized Decimal.
+    """MD5 hex digest byte-compatible with the reference gerar_hash
+    (app/utils.py:16-25): lower(trim) on Tipo/Grupo/Categoria/Descrição,
+    trim-only on Data, raw str() on Valor, joined with "-".
     """
-    v = F.col(valor_col) if isinstance(valor_col, str) else valor_col
+
+    def lt(c: str) -> Column:
+        return F.coalesce(F.lower(F.trim(F.col(c).cast("string"))), F.lit(""))
+
     base = F.concat_ws(
-        "-", canonical_key(list(key_cols)), F.coalesce(v.cast("string"), F.lit(""))
+        "-",
+        lt(tipo),
+        lt(grupo),
+        lt(categoria),
+        F.coalesce(F.trim(F.col(data).cast("string")), F.lit("")),
+        lt(descricao),
+        F.coalesce(F.col(valor).cast("string"), F.lit("")),
     )
     return F.md5(base)

@@ -44,16 +44,12 @@ def ingest_lancamentos(
     Returns (staging, quarantine); both lazy.
     """
     raw = read_lancamentos_csv(spark, csv_path)
-    # Valor may be legitimately blank → "0" (app/app.py:65), so validate on
-    # the other six columns and default Valor separately.
-    required_strict = [c for c in REQUIRED_COLUMNS if c != "Valor"]
-    valid, invalid = split_valid_invalid(raw, required_strict)
+    # All 7 columns are null-validated (app/app.py:25,39) — including Valor
+    # and Classificação; the fillna("0") at app/app.py:65 only runs after the
+    # gate, so it is kept for code-path parity but cannot fire on valid rows.
+    valid, invalid = split_valid_invalid(raw, REQUIRED_COLUMNS)
     staging = (
-        valid.withColumn(
-            "Valor",
-            F.when(F.trim(F.coalesce(F.col("Valor"), F.lit(""))) == "", F.lit("0"))
-            .otherwise(F.col("Valor")),
-        )
+        valid.na.fill({"Valor": "0"})
         .withColumn("id_hash", business_key_hash())
         .withColumn("Valor", normalize_valor("Valor"))
     )
@@ -87,7 +83,13 @@ def _append(existing: DataFrame | None, new: DataFrame) -> DataFrame:
 
 
 def _load_dim_tempo(staging: DataFrame, existing: DataFrame | None) -> DataFrame:
-    """app/etl.py:20-40: distinct Data → parse MM/yyyy → 5 time attrs."""
+    """app/etl.py:20-40: distinct Data → parse MM/yyyy → 5 time attrs.
+
+    Deviation (improvement): the reference appends with no conflict key —
+    dim_tempo has no unique constraint (initdb/01_schema.sql:53-61), so
+    re-running its ETL duplicates time rows. We upsert on (ano, mes), which
+    is what the fact join key requires for single-match semantics.
+    """
     months = (
         staging.na.drop(subset=["Data"])
         .select("Data")
@@ -149,16 +151,22 @@ def _load_dim_categoria(
 ) -> DataFrame:
     """app/etl.py:88-102: distinct (Tipo,Grupo,Categoria) ⋈ tipo ⋈ grupo
     (composite key J2) → (id_grupo, nome_categoria)."""
-    triples = staging.select("Tipo", "Grupo", F.col("Categoria").alias("nome_categoria")).distinct()
+    triples = (
+        staging.select("Tipo", "Grupo", F.col("Categoria").alias("nome_categoria"))
+        .distinct()
+        .alias("s")
+    )
     resolved = (
-        triples.join(F.broadcast(dim_tipo), triples["Tipo"] == dim_tipo["nome_tipo"], "inner")
+        triples.join(
+            F.broadcast(dim_tipo.alias("dt")), F.col("s.Tipo") == F.col("dt.nome_tipo"), "inner"
+        )
         .join(
-            F.broadcast(dim_grupo),
-            (F.col("Grupo") == dim_grupo["nome_grupo"])
-            & (dim_tipo["id_tipo"] == dim_grupo["id_tipo"]),
+            F.broadcast(dim_grupo.alias("dg")),
+            (F.col("s.Grupo") == F.col("dg.nome_grupo"))
+            & (F.col("dt.id_tipo") == F.col("dg.id_tipo")),
             "inner",
         )
-        .select(dim_grupo["id_grupo"], "nome_categoria")
+        .select(F.col("dg.id_grupo"), F.col("s.nome_categoria"))
     )
     new = insert_if_absent(resolved, existing, ["id_grupo", "nome_categoria"])
     keyed = with_surrogate_key(
@@ -173,41 +181,48 @@ def _load_dim_categoria(
 def _load_fato(staging: DataFrame, wh: Warehouse, existing: DataFrame | None) -> DataFrame:
     """app/etl.py:105-133: 5-way star join (J4) resolving every FK, join to
     dim_tempo on computed (ano,mes) keys (J3), ON CONFLICT(id_hash) (J5)."""
-    dt, dg, dc, dcl, dtmp = (
-        wh.dim_tipo,
-        wh.dim_grupo,
-        wh.dim_categoria,
-        wh.dim_classificacao,
-        wh.dim_tempo,
-    )
-    s = staging.withColumn("_data_parsed", month_string_to_date("Data"))
+    s = staging.withColumn("_data_parsed", month_string_to_date("Data")).alias("s")
     fact = (
-        s.join(F.broadcast(dt), s["Tipo"] == dt["nome_tipo"], "inner")
-        .join(
-            F.broadcast(dg),
-            (s["Grupo"] == dg["nome_grupo"]) & (dt["id_tipo"] == dg["id_tipo"]),
+        s.join(
+            F.broadcast(wh.dim_tipo.alias("dt")),
+            F.col("s.Tipo") == F.col("dt.nome_tipo"),
             "inner",
         )
         .join(
-            F.broadcast(dc),
-            (s["Categoria"] == dc["nome_categoria"]) & (dg["id_grupo"] == dc["id_grupo"]),
+            F.broadcast(wh.dim_grupo.alias("dg")),
+            (F.col("s.Grupo") == F.col("dg.nome_grupo"))
+            & (F.col("dt.id_tipo") == F.col("dg.id_tipo")),
             "inner",
         )
-        .join(F.broadcast(dcl), s["Classificacao"] == dcl["nome_classificacao"], "left")
         .join(
-            F.broadcast(dtmp),
-            (dtmp["ano"] == F.year("_data_parsed")) & (dtmp["mes"] == F.month("_data_parsed")),
+            F.broadcast(wh.dim_categoria.alias("dc")),
+            (F.col("s.Categoria") == F.col("dc.nome_categoria"))
+            & (F.col("dg.id_grupo") == F.col("dc.id_grupo")),
+            "inner",
+        )
+        # INNER like the reference (app/etl.py:126): a NULL Classificação can
+        # never reach staging (the 7-column validation gate rejects it), so
+        # inner ≡ left here; inner keeps byte-parity if the gate is bypassed.
+        .join(
+            F.broadcast(wh.dim_classificacao.alias("dcl")),
+            F.col("s.Classificacao") == F.col("dcl.nome_classificacao"),
+            "inner",
+        )
+        .join(
+            F.broadcast(wh.dim_tempo.alias("dtmp")),
+            (F.col("dtmp.ano") == F.year(F.col("s._data_parsed")))
+            & (F.col("dtmp.mes") == F.month(F.col("s._data_parsed"))),
             "inner",
         )
         .select(
-            dt["id_tipo"],
-            dg["id_grupo"],
-            dc["id_categoria"],
-            dtmp["id_tempo"],
-            dcl["id_classificacao"],
-            s["Descricao"].alias("descricao"),
-            s["Valor"].alias("valor"),
-            s["id_hash"],
+            F.col("dt.id_tipo"),
+            F.col("dg.id_grupo"),
+            F.col("dc.id_categoria"),
+            F.col("dtmp.id_tempo"),
+            F.col("dcl.id_classificacao"),
+            F.col("s.Descricao").alias("descricao"),
+            F.col("s.Valor").alias("valor"),
+            F.col("s.id_hash"),
         )
     )
     new = insert_if_absent(fact, existing, ["id_hash"])

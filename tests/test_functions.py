@@ -1,0 +1,156 @@
+"""Unit tests for the native-expression function library — the reference's
+edge semantics (FIXTURES.md §4 micro-fixtures)."""
+
+from __future__ import annotations
+
+import hashlib
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from etl_lorettoscarpa_1asfb2jf21_spark.functions.dates import (
+    month_string_to_date,
+    time_attributes,
+)
+from etl_lorettoscarpa_1asfb2jf21_spark.functions.hashing import business_key_hash
+from etl_lorettoscarpa_1asfb2jf21_spark.functions.locale import (
+    normalize_valor,
+    parse_brl_decimal,
+)
+from etl_lorettoscarpa_1asfb2jf21_spark.functions.text import (
+    char_ngrams_expr,
+    detect_language_expr,
+    token_count_expr,
+)
+from etl_lorettoscarpa_1asfb2jf21_spark.functions.vectors import (
+    cosine_similarity_expr,
+    dot_expr,
+)
+
+
+# FIXTURES.md §4 valor_cases (reference app/utils.py:5-14)
+VALOR_CASES = [
+    ("1.234,56", Decimal("1234.56")),
+    ("0,99", Decimal("0.99")),
+    ("-12,50", Decimal("-12.50")),
+    ("1.000.000,00", Decimal("1000000.00")),
+    ("0", Decimal("0.00")),
+]
+
+
+def test_parse_brl_decimal(spark):
+    df = spark.createDataFrame([(s,) for s, _ in VALOR_CASES], ["v"])
+    got = df.select(parse_brl_decimal("v").alias("d")).collect()
+    assert [r["d"] for r in got] == [d for _, d in VALOR_CASES]
+
+
+def test_normalize_valor_null_default(spark):
+    df = spark.createDataFrame([(None,), ("5,50",)], "v string")
+    got = [r["d"] for r in df.select(normalize_valor("v").alias("d")).collect()]
+    assert got == [Decimal("0.00"), Decimal("5.50")]
+
+
+def _reference_hash(tipo, grupo, categoria, data, descricao, valor) -> str:
+    """Line-exact reimplementation of gerar_hash (app/utils.py:16-25):
+    lower+strip on Tipo/Grupo/Categoria/Descrição, strip-only on Data,
+    raw str() on Valor."""
+    base = (
+        str(tipo).strip().lower() + "-"
+        + str(grupo).strip().lower() + "-"
+        + str(categoria).strip().lower() + "-"
+        + str(data).strip() + "-"
+        + str(descricao).strip().lower() + "-"
+        + str(valor)
+    )
+    return hashlib.md5(base.encode("utf-8")).hexdigest()
+
+
+def test_business_key_hash_matches_hashlib(spark):
+    rows = [
+        ("Despesa", "Casa", "Aluguel", "03/2024", "  Aluguel Março ", "1500.00"),
+        ("RECEITA", "Salário", "CLT", "01/2024", "pagamento", "-12.50"),
+        # Data with letters would be case-sensitive (reference strips only):
+        ("t", "g", "c", " Mar/2024 ", "D", "0"),
+    ]
+    cols = ["Tipo", "Grupo", "Categoria", "Data", "Descricao", "Valor"]
+    df = spark.createDataFrame(rows, cols)
+    got = [r["h"] for r in df.select(business_key_hash().alias("h")).collect()]
+    want = [_reference_hash(*r) for r in rows]
+    assert got == want
+
+
+def test_hash_case_whitespace_invariance(spark):
+    cols = ["Tipo", "Grupo", "Categoria", "Data", "Descricao", "Valor"]
+    a = ("Despesa", "Casa", "Aluguel", "03/2024", "Aluguel", "10.00")
+    b = ("  DESPESA ", " casa", "ALUGUEL ", "03/2024", " aluguel", "10.00")
+    c = ("Despesa", "Casa", "Aluguel", "03/2024", "Aluguel", "11.00")
+    df = spark.createDataFrame([a, b, c], cols)
+    h = [r["h"] for r in df.select(business_key_hash().alias("h")).collect()]
+    assert h[0] == h[1]  # canonicalization collapses case/whitespace
+    assert h[0] != h[2]  # valor participates in identity
+
+
+# FIXTURES.md §4 data_cases (reference app/etl.py:24-37)
+def test_month_parse_and_time_attributes(spark):
+    df = spark.createDataFrame([("01/2024",), ("02/2024",), ("12/1999",)], ["Data"])
+    out = (
+        df.withColumn("d", month_string_to_date("Data"))
+        .withColumns(time_attributes("d"))
+        .orderBy("d")
+        .collect()
+    )
+    r_dec99, r_jan24, r_feb24 = out
+    assert (r_jan24["ano"], r_jan24["mes"]) == (2024, 1)
+    assert str(r_jan24["data_inicio"]) == "2024-01-01"
+    assert str(r_jan24["data_fim"]) == "2024-01-31"
+    assert str(r_dec99["data_fim"]) == "1999-12-31"
+    assert str(r_feb24["data_fim"]) == "2024-02-29"  # leap year
+    assert r_jan24["semana"] == 1  # 2024-01-01 is a Monday → ISO week 1
+
+
+def test_mm_yyyy_case_sensitivity_guard(spark):
+    # 'mm' (minutes) instead of 'MM' would silently yield month=1 for all.
+    df = spark.createDataFrame([("07/2024",)], ["Data"])
+    got = df.select(F.month(month_string_to_date("Data")).alias("m")).collect()[0]["m"]
+    assert got == 7
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [("a b  c",), ("",), ("   ",), (None,), ("one",)], "t string"
+    )
+    got = [r["n"] for r in df.select(token_count_expr("t").alias("n")).collect()]
+    assert got == [3, 0, 0, 0, 1]
+
+
+def test_detect_language(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat sat on the mat and it is fine",),
+            ("o que de e para um do da em",),
+            ("xyzzy qwerty",),
+        ],
+        "t string",
+    )
+    got = [r["l"] for r in df.select(detect_language_expr("t").alias("l")).collect()]
+    assert got == ["en", "pt", "und"]
+
+
+def test_char_ngrams(spark):
+    df = spark.createDataFrame([("abcd",), ("ab",)], "t string")
+    got = [r["g"] for r in df.select(char_ngrams_expr("t", 3).alias("g")).collect()]
+    assert got[0] == ["abc", "bcd"]
+    assert got[1] == []
+
+
+def test_vector_ops(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([0.0, 0.0], [1.0, 1.0])],
+        "a array<float>, b array<float>",
+    )
+    got = df.select(
+        dot_expr("a", "b").alias("d"), cosine_similarity_expr("a", "b").alias("c")
+    ).collect()
+    assert got[0]["d"] == 1.0 and abs(got[0]["c"] - 1.0) < 1e-12
+    assert got[1]["d"] == 0.0 and got[1]["c"] == 0.0
+    assert got[2]["c"] == 0.0  # zero-norm guard, no NaN

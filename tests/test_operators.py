@@ -1,0 +1,130 @@
+"""Unit tests for upsert, surrogate keys, validation, dedup, similarity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_lorettoscarpa_1asfb2jf21_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+    simhash_signature,
+)
+from etl_lorettoscarpa_1asfb2jf21_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+    lsh_topk,
+)
+from etl_lorettoscarpa_1asfb2jf21_spark.operators.surrogate import with_surrogate_key
+from etl_lorettoscarpa_1asfb2jf21_spark.operators.upsert import insert_if_absent
+
+
+def test_insert_if_absent_intra_and_cross_batch(spark):
+    existing = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    batch = spark.createDataFrame(
+        [(2, "b2"), (3, "c"), (3, "c-dup"), (4, "d")], ["k", "v"]
+    )
+    out = insert_if_absent(batch, existing, ["k"])
+    ks = sorted(r["k"] for r in out.collect())
+    assert ks == [3, 4]  # 2 dropped (exists), one 3 dropped (intra-batch)
+
+
+def test_insert_if_absent_no_existing(spark):
+    batch = spark.createDataFrame([(1,), (1,), (2,)], ["k"])
+    assert insert_if_absent(batch, None, ["k"]).count() == 2
+
+
+def test_surrogate_dense_deterministic(spark):
+    df = spark.createDataFrame([("b",), ("a",), ("c",)], ["name"])
+    out1 = {r["name"]: r["id"] for r in with_surrogate_key(df, "id", ["name"]).collect()}
+    out2 = {r["name"]: r["id"] for r in with_surrogate_key(df, "id", ["name"]).collect()}
+    assert out1 == out2 == {"a": 1, "b": 2, "c": 3}
+    out3 = with_surrogate_key(df, "id", ["name"], offset=10).collect()
+    assert sorted(r["id"] for r in out3) == [11, 12, 13]
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog in the morning sun"),
+    (2, "the quick brown fox jumps over the lazy dog in the morning sun"),  # exact dup
+    (3, "the quick brown fox jumps over the lazy dog in the evening sun"),  # near dup
+    (4, "completely different text about spark dataframes and shuffles"),
+    (5, "another unrelated document mentioning parquet files and columns"),
+]
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    kept = sorted(r["doc_id"] for r in exact_dedup(df, "text", "doc_id").collect())
+    assert kept == [1, 3, 4, 5]  # doc 2 collapses into doc 1
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(
+        df, "text", "doc_id", num_hashes=32, bands=8, jaccard_threshold=0.5
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dup always found
+    assert (1, 3) in got or (2, 3) in got  # near dup found
+    assert (4, 5) not in got
+    kept = sorted(
+        r["doc_id"]
+        for r in minhash_lsh_dedup(
+            df, "text", "doc_id", num_hashes=32, bands=8, jaccard_threshold=0.5
+        ).collect()
+    )
+    assert 1 in kept and 4 in kept and 5 in kept and 2 not in kept
+
+
+def test_simhash(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    sig = {r["doc_id"]: r["simhash"] for r in simhash_signature(df, "text", "doc_id").collect()}
+    assert sig[1] == sig[2]  # identical docs → identical fingerprint
+    pairs = simhash_neardup_pairs(df, "text", "doc_id", max_hamming=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (4, 5) not in got
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = spark.createDataFrame([(i, t, "blk") for i, t in DOCS], ["doc_id", "text", "blk"])
+    pairs = ngram_jaccard_pairs(df, "text", "doc_id", "blk", n=3, threshold=0.6)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got
+    assert (4, 5) not in got
+
+
+VECS = [
+    (1, [1.0, 0.0, 0.0, 0.0]),
+    (2, [0.9, 0.1, 0.0, 0.0]),
+    (3, [0.0, 1.0, 0.0, 0.0]),
+    (4, [0.0, 0.0, 1.0, 0.0]),
+]
+
+
+def test_brute_force_topk(spark):
+    corpus = spark.createDataFrame(VECS, ["c_id", "c_vec"])
+    queries = spark.createDataFrame([(100, [1.0, 0.05, 0.0, 0.0])], ["q_id", "q_vec"])
+    out = brute_force_topk(queries, corpus, k=2).collect()
+    assert [r["c_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2]
+
+
+def test_lsh_topk_subset_of_exact(spark):
+    corpus = spark.createDataFrame(VECS, ["c_id", "c_vec"])
+    queries = spark.createDataFrame([(100, [1.0, 0.05, 0.0, 0.0])], ["q_id", "q_vec"])
+    exact = {r["c_id"] for r in brute_force_topk(queries, corpus, k=4).collect()}
+    approx = lsh_topk(queries, corpus, k=4, dim=4, planes=8, bands=4).collect()
+    assert {r["c_id"] for r in approx} <= exact
+    assert len(approx) >= 1  # identical-direction vectors share all buckets
+
+
+def test_embedding_neardup(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    pairs = embedding_neardup_pairs(df, dim=2, planes=8, bands=4, threshold=0.99)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 2)}

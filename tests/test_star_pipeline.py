@@ -1,0 +1,132 @@
+"""End-to-end star-schema pipeline tests (SURVEY.md §5 items 2-3).
+
+Synthetic lançamentos CSV → bronze (validate/normalize/hash) → gold star
+schema → flagship rollup; idempotence (re-loading the same batch grows no
+table — the ON CONFLICT property, app/etl.py:51,66,81,98,129)."""
+
+from __future__ import annotations
+
+import textwrap
+from decimal import Decimal
+
+import pytest
+
+from etl_lorettoscarpa_1asfb2jf21_spark.plans.star import (
+    Warehouse,
+    ingest_lancamentos,
+    run_etl,
+)
+
+CSV = textwrap.dedent(
+    """\
+    Descrição,Tipo,Grupo,Categoria,Classificação,Data,Valor
+    "Aluguel, casa",Despesa,Casa,Aluguel,Fixa,01/2024,"1.500,00"
+    Mercado,Despesa,Casa,Supermercado,Variável,01/2024,"823,45"
+    Salário,Receita,Trabalho,CLT,Fixa,01/2024,"7.000,00"
+    Mercado,Despesa,Casa,Supermercado,Variável,02/2024,"911,02"
+    Luz,Despesa,Casa,Energia,,02/2024,"210,33"
+    Bonus,Receita,Trabalho,CLT,Extra,02/2024,
+    Mercado,Despesa,Casa,Supermercado,Variável,01/2024,"823,45"
+    ,Despesa,Casa,Aluguel,Fixa,03/2024,"1.500,00"
+    Internet,Despesa,Casa,  ,Fixa,03/2024,"99,90"
+    """
+)
+# row 5 = empty Classificação → quarantine (all 7 columns validated)
+# row 6 = empty Valor         → quarantine
+# row 7 = exact duplicate of row 2 (intra-batch dedup)
+# row 8 = empty Descrição     → quarantine
+# row 9 = blank Categoria     → quarantine
+
+
+@pytest.fixture(scope="module")
+def csv_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("upload") / "lancamentos.csv"
+    p.write_text(CSV, encoding="utf-8")
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def staging(spark, csv_path):
+    staging, quarantine = ingest_lancamentos(spark, csv_path)
+    return staging.cache(), quarantine.cache()
+
+
+def test_validation_split(staging):
+    valid, quarantine = staging
+    assert valid.count() == 5  # 9 data rows - 4 invalid
+    bad = {tuple(r["null_fields"]) for r in quarantine.collect()}
+    assert bad == {
+        ("Classificacao",),
+        ("Valor",),
+        ("Descricao",),
+        ("Categoria",),
+    }
+
+
+def test_valor_normalization(staging):
+    valid, _ = staging
+    vals = {r["Descricao"]: r["Valor"] for r in valid.collect()}
+    assert vals["Aluguel, casa"] == Decimal("1500.00")  # quoted comma + BRL
+    assert vals["Salário"] == Decimal("7000.00")
+
+
+def test_star_schema_build(staging):
+    valid, _ = staging
+    wh = run_etl(valid)
+    counts = wh.counts()
+    assert counts["dim_tipo"] == 2  # Despesa, Receita
+    assert counts["dim_grupo"] == 2  # Casa, Trabalho
+    assert counts["dim_categoria"] == 3  # Aluguel, Supermercado, CLT
+    assert counts["dim_classificacao"] == 2  # Fixa, Variável
+    assert counts["dim_tempo"] == 2  # 01/2024, 02/2024
+    # 5 valid rows, 1 intra-batch duplicate → 4 fact rows
+    assert counts["fato_lancamento"] == 4
+
+
+def test_idempotent_reload(staging):
+    """Loading the same batch twice grows no table (ON CONFLICT parity)."""
+    valid, _ = staging
+    wh1 = run_etl(valid)
+    c1 = wh1.counts()
+    wh2 = run_etl(valid, wh1)
+    c2 = wh2.counts()
+    assert c1 == c2
+
+
+def test_incremental_append(spark, staging):
+    """A second batch with one new month/categoria extends, not duplicates."""
+    valid, _ = staging
+    wh1 = run_etl(valid)
+    extra = spark.createDataFrame(
+        [("Gas", "Despesa", "Casa", "Energia", "Fixa", "04/2024", Decimal("80.00"), "h-new")],
+        "Descricao string, Tipo string, Grupo string, Categoria string, "
+        "Classificacao string, Data string, Valor decimal(15,2), id_hash string",
+    )
+    wh2 = run_etl(extra, wh1)
+    c1, c2 = wh1.counts(), wh2.counts()
+    assert c2["fato_lancamento"] == c1["fato_lancamento"] + 1
+    assert c2["dim_tempo"] == c1["dim_tempo"] + 1  # 04/2024 added
+    assert c2["dim_categoria"] == c1["dim_categoria"] + 1  # Energia added
+    assert c2["dim_grupo"] == c1["dim_grupo"]  # Casa exists
+    # surrogate ids stay unique and dense-ish after append
+    ids = [r["id_tempo"] for r in wh2.dim_tempo.collect()]
+    assert len(ids) == len(set(ids))
+
+
+def test_flagship_rollup_over_star(staging):
+    valid, _ = staging
+    wh = run_etl(valid)
+    from pyspark.sql import functions as F
+
+    rollup = (
+        wh.fato_lancamento.join(wh.dim_tipo, "id_tipo")
+        .join(wh.dim_tempo, "id_tempo")
+        .groupBy("ano", "mes", "nome_tipo")
+        .agg(F.sum("valor").alias("total"))
+    )
+    got = {
+        (r["ano"], r["mes"], r["nome_tipo"]): r["total"] for r in rollup.collect()
+    }
+    assert got[(2024, 1, "Despesa")] == Decimal("2323.45")
+    assert got[(2024, 1, "Receita")] == Decimal("7000.00")
+    assert got[(2024, 2, "Despesa")] == Decimal("911.02")
