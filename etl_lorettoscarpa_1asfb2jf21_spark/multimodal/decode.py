@@ -1,0 +1,147 @@
+"""Multimodal column plumbing (X4): binary payloads + typed metadata,
+decode/feature-extract as Arrow-batched Pandas functions over mapInPandas.
+
+The container ships no image/audio libraries, so the *decode step itself*
+is stubbed: ``decode_image_batch`` raises NotImplementedError unless a
+deterministic fake decoder is requested. Everything around it — schema,
+partition sizing, UDF signatures, Arrow batch shapes — is real and tested
+(tests/test_multimodal.py): swapping in Pillow/torchaudio later touches one
+function body, not the plan.
+
+Scale notes: payloads ride the shuffle as binary; mapInPandas streams Arrow
+record batches so executor memory is bounded by
+spark.sql.execution.arrow.maxRecordsPerBatch × mean payload size — set that
+down (e.g. 64) for multi-MB media, and repartition by a size-balanced key
+before heavy decode so one task doesn't get all the large files.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_type", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("payload_md5", StringType(), False),
+    ]
+)
+
+DECODED_IMAGE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("features", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def attach_payload_meta(
+    df: DataFrame, payload_col: str, media_type: str
+) -> DataFrame:
+    """Native-expression metadata struct next to an opaque binary column."""
+    p = F.col(payload_col)
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.octet_length(p).cast("long").alias("n_bytes"),
+            F.md5(p).alias("payload_md5"),
+        ),
+    )
+
+
+def _fake_decode(payload: bytes, n_features: int = 8) -> dict:
+    """Deterministic stand-in for a real image decoder: derives stable
+    pseudo-dimensions and features from the payload digest. Lets tests pin
+    exact outputs without any media library."""
+    h = hashlib.sha256(payload).digest()
+    width = 1 + h[0] % 64
+    height = 1 + h[1] % 64
+    feats = [b / 255.0 for b in h[2 : 2 + n_features]]
+    return {
+        "width": width,
+        "height": height,
+        "n_channels": 3,
+        "features": feats,
+    }
+
+
+def decode_image_batch(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    use_fake_decoder: bool = False,
+) -> DataFrame:
+    """mapInPandas image decode → (doc_id, width, height, n_channels,
+    features). Arrow-batched; the per-batch loop is the only Python hot
+    path, everything else stays JVM-side.
+
+    With ``use_fake_decoder=False`` this raises NotImplementedError at
+    execution time — the real decoder (Pillow/libvips) is not in this
+    container. The fake decoder is deterministic for tests.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not use_fake_decoder:
+                raise NotImplementedError(
+                    "real image decode requires Pillow/libvips — not in this "
+                    "container; pass use_fake_decoder=True for the test path"
+                )
+            rows = [
+                {"doc_id": i, **_fake_decode(p)}
+                for i, p in zip(pdf[id_col], pdf[payload_col])
+            ]
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(decode, DECODED_IMAGE_SCHEMA)
+
+
+def extract_image_features(decoded: DataFrame, dim: int = 8) -> DataFrame:
+    """Feature post-processing on decoded output — native array ops
+    (normalization stays JVM-side even though decode was Python)."""
+    from ..functions.vectors import normalize_expr
+
+    return decoded.withColumn("features", normalize_expr("features"))
+
+
+def sample_video_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_n: int = 10,
+) -> DataFrame:
+    """Frame-sampling plumbing: explodes a (stubbed) frame index per video.
+
+    Real implementation would emit one row per sampled frame with a binary
+    frame payload; the stub emits the frame *indexes* (deterministic from
+    payload size) so downstream partitioning/explode logic is testable.
+    """
+    n_frames = (F.octet_length(F.col(payload_col)) % 100 + 1).cast("int")
+    return (
+        df.select(id_col, n_frames.alias("_n"))
+        .withColumn(
+            "frame_idx",
+            F.explode(F.sequence(F.lit(0), F.col("_n") - 1, F.lit(every_n))),
+        )
+        .drop("_n")
+    )

@@ -473,3 +473,11 @@ def k1_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_surrogate_key(seg, "id_segmento", ["nome_segmento"]).select(
         F.col("id_segmento").cast("long"), "nome_segmento"
     )
+
+
+# ---------------------------------------------------------------------
+# Extension catalog (X1-X4 + engine breadth) merges in at import time.
+from . import queries_catalog_ext as _ext  # noqa: E402
+
+QUERIES.update(_ext.QUERIES)
+ORACLE_SQL.update(_ext.ORACLE_SQL)

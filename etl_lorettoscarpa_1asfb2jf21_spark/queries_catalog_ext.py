@@ -1,0 +1,475 @@
+"""Extension query catalog: LLM-training-data pipeline operators (X1-X4)
+plus engine-breadth coverage (windows, set-ops, rollup, streaming-shaped).
+
+Same contract as queries_catalog: QUERIES[name] = (spark, sf_dir) -> DF,
+ORACLE_SQL[name] = DuckDB twin. Hash/LSH-based approximate operators have no
+SQL twin and get the driver's rows-only check (flagged in docstrings).
+
+DuckDB parity traps encoded here:
+  * DuckDB regexp_replace needs the 'g' flag (Spark replaces all matches);
+  * cosine/dot oracles recompute the same left-fold double arithmetic
+    (list_dot_product on DOUBLE[]), not float32 shortcuts;
+  * running sums use exact DECIMAL element casts so frame-order is moot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from .functions.text import (
+    detect_language_expr,
+    normalized_text_expr,
+    quality_score_expr,
+    rolling_fingerprint_expr,
+    token_count_expr,
+)
+from .operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_signature,
+)
+from .operators.similarity import brute_force_topk, embedding_neardup_pairs, lsh_topk
+from .sources.tables import load_table
+
+DEC = DecimalType(18, 2)
+
+QUERIES: dict = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# SQL twin of functions.text.normalized_text_expr
+_NORM_SQL = "trim(regexp_replace(lower(coalesce({c}, '')), '\\s+', ' ', 'g'))"
+
+
+# =====================================================================
+# X1 — deduplication
+# =====================================================================
+
+@query(
+    "x1_exact_dedup",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, md5({_NORM_SQL.format(c='text')}) AS f
+      FROM documents
+    )
+    SELECT doc_id FROM fp
+    WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)
+    """,
+)
+def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 exact: survivors of content-hash dedup (lowest doc_id per
+    normalized-text MD5)."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id").select("doc_id")
+
+
+@query("x1_minhash_dedup")  # hash-based LSH — rows-only check
+def x1_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 fuzzy: MinHash-LSH near-dup candidate pairs (jaccard-verified).
+    xxhash64-salted signatures are engine-specific → no SQL oracle; the
+    *verification* arithmetic is exact-checked by x1_ngram_jaccard."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=16, bands=4, jaccard_threshold=0.5
+    )
+
+
+@query("x1_simhash")  # hash-based — rows-only check
+def x1_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 SimHash: 64-bit fingerprint per document (native bit math)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_signature(d, "text", "doc_id")
+
+
+@query(
+    "x1_ngram_jaccard",
+    f"""
+    WITH g AS (
+      SELECT doc_id, source,
+             list_distinct([substr(t, i, 3) FOR i IN range(1, len(t) - 1)]) AS gr
+      FROM (SELECT doc_id, source, {_NORM_SQL.format(c='text')} AS t FROM documents)
+      WHERE len(t) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.gr, b.gr))) AS jaccard
+    FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.gr, b.gr))) >= 0.2
+    """,
+)
+def x1_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 exact pairwise: 3-gram Jaccard >= 0.2 within a source block —
+    the deterministic (oracle-checkable) verification core of fuzzy dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "text", "doc_id", "source", n=3, threshold=0.2)
+
+
+@query("x1_embedding_neardup")  # LSH-bucketed — rows-only check
+def x1_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 embedding near-dup: high-cosine pairs via random-hyperplane LSH.
+
+    Threshold 0.3 — the synthetic embeddings are i.i.d. (max pairwise cosine
+    ~0.51), so a production-style 0.95 bar would always return zero rows; 0.3
+    exercises bucketing + verification on real output. Recall is tunable via
+    (planes, bands); production dedup would use 0.9+ on clustered data.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.3)
+
+
+# =====================================================================
+# X2 — top-k vector similarity search
+# =====================================================================
+
+_COS_SQL = """
+    list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+    / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+       * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
+"""
+
+
+@query(
+    "x2_topk_cosine",
+    f"""
+    SELECT q_id, c_id, sim, rank FROM (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             {_COS_SQL} AS sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_COS_SQL} DESC, c.vec_id
+             ) AS rank
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < 5
+    )
+    WHERE rank <= 10
+    """,
+)
+def x2_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 exact: brute-force cosine top-10 for query vectors vec_id<5.
+    Corpus is scanned once, queries broadcast — no corpus shuffle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    out = brute_force_topk(queries, corpus, k=10)
+    return out.select("q_id", "c_id", "sim", F.col("rank").cast("long").alias("rank"))
+
+
+@query("x2_topk_lsh")  # approximate — rows-only check
+def x2_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 scale path: random-hyperplane LSH-bucketed approximate top-10."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return lsh_topk(queries, corpus, k=10, dim=64, planes=16, bands=4)
+
+
+# =====================================================================
+# X3 — text analysis
+# =====================================================================
+
+_STOP_EN = r"(?i)\b(the|and|of|to|in|is|that|for|with|it)\b"
+_STOP_PT = r"(?i)\b(de|que|e|o|a|do|da|em|um|para)\b"
+_STOP_ES = r"(?i)\b(el|la|que|y|los|del|las|por|un|con)\b"
+
+
+@query(
+    "x3_lang_id",
+    f"""
+    SELECT doc_id, lang,
+           CASE
+             WHEN en >= pt AND en >= es AND en > 0 THEN 'en'
+             WHEN pt >= es AND pt > 0 THEN 'pt'
+             WHEN es > 0 THEN 'es'
+             ELSE 'und'
+           END AS lang_detected
+    FROM (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text, '{_STOP_EN}')) AS en,
+             len(regexp_extract_all(text, '{_STOP_PT}')) AS pt,
+             len(regexp_extract_all(text, '{_STOP_ES}')) AS es
+      FROM documents
+    )
+    """,
+)
+def x3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: stopword-ratio language ID next to the ground-truth lang column."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", detect_language_expr("text").alias("lang_detected")
+    )
+
+
+@query(
+    "x3_quality_score",
+    f"""
+    SELECT doc_id,
+           0.4 * least(1.0, n_tokens / 100.0)
+         + 0.3 * (1.0 - CASE WHEN n_chars > 0
+                             THEN CAST(n_punct AS DOUBLE) / n_chars
+                             ELSE 1.0 END)
+         + 0.3 * least(1.0, CASE WHEN n_tokens > 0
+                                 THEN n_stop / n_tokens ELSE 0.0 END * 5.0)
+           AS quality
+    FROM (
+      SELECT doc_id,
+             length(coalesce(text, '')) AS n_chars,
+             CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))
+             END AS n_tokens,
+             len(regexp_extract_all(coalesce(text, ''), '[^\\w\\s]')) AS n_punct,
+             len(regexp_extract_all(coalesce(text, ''), '{_STOP_EN}')) AS n_stop
+      FROM documents
+    )
+    """,
+)
+def x3_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: heuristic quality score (length/punct/stopword ratios)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score_expr("text").alias("quality"))
+
+
+@query(
+    "x3_token_stats",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))
+               END) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def x3_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: corpus token budgeting — per-language doc/token/char stats.
+    avg computed as exact-sum / count (one terminal division, no
+    order-dependent double accumulation)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_expr("text").cast("long")).alias("total_tokens"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+@query(
+    "x3_fingerprint",
+    f"""
+    SELECT doc_id, md5({_NORM_SQL.format(c='text')}) AS fingerprint
+    FROM documents
+    """,
+)
+def x3_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: deterministic document fingerprint (MD5 of normalized text)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_fingerprint_expr("text").alias("fingerprint"))
+
+
+# =====================================================================
+# X4 — multimodal (binary payload + typed metadata)
+# =====================================================================
+
+@query(
+    "x4_multimodal_meta",
+    """
+    SELECT doc_id, 'text/plain' AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def x4_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: opaque binary payload column + typed metadata. The payload here
+    is the UTF-8 text (the container ships no image/audio libs — see
+    multimodal.decode for the stubbed decode path); schema/partitioning/
+    hashing plumbing is real."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.lit("text/plain").alias("media_type"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+    )
+
+
+# =====================================================================
+# Engine breadth: windows, set ops, rollup, sort/limit, streaming-shaped
+# =====================================================================
+
+@query(
+    "w1_running_sum",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def w1_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window: per-user running total (exact decimal frame sum)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("running_value"),
+    )
+
+
+@query(
+    "w2_rank_topn",
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice FROM (
+      SELECT c_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rn <= 3
+    """,
+)
+def w2_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window: top-3 orders per customer (deterministic tiebreak)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "s1_union_distinct",
+    """
+    SELECT n_nationkey AS k FROM nation
+    UNION
+    SELECT r_regionkey AS k FROM region
+    """,
+)
+def s1_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: UNION (distinct)."""
+    n = load_table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k"))
+    r = load_table(spark, sf_dir, "region").select(F.col("r_regionkey").alias("k"))
+    return n.union(r).distinct()
+
+
+@query(
+    "s2_except",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def s2_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: EXCEPT (customers who never ordered)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o).distinct()
+
+
+@query(
+    "g1_rollup",
+    """
+    SELECT r_name, n_name, COUNT(*) AS n
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def g1_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation (subtotals + grand total)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(r, n["n_regionkey"] == r["r_regionkey"])
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "t1_topn_sort",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def t1_topn_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit (TakeOrderedAndProject, no full-sort shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@query("a4_approx_count_distinct")  # sketch-based — rows-only check
+def a4_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch (engine-specific estimate)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.agg(F.approx_count_distinct("user_id").alias("approx_users"))
+
+
+@query(
+    "st1_tumbling_window",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def st1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped: 1-hour tumbling window aggregation over events.
+    Same plan works under readStream + watermark (streaming.windows)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
