@@ -250,11 +250,16 @@ def j1_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def j2_composite_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2: composite-key (2-column) equi join."""
+    """J2: composite-key (2-column) equi join semantics.
+
+    Expressed as a count-over-window on the composite key: one shuffle of
+    lineitem instead of the naive aggregate-then-self-join's two. Same
+    result set as the oracle's join formulation.
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    g = li.groupBy("l_partkey", "l_suppkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    w = Window.partitionBy("l_partkey", "l_suppkey")
     return (
-        li.join(g, ["l_partkey", "l_suppkey"])
+        li.withColumn("n_lines", F.count(F.lit(1)).over(w))
         .filter(F.col("n_lines") > 1)
         .select("l_orderkey", "l_linenumber", "n_lines")
     )
