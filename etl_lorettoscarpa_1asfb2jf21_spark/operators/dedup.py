@@ -24,6 +24,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import char_ngrams_expr, normalized_text_expr
+from .partitioning import spread
+
+
+def _hashed_ngrams_expr(text_col: str, n: int):
+    """Distinct character n-grams as xxhash64 longs.
+
+    Set-intersection cost is dominated by element comparisons; hashing each
+    gram to int64 makes those long-vs-long instead of UTF8-string-vs-string
+    (~5-10x per pair) while leaving set sizes — and hence Jaccard values —
+    unchanged (64-bit collisions are negligible at any realistic corpus
+    vocabulary).
+    """
+    return F.transform(
+        F.array_distinct(char_ngrams_expr(text_col, n)), lambda g: F.xxhash64(g)
+    )
 
 
 # ---------------------------------------------------------------- exact
@@ -51,12 +66,14 @@ def minhash_signature(
     """(id, sig array<long>) — minhash over character shingles.
 
     Each of the ``num_hashes`` permutations is approximated by
-    xxhash64(shingle, salt_i); the row minimum per salt is the signature
-    element. One explode + one groupBy — a single shuffle on id.
+    xxhash64(hashed_shingle, salt_i); the row minimum per salt is the
+    signature element. One explode + one groupBy — a single shuffle on id
+    (min over the shingle multiset equals min over the set, so no dedup
+    pass is needed before aggregating).
     """
-    shingles = df.select(
-        F.col(id_col), F.explode(char_ngrams_expr(text_col, shingle_size)).alias("_sh")
-    ).dropDuplicates([id_col, "_sh"])
+    shingles = spread(df).select(
+        F.col(id_col), F.explode(_hashed_ngrams_expr(text_col, shingle_size)).alias("_sh")
+    )
     aggs = [
         F.min(F.xxhash64(F.col("_sh"), F.lit(i))).alias(f"_h{i}")
         for i in range(num_hashes)
@@ -110,9 +127,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    shingles = df.select(
+    shingles = spread(df).select(
         F.col(id_col).alias("_sid"),
-        F.array_distinct(char_ngrams_expr(text_col, shingle_size)).alias("_shs"),
+        _hashed_ngrams_expr(text_col, shingle_size).alias("_shs"),
     )
     verified = (
         cand.join(shingles.withColumnRenamed("_sid", "id_a").withColumnRenamed("_shs", "_shs_a"), "id_a")
@@ -151,7 +168,7 @@ def simhash_signature(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     the per-bit sum. All native bit arithmetic (shiftright/bitwise-and),
     one explode + one groupBy.
     """
-    toks = df.select(
+    toks = spread(df).select(
         F.col(id_col),
         F.explode(F.split(normalized_text_expr(text_col), r"\s+")).alias("_t"),
     ).filter(F.length("_t") > 0)
@@ -233,20 +250,32 @@ def ngram_jaccard_pairs(
     The block key bounds the quadratic term; at scale the block should be an
     LSH bucket (minhash_lsh_pairs) rather than a semantic attribute.
     Returns id_a, id_b, jaccard (pairs meeting the threshold).
+
+    Plan shape: grams are hashed to int64 (cheap comparisons), the pairwise
+    stage is spread across the cluster, and a size-bound prune
+    (jaccard <= min(|A|,|B|)/max(|A|,|B|)) sits in the join condition so the
+    per-pair intersection only runs on pairs that could possibly qualify.
     """
-    g = df.select(
+    g = spread(df, factor=4).select(
         F.col(id_col).alias("_id"),
         F.col(block_col).alias("_blk"),
-        F.array_distinct(char_ngrams_expr(text_col, n)).alias("_g"),
+        _hashed_ngrams_expr(text_col, n).alias("_g"),
     )
+    g = g.withColumn("_sz", F.size("_g").cast("double"))
     l, r = g.alias("l"), g.alias("r")
+    size_bound = (F.col("l._sz") >= F.lit(threshold) * F.col("r._sz")) & (
+        F.col("r._sz") >= F.lit(threshold) * F.col("l._sz")
+    )
+    inter = F.size(F.array_intersect(F.col("l._g"), F.col("r._g"))).cast("double")
     return (
-        l.join(r, (F.col("l._blk") == F.col("r._blk")) & (F.col("l._id") < F.col("r._id")))
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect(F.col("l._g"), F.col("r._g"))).cast("double")
-            / F.size(F.array_union(F.col("l._g"), F.col("r._g"))).cast("double"),
+        l.join(
+            r,
+            (F.col("l._blk") == F.col("r._blk"))
+            & (F.col("l._id") < F.col("r._id"))
+            & size_bound,
         )
+        # |A∪B| = |A|+|B|-|A∩B| — one set pass per pair instead of two
+        .withColumn("jaccard", inter / (F.col("l._sz") + F.col("r._sz") - inter))
         .filter(F.col("jaccard") >= threshold)
         .select(
             F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"), F.col("jaccard")

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity_expr
+from .partitioning import spread
 
 
 def brute_force_topk(
@@ -41,7 +42,7 @@ def brute_force_topk(
     Ties broken by corpus id for determinism (oracle-comparable).
     """
     q = F.broadcast(queries.select(F.col(query_id), F.col(query_vec)))
-    pairs = corpus.select(F.col(corpus_id), F.col(corpus_vec)).crossJoin(q)
+    pairs = spread(corpus.select(F.col(corpus_id), F.col(corpus_vec))).crossJoin(q)
     sim = pairs.withColumn("sim", cosine_similarity_expr(query_vec, corpus_vec))
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id))
     return (
@@ -120,7 +121,7 @@ def lsh_topk(
         )
 
     qb = F.broadcast(bucketize(queries, query_id, query_vec, "q_"))
-    cb = bucketize(corpus, corpus_id, corpus_vec, "c_")
+    cb = bucketize(spread(corpus), corpus_id, corpus_vec, "c_")
     cand = (
         cb.join(
             qb,
@@ -150,9 +151,8 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """(id_a, id_b, sim) pairs with cosine >= threshold, LSH-blocked."""
     hps = _hyperplanes(dim, planes, seed)
-    bits = _signature_bits(vec_col, hps)
     b = (
-        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        spread(df).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .withColumn("_bb", F.explode(_band_buckets(_signature_bits("_v", hps), planes, bands)))
         .select("_id", "_v", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
     )
