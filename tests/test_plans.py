@@ -1,0 +1,84 @@
+"""Physical-plan quality gates.
+
+Correctness says the answer is right; these tests say the PLAN is the one
+we'd want on a 1000-executor cluster reading 100 TB:
+
+* predicate pushdown and column pruning reach the parquet scan,
+* star-join dimensions broadcast (no fact-side shuffle for dim lookups),
+* no row-at-a-time Python UDF appears anywhere in the catalog,
+* the top-n sort compiles to TakeOrderedAndProject (no global sort).
+
+A regression here is a silent 10-100x at scale even when every value-hash
+still matches, so it gets the same test treatment as wrong answers.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_lorettoscarpa_1asfb2jf21_spark.queries_catalog import QUERIES as CORE_QUERIES
+from etl_lorettoscarpa_1asfb2jf21_spark.queries_catalog_ext import QUERIES as EXT_QUERIES
+from etl_lorettoscarpa_1asfb2jf21_spark.plans.flagship import flagship_star_rollup
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+ALL_QUERIES = {**CORE_QUERIES, **EXT_QUERIES}
+
+
+@pytest.mark.parametrize("name", sorted(ALL_QUERIES))
+def test_no_python_udf_in_any_catalog_plan(spark, sf_medium, name):
+    plan = plan_of(ALL_QUERIES[name](spark, sf_medium))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"):
+        assert marker not in plan, f"{name} fell off the JVM fast path: {marker}"
+
+
+def test_flagship_pushes_columns_and_broadcasts(spark, sf_medium):
+    plan = plan_of(flagship_star_rollup(spark, sf_medium))
+    # lineitem scan must read only the join/agg columns, not all 16
+    assert "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>" in plan
+    # star dims resolve via broadcast joins exclusively — the only exchange
+    # allowed besides broadcasts is the final aggregation shuffle
+    # tree lines read "BroadcastHashJoin Inner BuildRight"; detail-section
+    # headers repeat the bare name, so count the tree form only
+    assert plan.count("BroadcastHashJoin Inner") == 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_medium):
+    plan = plan_of(CORE_QUERIES["a3_grouped_rollup"](spark, sf_medium))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_projection_prunes_scan(spark, sf_medium):
+    plan = plan_of(CORE_QUERIES["p1_projection"](spark, sf_medium))
+    assert "ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>" in plan
+
+
+def test_star_join_broadcasts_dims(spark, sf_medium):
+    plan = plan_of(CORE_QUERIES["j4_star_join"](spark, sf_medium))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_topn_avoids_global_sort(spark, sf_medium):
+    plan = plan_of(EXT_QUERIES["t1_topn_sort"](spark, sf_medium))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_anti_join_stays_equi_hash(spark, sf_medium):
+    plan = plan_of(CORE_QUERIES["j5_anti_join"](spark, sf_medium))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pairwise_dedup_stages_are_spread(spark, sf_medium):
+    """The CPU-bound pairwise operators must not run single-partition: the
+    spread() repartition has to survive optimization into the physical plan."""
+    for name in ("x1_ngram_jaccard", "x1_minhash_dedup", "x1_embedding_neardup"):
+        plan = plan_of(EXT_QUERIES[name](spark, sf_medium))
+        assert "RoundRobinPartitioning" in plan, f"{name} lost its spread"
