@@ -50,3 +50,16 @@ def normalize_expr(a: Column | str) -> Column:
     return F.when(n > 0, F.transform(ca, lambda x: x.cast("double") / n)).otherwise(
         F.transform(ca, lambda x: x.cast("double"))
     )
+
+
+def array_lit(values) -> Column:
+    """Constant double-array column from a Python sequence, built with ONE
+    gateway call.
+
+    ``F.lit(list)`` expands element-wise — len(values) Py4J round-trips plus
+    wrapper overhead each, ~10 ms per element of pure driver latency; a
+    16x64 centroid table costs ~12 s of plan-build time that way. A SQL
+    ``array(...)`` literal parses JVM-side and Catalyst constant-folds it.
+    ``repr(float)`` round-trips exactly, so values are bit-identical.
+    """
+    return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in values) + ")")

@@ -24,7 +24,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity_expr
+from ..functions.vectors import array_lit, cosine_similarity_expr
 from .partitioning import spread
 
 
@@ -61,7 +61,7 @@ def _signature_bits(vec_col: str, hyperplanes: list[list[float]]):
     """One sign bit per hyperplane, as an array<int> column (native dot)."""
     bits = []
     for hp in hyperplanes:
-        hp_lit = F.array(*[F.lit(float(x)) for x in hp])
+        hp_lit = array_lit(hp)
         dot = F.aggregate(
             F.zip_with(F.col(vec_col), hp_lit, lambda a, b: a.cast("double") * b),
             F.lit(0.0),
@@ -176,4 +176,113 @@ def embedding_neardup_pairs(
         cand.withColumn("sim", cosine_similarity_expr("_va", "_vb"))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    corpus_id: str = "c_id",
+    corpus_vec: str = "c_vec",
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) index.
+
+    Train: distributed k-means (pyspark.ml) learns ``n_centroids`` coarse
+    centroids over the corpus. Index: each corpus vector is assigned to its
+    nearest centroid — one broadcast join + per-partition argmin, a single
+    linear pass. Search: each query probes its ``nprobe`` nearest centroid
+    cells only, so the exact-cosine re-rank touches ~nprobe/n_centroids of
+    the corpus instead of all of it.
+
+    At 100 TB the index assignment is a map-only pass over the corpus scan
+    (centroids broadcast), the probe join is a hash join on cell id, and the
+    partition-pruned cells are the classic IVF read-amplification win. May
+    return <k rows per query (recall<1, tunable via nprobe).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ..functions.vectors import dot_expr, normalize_expr
+
+    # Train on a bounded sample (standard IVF practice — faiss does the
+    # same): centroid quality needs ~100s of points per cell, not the full
+    # corpus, so training cost stays flat as the corpus grows. Cached so the
+    # kmeans iterations don't re-run the scan+limit chain each pass.
+    train = (
+        spread(corpus.limit(256 * n_centroids))
+        .select(
+            array_to_vector(
+                F.transform(F.col(corpus_vec), lambda x: x.cast("double"))
+            ).alias("features")
+        )
+        .cache()
+    )
+    try:
+        model = KMeans(k=n_centroids, seed=seed, maxIter=5).fit(train)
+    finally:
+        train.unpersist()
+
+    def _unit(c) -> list[float]:
+        n = sum(x * x for x in c) ** 0.5 or 1.0
+        return [float(x) / n for x in c]
+
+    centroids = [(i, _unit(c)) for i, c in enumerate(model.clusterCenters())]
+
+    def nearest_cells(vec_c: str, probes: int):
+        """Array of the ``probes`` nearest centroid cell ids — pure per-row
+        expression (centroids are unit-vector literals, the row vector is
+        pre-normalized, so each cell score is a single dot product), making
+        corpus assignment a map-only pass with NO shuffle of the corpus."""
+        entries = F.array(
+            *[
+                F.struct(
+                    dot_expr(vec_c, array_lit(c)).alias("sim"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in centroids
+            ]
+        )
+        ordered = F.array_sort(
+            entries,
+            lambda a, b: F.when(a["sim"] > b["sim"], -1)
+            .when(a["sim"] < b["sim"], 1)
+            .otherwise(a["cell"] - b["cell"]),
+        )
+        return F.transform(F.slice(ordered, 1, probes), lambda e: e["cell"])
+
+    # normalize below the spread() exchange so it is computed once per row,
+    # not re-derived inside each of the n_centroids cell scores (projection
+    # collapse would inline it otherwise)
+    cn = spread(
+        corpus.select(F.col(corpus_id), normalize_expr(corpus_vec).alias(corpus_vec))
+    )
+    qn = queries.select(F.col(query_id), normalize_expr(query_vec).alias(query_vec))
+
+    indexed = cn.select(
+        F.col(corpus_id),
+        F.col(corpus_vec),
+        F.explode(nearest_cells(corpus_vec, 1)).alias("cell"),
+    )
+    probed = qn.select(
+        F.col(query_id),
+        F.col(query_vec),
+        F.explode(nearest_cells(query_vec, nprobe)).alias("cell"),
+    )
+
+    cand = indexed.join(F.broadcast(probed), "cell").select(
+        query_id, query_vec, corpus_id, corpus_vec
+    )
+    # both sides are unit vectors → dot IS cosine
+    sim = cand.withColumn("sim", dot_expr(query_vec, corpus_vec))
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "sim", "rank")
     )

