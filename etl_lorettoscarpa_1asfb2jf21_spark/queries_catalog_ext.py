@@ -455,6 +455,39 @@ def t1_topn_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "st2_sessionize",
+    """
+    WITH t AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us, value,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, us, value,
+             SUM(new_s) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS sid
+      FROM t
+    )
+    SELECT user_id, MIN(us) AS session_start_us, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def st2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity breaks a session) —
+    gaps-and-islands twin of the streaming stateful sessionizer
+    (streaming.sessions); exact integer-microsecond gap compare."""
+    from .streaming.sessions import sessionize_batch
+
+    e = load_table(spark, sf_dir, "events")
+    return sessionize_batch(e, gap="30 minutes")
+
+
 @query("a4_approx_count_distinct")  # sketch-based — rows-only check
 def a4_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-count sketch (engine-specific estimate)."""

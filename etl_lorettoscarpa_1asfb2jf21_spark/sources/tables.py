@@ -30,10 +30,13 @@ TPCH_TABLES = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = _read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos-as-long → microsecond timestamp (see _read_parquet)
+        # nanos-as-long → microsecond timestamp (see _read_parquet).
+        # Integer `div`, NOT `/1000`: float division routes the ~1.7e18 ns
+        # epoch through a double (53-bit mantissa) and silently rounds the
+        # microsecond — an off-by-1us that breaks exact oracle comparison.
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
