@@ -250,3 +250,45 @@ def run_etl(staging: DataFrame, warehouse: Warehouse | None = None) -> Warehouse
     ).cache()
     out.fato_lancamento = _load_fato(staging, out, wh.fato_lancamento)
     return out
+
+
+# --------------------------------------------------------------- gold I/O
+
+GOLD_TABLES = [
+    "dim_tempo",
+    "dim_tipo",
+    "dim_grupo",
+    "dim_categoria",
+    "dim_classificacao",
+    "fato_lancamento",
+]
+
+
+def write_warehouse(wh: Warehouse, base_path: str) -> None:
+    """Persist the gold layer; the fact is partitioned by (ano, mes).
+
+    Dims are small — one parquet file each (coalesce(1): no point paying a
+    shuffle's worth of tiny files). The fact carries denormalized (ano, mes)
+    from dim_tempo — standard lakehouse practice so month-scoped rollups hit
+    partition pruning (and dynamic partition pruning on dim_tempo joins)
+    instead of scanning all history. At 100 TB this is the difference
+    between reading one month and reading a decade.
+    """
+    for name in GOLD_TABLES[:-1]:
+        getattr(wh, name).coalesce(1).write.mode("overwrite").parquet(
+            f"{base_path}/{name}"
+        )
+    fact = wh.fato_lancamento.join(
+        F.broadcast(wh.dim_tempo.select("id_tempo", "ano", "mes")), "id_tempo"
+    )
+    fact.write.mode("overwrite").partitionBy("ano", "mes").parquet(
+        f"{base_path}/fato_lancamento"
+    )
+
+
+def read_warehouse(spark: SparkSession, base_path: str) -> Warehouse:
+    """Load a written gold layer back as a Warehouse of DataFrames."""
+    wh = Warehouse()
+    for name in GOLD_TABLES:
+        setattr(wh, name, spark.read.parquet(f"{base_path}/{name}"))
+    return wh

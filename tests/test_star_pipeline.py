@@ -130,3 +130,28 @@ def test_flagship_rollup_over_star(staging):
     assert got[(2024, 1, "Despesa")] == Decimal("2323.45")
     assert got[(2024, 1, "Receita")] == Decimal("7000.00")
     assert got[(2024, 2, "Despesa")] == Decimal("911.02")
+
+
+def test_gold_write_partition_pruning(spark, staging, tmp_path):
+    """The written fact is partitioned by (ano, mes) and a month-scoped
+    query prunes to that partition at the scan."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.plans.star import (
+        read_warehouse,
+        write_warehouse,
+    )
+
+    valid, _ = staging
+    wh = run_etl(valid)
+    base = str(tmp_path / "gold")
+    write_warehouse(wh, base)
+
+    back = read_warehouse(spark, base)
+    assert back.fato_lancamento.count() == wh.fato_lancamento.count()
+
+    jan = back.fato_lancamento.filter("ano = 2024 AND mes = 1")
+    plan = jan._sc._jvm.PythonSQLUtils.explainString(
+        jan._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [isnotnull(ano" in plan
+    # pruned scan reads only the one (ano=2024, mes=1) directory
+    assert jan.count() == 3
