@@ -135,6 +135,46 @@ def p5_any_null_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "p6_null_field_report",
+    """
+    WITH t AS (
+      SELECT event_id,
+             NULLIF(event_type, 'error') AS et,
+             CASE WHEN value < 5 THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id,
+           [f FOR f IN [
+              CASE WHEN et IS NULL THEN 'et' END,
+              CASE WHEN v IS NULL THEN 'v' END
+           ] IF f IS NOT NULL] AS null_fields
+    FROM t
+    WHERE et IS NULL OR v IS NULL
+    """,
+)
+def p6_null_field_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: quarantine rows with the per-field null report (app/app.py:41-59).
+
+    The driver testdata carries no actual NULLs, so the report runs over
+    deterministically derived nullable columns (error event_type, low value)
+    — the operator logic (any-null mask + per-field name array) is identical
+    to the reference's validation gate.
+    """
+    from .operators.validate import any_null_mask, null_fields_expr
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("event_type"))
+        .alias("et"),
+        F.when(F.col("value") < 5, None).otherwise(F.col("value")).alias("v"),
+    )
+    return e.filter(any_null_mask(["et", "v"])).select(
+        "event_id", null_fields_expr(["et", "v"]).alias("null_fields")
+    )
+
+
+@query(
     "p7_null_fill",
     """
     SELECT event_id, COALESCE(event_type, 'unknown') AS event_type_filled

@@ -289,6 +289,37 @@ def x3_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x3_term_freq",
+    f"""
+    SELECT lang, tok, COUNT(*) AS n
+    FROM (
+      SELECT lang,
+             unnest(regexp_split_to_array({_NORM_SQL.format(c='text')}, '\\s+')) AS tok
+      FROM documents
+      WHERE length(trim(coalesce(text, ''))) > 0
+    )
+    WHERE length(tok) > 2
+    GROUP BY lang, tok
+    HAVING COUNT(*) >= 50
+    """,
+)
+def x3_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: per-language term frequencies (explode + partial/final count);
+    threshold filter keeps the result deterministic (no top-k ties)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.filter(F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0).select(
+        "lang",
+        F.explode(F.split(normalized_text_expr("text"), r"\s+")).alias("tok"),
+    )
+    return (
+        toks.filter(F.length("tok") > 2)
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 50)
+    )
+
+
+@query(
     "x3_fingerprint",
     f"""
     SELECT doc_id, md5({_NORM_SQL.format(c='text')}) AS fingerprint

@@ -158,3 +158,59 @@ def test_ivf_topk_finds_nearest(spark):
     for q, ids in by_q(partial).items():
         assert set(ids) <= exact_sets[q] | set(ids)  # well-formed
         assert len(ids) <= 5
+
+
+def test_salted_aggregate_equals_naive(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.skew import salted_aggregate
+    from etl_lorettoscarpa_1asfb2jf21_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_small, "events")
+    naive = {
+        (r["event_type"], r["n_users"], r["total"])
+        for r in e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("total"),
+        )
+        .collect()
+    }
+    salted = {
+        (r["event_type"], r["n_users"], r["total"])
+        for r in salted_aggregate(
+            e,
+            ["event_type"],
+            partial_aggs=[
+                F.collect_set("user_id").alias("users"),
+                F.count(F.lit(1)).alias("cnt"),
+            ],
+            merge_aggs=[
+                F.size(F.array_distinct(F.flatten(F.collect_list("users")))).alias(
+                    "n_users"
+                ),
+                F.sum("cnt").alias("total"),
+            ],
+            salt=8,
+        ).collect()
+    }
+    assert salted == naive
+
+
+def test_replicate_salted_join_equals_naive(spark, sf_small):
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.skew import replicate_salted_join
+    from etl_lorettoscarpa_1asfb2jf21_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_small, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_small, "customer").select("c_custkey", "c_mktsegment")
+    naive = sorted(
+        (r["o_orderkey"], r["c_mktsegment"])
+        for r in o.join(c, o["o_custkey"] == c["c_custkey"]).collect()
+    )
+    salted = sorted(
+        (r["o_orderkey"], r["c_mktsegment"])
+        for r in replicate_salted_join(
+            o.withColumnRenamed("o_custkey", "c_custkey"), c, ["c_custkey"], salt=4
+        ).collect()
+    )
+    assert salted == naive
