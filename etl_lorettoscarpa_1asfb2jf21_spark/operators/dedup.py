@@ -41,6 +41,34 @@ def _hashed_ngrams_expr(text_col: str, n: int):
     )
 
 
+def bucket_pairs(buckets: DataFrame, id_col: str, bucket_cols: list[str]) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing any bucket.
+
+    groupBy-collect + per-bucket pair enumeration instead of a bucket
+    self-join: one pass over the (expensive) bucket input rather than two
+    plan branches recomputing it, and one shuffle on the bucket key instead
+    of a join + distinct. Bucket membership lists stay small by LSH design,
+    so the in-array combination enumeration is cheap; a pathological
+    mega-bucket would surface here as a hot key — cap it upstream (more
+    bands/planes) rather than here.
+    """
+    grouped = (
+        buckets.groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    pairs = F.expr(
+        "flatten(transform(_ids, (x, i) -> "
+        "transform(slice(_ids, i + 2, size(_ids) - i - 1), "
+        "y -> struct(x AS id_a, y AS id_b))))"
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------- exact
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -96,8 +124,9 @@ def minhash_lsh_pairs(
     """Candidate near-duplicate pairs (id_a < id_b) with exact Jaccard verify.
 
     Pipeline: signature → split into ``bands`` bands → hash each band →
-    explode (id, band_idx, band_hash) → self-join on the bucket → distinct
-    candidate pairs → verify with exact shingle-set Jaccard.
+    explode (id, band_idx, band_hash) → collect ids per bucket → enumerate
+    pairs (bucket_pairs: single signature pass, no self-join) → verify with
+    exact shingle-set Jaccard.
     Returns columns: id_a, id_b, jaccard.
     """
     rows_per_band = num_hashes // bands
@@ -114,18 +143,7 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("_id"), F.explode(F.array(*band_cols)).alias("bb")
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    left = buckets.alias("l")
-    right = buckets.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-        .distinct()
-    )
+    cand = bucket_pairs(buckets, "_id", ["band", "bucket"])
 
     shingles = spread(df).select(
         F.col(id_col).alias("_sid"),
@@ -208,29 +226,23 @@ def simhash_neardup_pairs(
         )
         for k in range(4)
     ]
+    # pack (id, simhash) as the pair identity: struct ordering sorts by id
+    # first, so bucket_pairs keeps id_a < id_b semantics while the signature
+    # rides along — no re-join against the (expensive) signature plan
     blocks = sig.select(
-        F.col(id_col).alias("_id"), F.col("simhash"), F.explode(F.array(*chunk_cols)).alias("cc")
-    ).select("_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.ck").alias("ck"))
-    l, r = blocks.alias("l"), blocks.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.ck") == F.col("r.ck"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.col("l.simhash").alias("sh_a"),
-            F.col("r.simhash").alias("sh_b"),
-        )
-        .distinct()
-    )
+        F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")).alias("_id"),
+        F.explode(F.array(*chunk_cols)).alias("cc"),
+    ).select("_id", F.col("cc.chunk").alias("chunk"), F.col("cc.ck").alias("ck"))
+    cand = bucket_pairs(blocks, "_id", ["chunk", "ck"])
     return (
-        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("id_a.sh").bitwiseXOR(F.col("id_b.sh"))),
+        )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select(
+            F.col("id_a.id").alias("id_a"), F.col("id_b.id").alias("id_b"), "hamming"
+        )
     )
 
 

@@ -150,32 +150,34 @@ def embedding_neardup_pairs(
     seed: int = 42,
 ) -> DataFrame:
     """(id_a, id_b, sim) pairs with cosine >= threshold, LSH-blocked."""
+    from .dedup import bucket_pairs
+
     hps = _hyperplanes(dim, planes, seed)
+    # pack (id, vector) as the pair identity (struct ordering compares id
+    # first): one pass over the hyperplane-projection plan — a self-join
+    # would recompute the signatures on both branches — and the verify
+    # vectors arrive with the pair, no re-join against the corpus
+    from ..functions.vectors import dot_expr, normalize_expr
+
+    # unit-normalize once below the spread() exchange (sign bits are
+    # norm-invariant; the verify dot then IS cosine — one array pass per
+    # candidate instead of dot + two norms)
     b = (
-        spread(df).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .withColumn("_bb", F.explode(_band_buckets(_signature_bits("_v", hps), planes, bands)))
-        .select("_id", "_v", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
-    )
-    l, r = b.alias("l"), b.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
+        spread(df.select(F.col(id_col).alias("_pid"), normalize_expr(vec_col).alias("_v")))
         .select(
-            F.col("l._id").alias("id_a"),
-            F.col("l._v").alias("_va"),
-            F.col("r._id").alias("id_b"),
-            F.col("r._v").alias("_vb"),
+            F.struct(F.col("_pid").alias("id"), F.col("_v").alias("v")).alias("_id"),
+            F.col("_v"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("_bb", F.explode(_band_buckets(_signature_bits("_v", hps), planes, bands)))
+        .select("_id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
     )
+    cand = bucket_pairs(b, "_id", ["band", "bucket"])
     return (
-        cand.withColumn("sim", cosine_similarity_expr("_va", "_vb"))
+        cand.withColumn("sim", dot_expr(F.col("id_a.v"), F.col("id_b.v")))
         .filter(F.col("sim") >= threshold)
-        .select("id_a", "id_b", "sim")
+        .select(
+            F.col("id_a.id").alias("id_a"), F.col("id_b.id").alias("id_b"), "sim"
+        )
     )
 
 
