@@ -504,7 +504,7 @@ def a1_count(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
            COUNT(*) AS n
     FROM lineitem
-    WHERE l_shipdate <= DATE '2024-12-01'
+    WHERE l_shipdate <= DATE '1998-09-02'
     GROUP BY 1, 2
     """,
 )
@@ -512,7 +512,7 @@ def a3_grouped_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: TPC-H Q1-style grouped aggregation with exact decimal sums."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2024-12-01").cast("date"))
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),

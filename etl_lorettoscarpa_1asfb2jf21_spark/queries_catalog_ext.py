@@ -487,6 +487,30 @@ def t1_topn_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ss1_json_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def ss1_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured: parse the JSON props column with an explicit schema
+    (from_json stays JVM-side; schema-on-read, no UDF) and aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("_p", F.from_json("props", "k BIGINT"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("_p.k")).alias("total_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
     "st2_sessionize",
     """
     WITH t AS (
