@@ -287,8 +287,15 @@ def write_warehouse(wh: Warehouse, base_path: str) -> None:
 
 
 def read_warehouse(spark: SparkSession, base_path: str) -> Warehouse:
-    """Load a written gold layer back as a Warehouse of DataFrames."""
+    """Load a written gold layer back as a Warehouse of DataFrames.
+
+    The fact's (ano, mes) partition columns exist on disk purely for
+    pruning (write_warehouse denormalizes them); the canonical in-memory
+    fact schema omits them, so they are dropped here — month-scoped readers
+    that want pruning filter the parquet directly.
+    """
     wh = Warehouse()
     for name in GOLD_TABLES:
         setattr(wh, name, spark.read.parquet(f"{base_path}/{name}"))
+    wh.fato_lancamento = wh.fato_lancamento.drop("ano", "mes")
     return wh

@@ -60,3 +60,46 @@ def start_bronze_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_gold_sink(
+    staged: DataFrame, gold_path: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Streaming EP2: every micro-batch runs the star-schema ETL
+    incrementally against the persisted gold layer (foreachBatch).
+
+    foreachBatch gives at-least-once batch delivery; the upsert-ignore
+    semantics inside run_etl (anti-join on the natural/hash keys) make
+    replays idempotent — the same exactly-once-net-effect contract the
+    reference gets from ON CONFLICT DO NOTHING (app/etl.py:48-129).
+
+    The gold tables are re-read each batch and the fact grows by
+    append-only new rows; tables are localCheckpoint'ed before the
+    overwrite so Spark never reads and overwrites the same files in one
+    plan. (On a real deployment this is a Delta/Iceberg MERGE; plain
+    parquet keeps the engine dependency-free here.)
+    """
+    import os
+
+    from ..plans.star import Warehouse, read_warehouse, run_etl, write_warehouse
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        existing = (
+            read_warehouse(spark, gold_path)
+            if os.path.isdir(f"{gold_path}/fato_lancamento")
+            else Warehouse()
+        )
+        wh = run_etl(batch_df, existing)
+        for name in vars(wh):
+            setattr(wh, name, getattr(wh, name).localCheckpoint(eager=True))
+        write_warehouse(wh, gold_path)
+
+    return (
+        staged.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

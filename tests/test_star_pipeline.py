@@ -148,7 +148,8 @@ def test_gold_write_partition_pruning(spark, staging, tmp_path):
     back = read_warehouse(spark, base)
     assert back.fato_lancamento.count() == wh.fato_lancamento.count()
 
-    jan = back.fato_lancamento.filter("ano = 2024 AND mes = 1")
+    fact_disk = spark.read.parquet(f"{base}/fato_lancamento")
+    jan = fact_disk.filter("ano = 2024 AND mes = 1")
     plan = jan._sc._jvm.PythonSQLUtils.explainString(
         jan._jdf.queryExecution(), "formatted"
     )

@@ -96,3 +96,36 @@ def test_sliding_window(spark, sf_small):
     assert slid.agg({"n": "sum"}).collect()[0][0] == 2 * tumb.agg(
         {"n": "sum"}
     ).collect()[0][0]
+
+
+def test_streaming_gold_end_to_end(spark, tmp_path):
+    """Full streaming DW: CSV drops -> validated bronze -> incremental gold
+    star schema; second file only adds the genuinely-new rows (idempotent
+    upsert), matching the reference's ON CONFLICT net effect."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.plans.star import read_warehouse
+    from etl_lorettoscarpa_1asfb2jf21_spark.streaming.ingest import start_gold_sink
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    gold = str(tmp_path / "gold")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = start_gold_sink(stream_lancamentos(spark, str(in_dir)), gold, ckpt)
+        q.awaitTermination(180)
+        assert not q.isActive
+
+    (in_dir / "m1.csv").write_text(CSV1, encoding="utf-8")
+    run()
+    wh1 = read_warehouse(spark, gold)
+    assert wh1.fato_lancamento.count() == 2
+    assert wh1.dim_tipo.count() == 1  # Despesa
+
+    # second drop: one new month + new tipo; re-delivery of m1 rows (same
+    # id_hash) must not duplicate facts
+    (in_dir / "m2.csv").write_text(CSV2 + 'Aluguel,Despesa,Casa,Aluguel,Fixa,01/2024,"1.500,00"\n', encoding="utf-8")
+    run()
+    wh2 = read_warehouse(spark, gold)
+    assert wh2.fato_lancamento.count() == 3  # +1 new (Salário), dup ignored
+    assert wh2.dim_tipo.count() == 2  # +Receita
+    assert wh2.dim_tempo.count() == 2  # 01/2024, 02/2024
