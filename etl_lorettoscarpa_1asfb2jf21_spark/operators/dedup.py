@@ -91,25 +91,34 @@ def minhash_signature(
     num_hashes: int = 16,
     shingle_size: int = 4,
 ) -> DataFrame:
-    """(id, sig array<long>) — minhash over character shingles.
+    """(id, sig array<long>) — one-permutation minhash over char shingles.
 
-    Each of the ``num_hashes`` permutations is approximated by
-    xxhash64(hashed_shingle, salt_i); the row minimum per salt is the
-    signature element. One explode + one groupBy — a single shuffle on id
-    (min over the shingle multiset equals min over the set, so no dedup
-    pass is needed before aggregating).
+    One-permutation hashing (Li, Owen, Zhang 2012): instead of k salted
+    hash passes with k aggregation buffers per row, each shingle's single
+    xxhash64 is routed to bin = pmod(h, k) and the signature element is the
+    min within the bin. The wide aggregate becomes min over ONE buffer
+    keyed by (id, bin) — ~k× less aggregation work per shingle row — plus a
+    tiny per-doc pivot. Empty bins (short docs) get a per-bin sentinel:
+    identical docs still collide on every band; two different short docs
+    sharing only sentinel bins are weeded out by the exact-Jaccard verify.
     """
     shingles = spread(df).select(
         F.col(id_col), F.explode(_hashed_ngrams_expr(text_col, shingle_size)).alias("_sh")
     )
-    aggs = [
-        F.min(F.xxhash64(F.col("_sh"), F.lit(i))).alias(f"_h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = shingles.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        id_col, F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig")
+    bin_mins = shingles.groupBy(
+        id_col, F.pmod(F.col("_sh"), F.lit(num_hashes)).alias("_bin")
+    ).agg(F.min("_sh").alias("_h"))
+    pivoted = bin_mins.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("_bin", "_h"))).alias("_m")
     )
+    sentinel = (1 << 62) - 1
+    sig = F.array(
+        *[
+            F.coalesce(F.col("_m")[F.lit(i)], F.lit(sentinel - i))
+            for i in range(num_hashes)
+        ]
+    )
+    return pivoted.select(id_col, sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
