@@ -14,6 +14,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .strings import py_strip
+
 # Business-key columns in the exact order the reference joins them
 # (app/utils.py:17-23): Tipo, Grupo, Categoria, Data, Descricao, Valor.
 BUSINESS_KEY = ["Tipo", "Grupo", "Categoria", "Data", "Descricao"]
@@ -28,7 +30,7 @@ def canonical_key(cols: Sequence[Column | str], sep: str = "-") -> Column:
     parts = []
     for c in cols:
         col = F.col(c) if isinstance(c, str) else c
-        parts.append(F.coalesce(F.lower(F.trim(col.cast("string"))), F.lit("")))
+        parts.append(F.coalesce(F.lower(py_strip(col.cast("string"))), F.lit("")))
     return F.concat_ws(sep, *parts)
 
 
@@ -46,14 +48,16 @@ def business_key_hash(
     """
 
     def lt(c: str) -> Column:
-        return F.coalesce(F.lower(F.trim(F.col(c).cast("string"))), F.lit(""))
+        # py_strip, not F.trim: the reference strips with Python semantics
+        # (tabs/NBSP/unicode spaces), SQL trim only removes ascii space
+        return F.coalesce(F.lower(py_strip(F.col(c).cast("string"))), F.lit(""))
 
     base = F.concat_ws(
         "-",
         lt(tipo),
         lt(grupo),
         lt(categoria),
-        F.coalesce(F.trim(F.col(data).cast("string")), F.lit("")),
+        F.coalesce(py_strip(F.col(data).cast("string")), F.lit("")),
         lt(descricao),
         F.coalesce(F.col(valor).cast("string"), F.lit("")),
     )

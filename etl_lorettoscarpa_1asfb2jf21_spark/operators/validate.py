@@ -21,7 +21,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-BLANK_RE = r"^\s*$"
+from ..functions.strings import PY_BLANK_RE_JAVA as BLANK_RE
 
 
 def blank_to_null(col: Column | str) -> Column:

@@ -104,7 +104,7 @@ def p2_filter_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p4_blank_to_null",
     """
     SELECT doc_id,
-           CASE WHEN regexp_matches(source, '^\\s*$') THEN NULL ELSE source END AS source_norm
+           CASE WHEN regexp_matches(source, '^[\\t\\n\\x0B\\f\\r\\x1C-\\x1F \\x85\\xA0\\x{1680}\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]*$') THEN NULL ELSE source END AS source_norm
     FROM documents
     """,
 )
@@ -241,8 +241,9 @@ def d3_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d4_content_hash",
     """
     SELECT p_partkey,
-           md5(concat_ws('-', lower(trim(p_name)), lower(trim(p_brand)),
-                         lower(trim(p_type)))) AS id_hash
+           md5(concat_ws('-', lower(regexp_replace(p_name, '^[\\t\\n\\x0B\\f\\r\\x1C-\\x1F \\x85\\xA0\\x{1680}\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]+|[\\t\\n\\x0B\\f\\r\\x1C-\\x1F \\x85\\xA0\\x{1680}\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]+$', '', 'g')),
+                         lower(regexp_replace(p_brand, '^[\\t\\n\\x0B\\f\\r\\x1C-\\x1F \\x85\\xA0\\x{1680}\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]+|[\\t\\n\\x0B\\f\\r\\x1C-\\x1F \\x85\\xA0\\x{1680}\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]+$', '', 'g')),
+                         lower(regexp_replace(p_type, '^[\\t\\n\\x0B\\f\\r\\x1C-\\x1F \\x85\\xA0\\x{1680}\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]+|[\\t\\n\\x0B\\f\\r\\x1C-\\x1F \\x85\\xA0\\x{1680}\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]+$', '', 'g')))) AS id_hash
     FROM part
     """,
 )

@@ -154,3 +154,41 @@ def test_vector_ops(spark):
     assert got[0]["d"] == 1.0 and abs(got[0]["c"] - 1.0) < 1e-12
     assert got[1]["d"] == 0.0 and got[1]["c"] == 0.0
     assert got[2]["c"] == 0.0  # zero-norm guard, no NaN
+
+
+def test_hash_python_whitespace_parity(spark):
+    """str.strip() strips tabs/newlines/NBSP; SQL trim only ascii space.
+    The hash must follow the reference's Python semantics (app/utils.py:18)."""
+    import hashlib
+
+    probes = ["\tA", "A\n", "\xa0A", " A ", "　A "]
+    rows = [(i, p, "", "", "", "", "1") for i, p in enumerate(probes)]
+    schema = (
+        "i long, Tipo string, Grupo string, Categoria string, Data string, "
+        "Descricao string, Valor string"
+    )
+    got = {
+        r["i"]: r["h"]
+        for r in spark.createDataFrame(rows, schema)
+        .select("i", business_key_hash().alias("h"))
+        .collect()
+    }
+    for i, p in enumerate(probes):
+        base = p.strip().lower() + "-" + "-" + "-" + "-" + "-" + "1"
+        assert got[i] == hashlib.md5(base.encode()).hexdigest(), repr(p)
+
+
+def test_blank_to_null_python_whitespace(spark):
+    """Python re \\s covers NBSP etc.; the blank gate must match
+    (app/app.py:36 runs under Python regex semantics)."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.validate import blank_to_null
+
+    rows = [(0, "\xa0\t"), (1, " x "), (2, "　"), (3, "")]
+    out = {
+        r["i"]: r["v"]
+        for r in spark.createDataFrame(rows, "i long, c string")
+        .select("i", blank_to_null("c").alias("v"))
+        .collect()
+    }
+    assert out[0] is None and out[2] is None and out[3] is None
+    assert out[1] == " x "

@@ -1,0 +1,149 @@
+"""Property-based tests (hypothesis) for the reference-parity hot spots.
+
+Each property drives a batch of generated cases through ONE Spark job (the
+strategies produce whole row-lists) so shrinking stays fast.
+
+Properties:
+* locale money parse: Spark's regexp pipeline == the reference's
+  pandas/Decimal algorithm (app/utils.py:5-14) for any Decimal(15,2) amount
+  rendered in Brazilian format, with/without thousands separators.
+* business-key hash: Spark md5(concat_ws(...)) == hashlib.md5 over the
+  reference's exact canonicalization (app/utils.py:16-25) for arbitrary
+  printable field content (incl. unicode, inner whitespace).
+* upsert idempotence: insert_if_absent twice == once, for any batch with
+  arbitrary key duplication (the ON CONFLICT DO NOTHING net-effect law,
+  app/etl.py:48-129).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from decimal import Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from etl_lorettoscarpa_1asfb2jf21_spark.functions.hashing import business_key_hash
+from etl_lorettoscarpa_1asfb2jf21_spark.functions.locale import normalize_valor
+from etl_lorettoscarpa_1asfb2jf21_spark.operators.upsert import insert_if_absent
+
+SLOW = settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+amounts = st.decimals(
+    min_value=Decimal("-9999999999999.99"),
+    max_value=Decimal("9999999999999.99"),
+    places=2,
+)
+
+
+def brl_format(d: Decimal, thousands: bool) -> str:
+    """Render a Decimal the way the reference's input CSVs do."""
+    sign = "-" if d < 0 else ""
+    q = abs(d)
+    intpart, frac = divmod(q, 1)
+    int_s = str(int(intpart))
+    if thousands:
+        groups = []
+        while len(int_s) > 3:
+            groups.insert(0, int_s[-3:])
+            int_s = int_s[:-3]
+        int_s = ".".join([int_s] + groups)
+    return f"{sign}{int_s},{int(frac * 100):02d}"
+
+
+@given(st.lists(st.tuples(amounts, st.booleans()), min_size=1, max_size=50))
+@SLOW
+def test_brl_parse_matches_decimal(spark, cases):
+    rows = [(i, brl_format(d, t)) for i, (d, t) in enumerate(cases)]
+    out = (
+        spark.createDataFrame(rows, "i long, Valor string")
+        .select("i", normalize_valor("Valor").alias("v"))
+        .collect()
+    )
+    got = {r["i"]: r["v"] for r in out}
+    for i, (d, _) in enumerate(cases):
+        assert got[i] == d, (i, cases[i], got[i])
+
+
+# bias toward the whitespace set where Python str.strip() and SQL trim
+# diverge (tab/newline/NBSP/ideographic space) — the parity trap this
+# property exists to catch
+fields = st.text(
+    alphabet=st.one_of(
+        st.characters(codec="utf-8", exclude_categories=("Cs", "Cc")),
+        st.sampled_from("\t\n\r\x0b\x0c\xa0    　 Aá"),
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+def reference_hash(tipo, grupo, categoria, data, descricao, valor) -> str:
+    """The reference's gerar_hash, verbatim algorithm (app/utils.py:16-25):
+    strip+lower on Tipo/Grupo/Categoria/Descrição, strip ONLY on Data,
+    raw str() on Valor; joined with '-', md5 of utf-8."""
+    base = (
+        str(tipo).strip().lower()
+        + "-"
+        + str(grupo).strip().lower()
+        + "-"
+        + str(categoria).strip().lower()
+        + "-"
+        + str(data).strip()
+        + "-"
+        + str(descricao).strip().lower()
+        + "-"
+        + str(valor)
+    )
+    return hashlib.md5(base.encode("utf-8")).hexdigest()
+
+
+@given(st.lists(st.tuples(fields, fields, fields, fields, fields, fields), min_size=1, max_size=30))
+@SLOW
+def test_business_key_hash_property(spark, rows_in):
+    rows = [(i, *map(str, r)) for i, r in enumerate(rows_in)]
+    schema = "i long, Tipo string, Grupo string, Categoria string, Data string, Descricao string, Valor string"
+    out = (
+        spark.createDataFrame(rows, schema)
+        .select("i", business_key_hash().alias("h"))
+        .collect()
+    )
+    got = {r["i"]: r["h"] for r in out}
+    for i, r in enumerate(rows_in):
+        assert got[i] == reference_hash(*r), (i, r)
+
+
+keys = st.integers(min_value=0, max_value=9)
+
+
+@given(
+    st.lists(st.tuples(keys, st.integers(0, 100)), min_size=1, max_size=30),
+    st.lists(st.tuples(keys, st.integers(0, 100)), min_size=0, max_size=30),
+)
+@SLOW
+def test_upsert_idempotence_property(spark, existing_rows, batch_rows):
+    existing = (
+        spark.createDataFrame(existing_rows, "k long, v long").dropDuplicates(["k"])
+        if existing_rows
+        else None
+    )
+    batch = spark.createDataFrame(batch_rows, "k long, v long") if batch_rows else None
+    if batch is None:
+        return
+    once = insert_if_absent(batch, existing, ["k"])
+    # law 1: inserted keys are exactly batch-keys minus existing-keys, one row per key
+    existing_keys = {k for k, _ in existing_rows}
+    expect_keys = {k for k, _ in batch_rows} - existing_keys
+    got = once.collect()
+    assert {r["k"] for r in got} == expect_keys
+    assert len(got) == len(expect_keys)
+    # law 2: re-running against the grown target inserts nothing
+    target = existing.unionByName(once) if existing is not None else once
+    again = insert_if_absent(batch, target, ["k"])
+    assert again.count() == 0
