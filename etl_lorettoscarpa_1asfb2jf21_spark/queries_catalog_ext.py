@@ -487,6 +487,42 @@ def t1_topn_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j7_asof_join",
+    """
+    WITH p AS (
+      SELECT user_id, ts,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ), c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, p.purchase_value
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 (extension): as-of join — each click matched to the user's latest
+    purchase at-or-before it. Spark has no native ASOF; operators/asof.py
+    implements the merge-asof shape (one union shuffle + per-key sort, no
+    row multiplication); DuckDB's native ASOF JOIN is the oracle."""
+    from .operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("purchase_value"))
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    joined = asof_join(
+        clicks, purchases, on=["user_id"], left_ts="ts", right_ts="ts", suffix=""
+    )
+    return joined.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "purchase_value"
+    )
+
+
+@query(
     "ss1_json_extract",
     """
     SELECT event_type,

@@ -214,3 +214,23 @@ def test_replicate_salted_join_equals_naive(spark, sf_small):
         ).collect()
     )
     assert salted == naive
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right at-or-before each left; NULL when none;
+    equal timestamps match (>= semantics)."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (1, 20, "c"), (2, 7, "d")],
+        "k long, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 15, 200.0), (3, 1, 999.0)],
+        "k long, t long, v double",
+    )
+    out = {
+        r["tag"]: r["v_r"]
+        for r in asof_join(left, right, on=["k"], left_ts="t", right_ts="t").collect()
+    }
+    assert out == {"a": 100.0, "b": 100.0, "c": 200.0, "d": None}
