@@ -523,6 +523,42 @@ def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j8_range_join",
+    """
+    WITH bands(band_id, lo, hi) AS (
+      VALUES (0, 0.0, 100000.0), (1, 100000.0, 200000.0),
+             (2, 200000.0, 300000.0), (3, 300000.0, 400000.0),
+             (4, 400000.0, 1000000.0)
+    )
+    SELECT band_id, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band_id
+    """,
+)
+def j8_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 (extension): range join — orders bucketed into price bands.
+    Small interval side -> broadcast shape (operators/ranges.py; the
+    grid-bucketed big-big shape is equality-tested in tests)."""
+    from .operators.ranges import interval_join
+
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [(0, 0.0, 100000.0), (1, 100000.0, 200000.0), (2, 200000.0, 300000.0),
+         (3, 300000.0, 400000.0), (4, 400000.0, 1000000.0)],
+        "band_id int, lo double, hi double",
+    )
+    return (
+        interval_join(o, bands, "o_totalprice", "lo", "hi")
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
+        )
+    )
+
+
+@query(
     "ss1_json_extract",
     """
     SELECT event_type,

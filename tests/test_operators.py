@@ -234,3 +234,26 @@ def test_asof_join_semantics(spark):
         for r in asof_join(left, right, on=["k"], left_ts="t", right_ts="t").collect()
     }
     assert out == {"a": 100.0, "b": 100.0, "c": 200.0, "d": None}
+
+
+def test_interval_join_shapes_agree(spark, sf_small):
+    """Broadcast and grid-bucketed range joins return identical rows."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.ranges import interval_join
+    from etl_lorettoscarpa_1asfb2jf21_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_small, "orders").select("o_orderkey", "o_totalprice")
+    bands = spark.createDataFrame(
+        [(0, 0.0, 150000.0), (1, 150000.0, 280000.0), (2, 280000.0, 999999.0)],
+        "band_id int, lo double, hi double",
+    )
+    a = sorted(
+        (r["o_orderkey"], r["band_id"])
+        for r in interval_join(o, bands, "o_totalprice", "lo", "hi").collect()
+    )
+    b = sorted(
+        (r["o_orderkey"], r["band_id"])
+        for r in interval_join(
+            o, bands, "o_totalprice", "lo", "hi", cell_width=50000.0
+        ).collect()
+    )
+    assert a == b and len(a) > 0
