@@ -468,6 +468,70 @@ def g1_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g2_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def g2_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 grouping combinations in one pass)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "g3_pivot",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS urgent,
+           CAST(COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS high,
+           CAST(COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS medium
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def g3_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long->wide) with an explicit value list — no extra
+    distinct-values job, single aggregation pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderstatus",
+            F.coalesce(F.col("1-URGENT"), F.lit(0)).alias("urgent"),
+            F.coalesce(F.col("2-HIGH"), F.lit(0)).alias("high"),
+            F.coalesce(F.col("3-MEDIUM"), F.lit(0)).alias("medium"),
+        )
+    )
+
+
+@query(
+    "a5_percentiles",
+    """
+    SELECT l_returnflag,
+           CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS p50,
+           CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE) AS p90
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a5_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark percentile ==
+    DuckDB quantile_cont; approx_percentile is the sketch path in a4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90"),
+    )
+
+
+@query(
     "t1_topn_sort",
     """
     SELECT o_orderkey, o_totalprice
