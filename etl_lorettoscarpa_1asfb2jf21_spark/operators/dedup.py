@@ -27,18 +27,21 @@ from ..functions.text import char_ngrams_expr, normalized_text_expr
 from .partitioning import spread
 
 
-def _hashed_ngrams_expr(text_col: str, n: int):
-    """Distinct character n-grams as xxhash64 longs.
+def _hashed_ngrams_expr(text_col: str, n: int, distinct: bool = True):
+    """Character n-grams as xxhash64 longs (distinct by default).
 
     Set-intersection cost is dominated by element comparisons; hashing each
     gram to int64 makes those long-vs-long instead of UTF8-string-vs-string
     (~5-10x per pair) while leaving set sizes — and hence Jaccard values —
     unchanged (64-bit collisions are negligible at any realistic corpus
-    vocabulary).
+    vocabulary). Pass ``distinct=False`` when the consumer is
+    multiset-invariant (e.g. a min-aggregation) — skips a per-document
+    hash-set pass.
     """
-    return F.transform(
-        F.array_distinct(char_ngrams_expr(text_col, n)), lambda g: F.xxhash64(g)
-    )
+    grams = char_ngrams_expr(text_col, n)
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.transform(grams, lambda g: F.xxhash64(g))
 
 
 def bucket_pairs(buckets: DataFrame, id_col: str, bucket_cols: list[str]) -> DataFrame:
@@ -89,7 +92,7 @@ def minhash_signature(
     text_col: str,
     id_col: str,
     num_hashes: int = 16,
-    shingle_size: int = 4,
+    shingle_size: int = 6,
 ) -> DataFrame:
     """(id, sig array<long>) — one-permutation minhash over char shingles.
 
@@ -103,7 +106,8 @@ def minhash_signature(
     sharing only sentinel bins are weeded out by the exact-Jaccard verify.
     """
     shingles = spread(df).select(
-        F.col(id_col), F.explode(_hashed_ngrams_expr(text_col, shingle_size)).alias("_sh")
+        F.col(id_col),
+        F.explode(_hashed_ngrams_expr(text_col, shingle_size, distinct=False)).alias("_sh"),
     )
     bin_mins = shingles.groupBy(
         id_col, F.pmod(F.col("_sh"), F.lit(num_hashes)).alias("_bin")
@@ -127,7 +131,11 @@ def minhash_lsh_pairs(
     id_col: str,
     num_hashes: int = 16,
     bands: int = 4,
-    shingle_size: int = 4,
+    # 6-char shingles: long enough that unrelated same-language documents
+    # rarely collide in a band (4-char background Jaccard ~0.2-0.35 floods
+    # the verify stage with false candidates), short enough that moderate
+    # edits keep true near-dups above threshold
+    shingle_size: int = 6,
     jaccard_threshold: float = 0.7,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) with exact Jaccard verify.
