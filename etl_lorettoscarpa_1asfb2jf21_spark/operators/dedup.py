@@ -4,8 +4,9 @@ Five strategies, all expressed as native DataFrame plans (no Python in the
 hot path) so they scale to 10^9+ documents:
 
 * exact_dedup          - content-hash groupBy; keeps the lowest-id row
-* minhash_lsh_dedup    - shingle → salted-xxhash64 minhash signature →
-                         banded bucket join → exact-Jaccard verify
+* minhash_lsh_dedup    - one-permutation minhash signature (int64-hashed
+                         shingles) → banded buckets → bucket_pairs
+                         enumeration → exact-Jaccard verify
 * simhash_signature    - 64-bit SimHash over tokens (native bit math)
 * ngram_jaccard_pairs  - exact pairwise Jaccard over character n-grams,
                          blocked to avoid the full cross product

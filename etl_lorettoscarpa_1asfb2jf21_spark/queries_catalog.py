@@ -69,6 +69,30 @@ query(
 )(flagship_star_rollup)
 
 
+_FLAGSHIP_ANSI = """
+    SELECT n_name AS nation_name, o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY n_name, o_orderpriority
+"""
+
+
+@query("sql1_ansi_passthrough", _FLAGSHIP_ANSI)
+def sql1_ansi_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface: the IDENTICAL ANSI text runs through spark.sql() here
+    and through DuckDB as its own oracle — full parse→analyze→optimize→
+    execute parity on the dialect intersection (registered temp views)."""
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_FLAGSHIP_ANSI)
+
+
 # =====================================================================
 # Projection / filter / predicates (P1-P8)
 # =====================================================================
