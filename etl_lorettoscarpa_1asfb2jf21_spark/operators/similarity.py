@@ -36,14 +36,25 @@ def brute_force_topk(
     query_vec: str = "q_vec",
     corpus_id: str = "c_id",
     corpus_vec: str = "c_vec",
+    use_arrow: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k: (q_id, c_id, sim, rank) with rank<=k per query.
 
     Ties broken by corpus id for determinism (oracle-comparable).
+    ``use_arrow=True`` swaps the per-pair cosine from native higher-order
+    functions to the Arrow-batched numpy kernel (functions.vectors.
+    cosine_batch_udf) — same values, BLAS throughput; the plan gains one
+    ArrowEvalPython node, everything else stays JVM-side.
     """
     q = F.broadcast(queries.select(F.col(query_id), F.col(query_vec)))
     pairs = spread(corpus.select(F.col(corpus_id), F.col(corpus_vec))).crossJoin(q)
-    sim = pairs.withColumn("sim", cosine_similarity_expr(query_vec, corpus_vec))
+    if use_arrow:
+        from ..functions.vectors import cosine_batch_udf
+
+        cos = cosine_batch_udf()
+        sim = pairs.withColumn("sim", cos(F.col(query_vec), F.col(corpus_vec)))
+    else:
+        sim = pairs.withColumn("sim", cosine_similarity_expr(query_vec, corpus_vec))
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id))
     return (
         sim.withColumn("rank", F.row_number().over(w))

@@ -113,6 +113,23 @@ def test_brute_force_topk(spark):
     assert [r["c_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2]
 
 
+def test_brute_force_topk_arrow_matches_native(spark):
+    corpus = spark.createDataFrame(VECS, ["c_id", "c_vec"])
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.05, 0.0, 0.0]), (101, [0.0, 0.2, 1.0, 0.0])],
+        ["q_id", "q_vec"],
+    )
+    native = {
+        (r["q_id"], r["c_id"], r["rank"], round(r["sim"], 12))
+        for r in brute_force_topk(queries, corpus, k=3).collect()
+    }
+    arrow = {
+        (r["q_id"], r["c_id"], r["rank"], round(r["sim"], 12))
+        for r in brute_force_topk(queries, corpus, k=3, use_arrow=True).collect()
+    }
+    assert arrow == native
+
+
 def test_lsh_topk_subset_of_exact(spark):
     corpus = spark.createDataFrame(VECS, ["c_id", "c_vec"])
     queries = spark.createDataFrame([(100, [1.0, 0.05, 0.0, 0.0])], ["q_id", "q_vec"])
