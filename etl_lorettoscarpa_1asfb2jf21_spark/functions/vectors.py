@@ -94,3 +94,35 @@ def cosine_batch_udf():
         "return": pandas.Series,
     }
     return pandas_udf(_cos, "double")
+
+
+def band_buckets_batch_udf(hyperplanes, bands: int):
+    """Arrow-batched random-hyperplane LSH buckets: vec -> array<long>.
+
+    One numpy matmul per record batch ((n, dim) @ (dim, planes)) replaces
+    ``planes`` separate interpreted zip_with/aggregate array traversals per
+    row — the projection is dense linear algebra, the textbook case for the
+    Arrow escape hatch. Sign bits (dot >= 0 -> 1) are packed per band into
+    one int64 bucket id; element ``b`` of the result is band ``b``'s bucket.
+    Returning the packed buckets (not raw bits) keeps the whole signature a
+    single UDF evaluation per row — referencing a UDF result bit-by-bit from
+    16 downstream expressions would re-evaluate it per reference.
+    """
+    import numpy as np
+    import pandas
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    H = np.asarray(hyperplanes, dtype=np.float64).T  # dim x planes
+    planes = H.shape[1]
+    per_band = planes // bands
+    weights = (1 << np.arange(per_band)).astype(np.int64)
+
+    def _buckets(v):
+        V = np.asarray(v.tolist(), dtype=np.float64)
+        S = (V @ H >= 0).astype(np.int64)[:, : per_band * bands]
+        B = S.reshape(len(V), bands, per_band) @ weights
+        return pandas.Series(list(B))
+
+    _buckets.__annotations__ = {"v": pandas.Series, "return": pandas.Series}
+    return pandas_udf(_buckets, "array<long>")

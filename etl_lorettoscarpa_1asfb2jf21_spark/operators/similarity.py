@@ -98,6 +98,37 @@ def _band_buckets(bits_col, planes: int, bands: int):
     )
 
 
+def _explode_band_buckets(
+    df: DataFrame,
+    vec_col: str,
+    hyperplanes: list[list[float]],
+    bands: int,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Append exploded ``(band, bucket)`` LSH columns, one row per band.
+
+    Arrow path (default): packed per-band bucket ids come back from one
+    numpy matmul kernel (functions.vectors.band_buckets_batch_udf) and are
+    posexploded — measured ~10x faster than the native per-plane
+    higher-order dots (3.4s -> 0.3s for 2k x 64-dim x 16 planes at sf0.1).
+    Native path keeps the plan fully JVM-side. Bucket ids differ between
+    the two paths (packed bits vs xxhash64) but both are internal labels —
+    only equality within one run matters.
+    """
+    planes = len(hyperplanes)
+    if use_arrow:
+        from ..functions.vectors import band_buckets_batch_udf
+
+        bb = band_buckets_batch_udf(hyperplanes, bands)(F.col(vec_col))
+        return df.select(
+            "*", F.posexplode(bb).alias("_band", "_bucket")
+        )
+    bits = _signature_bits(vec_col, hyperplanes)
+    return df.withColumn(
+        "_bb", F.explode(_band_buckets(bits, planes, bands))
+    ).select("*", F.col("_bb.band").alias("_band"), F.col("_bb.bucket").alias("_bucket")).drop("_bb")
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -119,16 +150,13 @@ def lsh_topk(
     hps = _hyperplanes(dim, planes, seed)
 
     def bucketize(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
-        bits = _signature_bits(vec_col, hps)
-        return (
-            df.select(F.col(id_col), F.col(vec_col))
-            .withColumn("_bb", F.explode(_band_buckets(bits, planes, bands)))
-            .select(
-                F.col(id_col),
-                F.col(vec_col),
-                F.col("_bb.band").alias(f"{prefix}band"),
-                F.col("_bb.bucket").alias(f"{prefix}bucket"),
-            )
+        return _explode_band_buckets(
+            df.select(F.col(id_col), F.col(vec_col)), vec_col, hps, bands
+        ).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("_band").alias(f"{prefix}band"),
+            F.col("_bucket").alias(f"{prefix}bucket"),
         )
 
     qb = F.broadcast(bucketize(queries, query_id, query_vec, "q_"))
@@ -173,15 +201,17 @@ def embedding_neardup_pairs(
     # unit-normalize once below the spread() exchange (sign bits are
     # norm-invariant; the verify dot then IS cosine — one array pass per
     # candidate instead of dot + two norms)
-    b = (
-        spread(df.select(F.col(id_col).alias("_pid"), normalize_expr(vec_col).alias("_v")))
-        .select(
+    b = _explode_band_buckets(
+        spread(
+            df.select(F.col(id_col).alias("_pid"), normalize_expr(vec_col).alias("_v"))
+        ).select(
             F.struct(F.col("_pid").alias("id"), F.col("_v").alias("v")).alias("_id"),
             F.col("_v"),
-        )
-        .withColumn("_bb", F.explode(_band_buckets(_signature_bits("_v", hps), planes, bands)))
-        .select("_id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
-    )
+        ),
+        "_v",
+        hps,
+        bands,
+    ).select("_id", F.col("_band").alias("band"), F.col("_bucket").alias("bucket"))
     cand = bucket_pairs(b, "_id", ["band", "bucket"])
     return (
         cand.withColumn("sim", dot_expr(F.col("id_a.v"), F.col("id_b.v")))
@@ -206,8 +236,9 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) index.
 
-    Train: distributed k-means (pyspark.ml) learns ``n_centroids`` coarse
-    centroids over the corpus. Index: each corpus vector is assigned to its
+    Train: k-means over a bounded corpus sample (driver-side numpy Lloyd —
+    the sample is O(n_centroids), never the corpus) learns ``n_centroids``
+    coarse centroids. Index: each corpus vector is assigned to its
     nearest centroid — one broadcast join + per-partition argmin, a single
     linear pass. Search: each query probes its ``nprobe`` nearest centroid
     cells only, so the exact-cosine re-rank touches ~nprobe/n_centroids of
@@ -218,34 +249,34 @@ def ivf_topk(
     partition-pruned cells are the classic IVF read-amplification win. May
     return <k rows per query (recall<1, tunable via nprobe).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     from ..functions.vectors import dot_expr, normalize_expr
 
     # Train on a bounded sample (standard IVF practice — faiss does the
     # same): centroid quality needs ~100s of points per cell, not the full
-    # corpus, so training cost stays flat as the corpus grows. Cached so the
-    # kmeans iterations don't re-run the scan+limit chain each pass.
-    train = (
-        spread(corpus.limit(256 * n_centroids))
-        .select(
-            array_to_vector(
-                F.transform(F.col(corpus_vec), lambda x: x.cast("double"))
-            ).alias("features")
-        )
-        .cache()
+    # corpus, so training cost stays flat as the corpus grows. Because the
+    # sample is bounded by construction (256 rows/cell), Lloyd iterations
+    # run driver-side in numpy — milliseconds, versus seconds of
+    # distributed-ML job scheduling for the same arithmetic. Only training
+    # is driver-side; corpus assignment below stays a distributed map-only
+    # pass with the centroids folded in as literals.
+    sample = np.asarray(
+        [r[0] for r in corpus.select(corpus_vec).limit(256 * n_centroids).collect()],
+        dtype=np.float64,
     )
-    try:
-        model = KMeans(k=n_centroids, seed=seed, maxIter=5).fit(train)
-    finally:
-        train.unpersist()
+    rng = np.random.default_rng(seed)
+    C = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    for _ in range(5):
+        # assign each sample point to its nearest centroid (squared L2)
+        d2 = ((sample[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(len(C)):
+            members = sample[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
 
-    def _unit(c) -> list[float]:
-        n = sum(x * x for x in c) ** 0.5 or 1.0
-        return [float(x) / n for x in c]
-
-    centroids = [(i, _unit(c)) for i, c in enumerate(model.clusterCenters())]
+    norms = np.linalg.norm(C, axis=1)
+    norms[norms == 0] = 1.0
+    centroids = [(i, (c / n).tolist()) for i, (c, n) in enumerate(zip(C, norms))]
 
     def nearest_cells(vec_c: str, probes: int):
         """Array of the ``probes`` nearest centroid cell ids — pure per-row

@@ -30,11 +30,28 @@ def plan_of(df) -> str:
 ALL_QUERIES = {**CORE_QUERIES, **EXT_QUERIES}
 
 
+# The only sanctioned Python in any plan is the Arrow-batched LSH projection
+# kernel (vectors.band_buckets_batch_udf — dense matmul, measured ~10x the
+# native higher-order path). Everything else stays JVM-side, and
+# row-at-a-time Python (BatchEvalPython) is banned outright.
+ARROW_KERNEL_QUERIES = {"x1_embedding_neardup", "x2_topk_lsh"}
+
+
 @pytest.mark.parametrize("name", sorted(ALL_QUERIES))
 def test_no_python_udf_in_any_catalog_plan(spark, sf_medium, name):
     plan = plan_of(ALL_QUERIES[name](spark, sf_medium))
+    allowed = ("ArrowEvalPython", "PythonUDF") if name in ARROW_KERNEL_QUERIES else ()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"):
+        if marker in allowed:
+            continue
         assert marker not in plan, f"{name} fell off the JVM fast path: {marker}"
+
+
+@pytest.mark.parametrize("name", sorted(ARROW_KERNEL_QUERIES))
+def test_arrow_kernel_queries_use_one_arrow_node(spark, sf_medium, name):
+    plan = plan_of(ALL_QUERIES[name](spark, sf_medium))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_flagship_pushes_columns_and_broadcasts(spark, sf_medium):
