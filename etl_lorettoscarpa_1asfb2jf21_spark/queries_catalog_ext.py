@@ -512,6 +512,100 @@ def g3_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g4_grouping_sets",
+    """
+    SELECT r_name, n_name,
+           CAST(GROUPING(r_name) AS INT) AS g_r,
+           CAST(GROUPING(n_name) AS INT) AS g_n,
+           COUNT(*) AS n
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (n_name), ())
+    """,
+)
+def g4_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (not derivable from rollup/cube) with
+    per-column GROUPING flags disambiguating real NULLs from subtotals."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupingSets([["r_name"], ["n_name"], []], "r_name", "n_name")
+        .agg(
+            F.grouping("r_name").alias("g_r"),
+            F.grouping("n_name").alias("g_n"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("r_name", "n_name", "g_r", "g_n", "n")
+    )
+
+
+@query(
+    "w3_lag_lead",
+    """
+    SELECT event_id, user_id,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id)
+             AS delta_prev,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+             AS next_type
+    FROM events
+    """,
+)
+def w3_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window: offset functions — per-user delta vs previous event and the
+    following event's type (NULL at partition edges on both engines)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "s3_intersect",
+    """
+    SELECT o_custkey AS k FROM orders
+    INTERSECT
+    SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def s3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: INTERSECT (customers in the BUILDING segment who ordered)."""
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+    )
+    return o.intersect(c)
+
+
+@query(
+    "sub1_correlated_avg",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 2 * (
+      SELECT AVG(i.o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+    )
+    """,
+)
+def sub1_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders more than 2x their customer's
+    average. Expressed as a window average — the decorrelated plan Catalyst
+    would produce anyway: one shuffle on the correlation key, no join back."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > 2 * F.col("_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
     "a5_percentiles",
     """
     SELECT l_returnflag,
