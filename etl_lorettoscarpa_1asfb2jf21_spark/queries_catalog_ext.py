@@ -773,6 +773,44 @@ def st2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(e, gap="30 minutes")
 
 
+@query(
+    "st3_sliding_window",
+    """
+    WITH w AS (
+      SELECT e.*,
+             unnest(generate_series(
+               time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+               time_bucket(INTERVAL '30 minutes', ts),
+               INTERVAL '30 minutes')) AS ws
+      FROM events e
+    )
+    SELECT CAST(ws AS VARCHAR) AS window_start,
+           CAST(ws + INTERVAL '1 hour' AS VARCHAR) AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM w
+    WHERE ts >= ws AND ts < ws + INTERVAL '1 hour'
+    GROUP BY 1, 2, 3
+    """,
+)
+def st3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped: 1-hour window sliding every 30 minutes (each event
+    lands in exactly 2 windows). Same plan runs under readStream + watermark
+    (streaming.windows.windowed_event_counts with slide)."""
+    from .streaming.windows import windowed_event_counts
+
+    e = load_table(spark, sf_dir, "events")
+    out = windowed_event_counts(e, "1 hour", slide="30 minutes")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
 @query("a4_approx_count_distinct")  # sketch-based — rows-only check
 def a4_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-count sketch (engine-specific estimate)."""

@@ -6,6 +6,8 @@ from __future__ import annotations
 import time
 from decimal import Decimal
 
+from pyspark.sql import functions as F
+
 from etl_lorettoscarpa_1asfb2jf21_spark.streaming.ingest import (
     start_bronze_sink,
     stream_lancamentos,
@@ -96,6 +98,93 @@ def test_sliding_window(spark, sf_small):
     assert slid.agg({"n": "sum"}).collect()[0][0] == 2 * tumb.agg(
         {"n": "sum"}
     ).collect()[0][0]
+
+
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    """Duplicate keys delivered in different micro-batches (the at-least-once
+    redelivery case) are dropped while within the watermark horizon."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.streaming.dedup import dedup_stream
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    from datetime import datetime
+
+    t = lambda m: datetime(2024, 1, 1, 10, m)
+    rows1 = [(1, t(0), "click"), (2, t(5), "view")]
+    rows2 = [(1, t(0), "click"), (3, t(10), "click")]
+    schema = "event_id long, ts timestamp, event_type string"
+    df1 = spark.createDataFrame(rows1, schema)
+    df2 = spark.createDataFrame(rows2, schema)
+    df1.coalesce(1).write.parquet(str(src / "f1"))
+    df2.coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(df1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out = dedup_stream(stream, ["event_id"], ts_col="ts", watermark="10 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_test").collect()
+    assert sorted(r["event_id"] for r in got) == [1, 2, 3]
+
+    # batch path: same function, plain dedup semantics
+    batch = dedup_stream(df1.union(df2), ["event_id"], ts_col="ts")
+    assert batch.count() == 3
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path, sf_small):
+    """Stream-stream join with watermarks + time-range bound produces the
+    same rows as the identical batch join."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.sources.tables import load_table
+    from etl_lorettoscarpa_1asfb2jf21_spark.streaming.joins import (
+        interval_stream_join,
+    )
+
+    events = load_table(spark, sf_small, "events").limit(500)
+    left = events.select(
+        F.col("user_id"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_id"),
+    )
+    right = events.select(
+        F.col("user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+    )
+    batch = interval_stream_join(
+        left, right, "user_id", "l_ts", "r_ts", within="30 minutes"
+    )
+    expect = sorted((r["l_id"], r["r_id"]) for r in batch.collect())
+    assert len(expect) > 0
+
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    left.write.parquet(ldir)
+    right.write.parquet(rdir)
+    ls = spark.readStream.schema(left.schema).parquet(ldir)
+    rs = spark.readStream.schema(right.schema).parquet(rdir)
+    out = interval_stream_join(
+        ls, rs, "user_id", "l_ts", "r_ts", within="30 minutes", watermark="10 hours"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["l_id"], r["r_id"]) for r in spark.table("ssj_test").collect()
+    )
+    assert got == expect
 
 
 def test_streaming_gold_end_to_end(spark, tmp_path):
