@@ -105,12 +105,21 @@ def rolling_fingerprint_expr(col: Column | str) -> Column:
     return F.md5(normalized_text_expr(col))
 
 
-def char_ngrams_expr(col: Column | str, n: int = 3) -> Column:
+def char_ngrams_expr(
+    col: Column | str, n: int = 3, pre_normalized: bool = False
+) -> Column:
     """Array of character n-grams (shingles) over the normalized text.
 
     Built with sequence+transform+substring — stays JVM-side; no UDF.
+    The substring lambda re-evaluates the sliced expression once per gram,
+    so when the input is already a materialized normalized-text column,
+    pass ``pre_normalized=True`` to slice it directly (hot-path callers
+    materialize ``_norm`` below an exchange first — operators.dedup).
     """
-    c = normalized_text_expr(col)
+    if pre_normalized:
+        c = F.col(col) if isinstance(col, str) else col
+    else:
+        c = normalized_text_expr(col)
     # positions 1 .. len-n+1; empty array when text shorter than n
     return F.when(F.length(c) < n, F.array().cast("array<string>")).otherwise(
         F.transform(

@@ -45,6 +45,29 @@ def _hashed_ngrams_expr(text_col: str, n: int, distinct: bool = True):
     return F.transform(grams, lambda g: F.xxhash64(g))
 
 
+def _spread_normalized(df: DataFrame, text_col: str, keep: list, factor: int = 1):
+    """``keep`` columns + pre-normalized text as ``_norm``, spread wide.
+
+    The substring lambda in char_ngrams_expr re-evaluates whatever
+    expression it slices once PER GRAM; normalizing (lower+trim+regex)
+    inline there costs ~300 regex passes per document. Materializing the
+    normalized text below the spread() exchange makes the lambda slice a
+    plain column instead — measured 2.7x on gram generation at sf0.1 —
+    and the exchange is an optimizer barrier, so CollapseProject can't
+    inline the normalize back into the lambda.
+    """
+    cols = [F.col(c) for c in keep] + [normalized_text_expr(text_col).alias("_norm")]
+    return spread(df.select(*cols), factor=factor)
+
+
+def _hashed_ngrams_from_norm(n: int, distinct: bool = True):
+    """_hashed_ngrams_expr over the pre-materialized ``_norm`` column."""
+    grams = char_ngrams_expr("_norm", n, pre_normalized=True)
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.transform(grams, lambda g: F.xxhash64(g))
+
+
 def bucket_pairs(buckets: DataFrame, id_col: str, bucket_cols: list[str]) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any bucket.
 
@@ -106,9 +129,9 @@ def minhash_signature(
     identical docs still collide on every band; two different short docs
     sharing only sentinel bins are weeded out by the exact-Jaccard verify.
     """
-    shingles = spread(df).select(
+    shingles = _spread_normalized(df, text_col, keep=[id_col]).select(
         F.col(id_col),
-        F.explode(_hashed_ngrams_expr(text_col, shingle_size, distinct=False)).alias("_sh"),
+        F.explode(_hashed_ngrams_from_norm(shingle_size, distinct=False)).alias("_sh"),
     )
     bin_mins = shingles.groupBy(
         id_col, F.pmod(F.col("_sh"), F.lit(num_hashes)).alias("_bin")
@@ -163,9 +186,9 @@ def minhash_lsh_pairs(
 
     cand = bucket_pairs(buckets, "_id", ["band", "bucket"])
 
-    shingles = spread(df).select(
+    shingles = _spread_normalized(df, text_col, keep=[id_col]).select(
         F.col(id_col).alias("_sid"),
-        _hashed_ngrams_expr(text_col, shingle_size).alias("_shs"),
+        _hashed_ngrams_from_norm(shingle_size).alias("_shs"),
     )
     verified = (
         cand.join(shingles.withColumnRenamed("_sid", "id_a").withColumnRenamed("_shs", "_shs_a"), "id_a")
@@ -286,10 +309,10 @@ def ngram_jaccard_pairs(
     (jaccard <= min(|A|,|B|)/max(|A|,|B|)) sits in the join condition so the
     per-pair intersection only runs on pairs that could possibly qualify.
     """
-    g = spread(df, factor=4).select(
+    g = _spread_normalized(df, text_col, keep=[id_col, block_col], factor=4).select(
         F.col(id_col).alias("_id"),
         F.col(block_col).alias("_blk"),
-        _hashed_ngrams_expr(text_col, n).alias("_g"),
+        _hashed_ngrams_from_norm(n).alias("_g"),
     )
     g = g.withColumn("_sz", F.size("_g").cast("double"))
     l, r = g.alias("l"), g.alias("r")
