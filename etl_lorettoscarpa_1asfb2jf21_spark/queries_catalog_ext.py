@@ -846,3 +846,229 @@ def st1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# =====================================================================
+# Engine breadth round 2: TPC-H shapes, outer joins, union-all,
+# analytic rank family, deterministic sampling, pagination
+# =====================================================================
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(8,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical scan-heavy aggregation — 8 aggregates
+    over a near-full scan, 2 low-cardinality group keys. At 100 TB this is
+    map-side partial agg + a tiny final exchange (4-6 groups); the scan
+    dominates and the shipdate predicate pushes to parquet row-group stats.
+
+    Decimal discipline: factor casts sized so the 3-term product stays
+    inside DECIMAL(38,_) on BOTH engines ((18,2)x(8,2)x(8,2)), then the
+    exact sums are cast to DOUBLE at the very end per the dtype policy.
+    Averages are exact-decimal-sum -> double, THEN / count — native
+    avg(DECIMAL) rounds to scale 6 in Spark but divides as double in
+    DuckDB, so the engines disagree in the last float bits otherwise.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DecimalType(8, 2))
+    tax = F.col("l_tax").cast(DecimalType(8, 2))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count(F.lit(1)))
+            .alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q13_order_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with an extra non-key join predicate,
+    then a two-level aggregation (orders per customer -> histogram of that
+    count). COUNT(col) counting only non-null matches is the semantic point:
+    customers with zero qualifying orders land in the c_count=0 bucket.
+
+    Scale: the outer join shuffles on custkey (both sides large at 100 TB);
+    the first agg reuses that partitioning (no extra exchange), the second
+    agg's key space is tiny -> near-free final exchange.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    joined = c.join(
+        o,
+        (c["c_custkey"] == o["o_custkey"]) & (o["o_orderpriority"] != "1-URGENT"),
+        "left_outer",
+    )
+    per_cust = joined.groupBy(c["c_custkey"]).agg(
+        F.count(o["o_orderkey"]).alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "j9_full_outer_join",
+    """
+    SELECT COALESCE(cn.k, sn.k) AS nationkey,
+           cn.c_cnt, sn.s_cnt
+    FROM (SELECT c_nationkey AS k, COUNT(*) AS c_cnt FROM customer GROUP BY 1) cn
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS k, COUNT(*) AS s_cnt FROM supplier GROUP BY 1) sn
+      ON cn.k = sn.k
+    """,
+)
+def j9_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: FULL OUTER join of two pre-aggregated sides (customer count vs
+    supplier count per nation), nulls preserved where a nation appears on
+    only one side. Pre-aggregating before the join shrinks both sides to
+    |nations| rows — at scale the join is a trivial exchange over ~couple
+    hundred keys instead of an outer join of two fact tables.
+    """
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c_cnt"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("s_cnt"))
+    )
+    return c.join(s, c["k"] == s["k"], "full_outer").select(
+        F.coalesce(c["k"], s["k"]).alias("nationkey"),
+        c["c_cnt"],
+        s["s_cnt"],
+    )
+
+
+@query(
+    "s4_union_all",
+    """
+    SELECT k, COUNT(*) AS n
+    FROM (
+      SELECT c_nationkey AS k FROM customer
+      UNION ALL
+      SELECT s_nationkey AS k FROM supplier
+    )
+    GROUP BY k
+    """,
+)
+def s4_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: UNION ALL (bag semantics — duplicates kept) distinguished
+    from s1's UNION DISTINCT, made deterministic by the downstream count.
+    Union is a zero-shuffle plan node in Spark; only the agg exchanges.
+    """
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.unionAll(s).groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "w4_rank_family",
+    """
+    SELECT c_custkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           CAST(percent_rank() OVER w AS DOUBLE) AS pct_rank,
+           CAST(cume_dist() OVER w AS DOUBLE) AS cdist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def w4_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window rank family: ntile / percent_rank / cume_dist per market
+    segment. The ORDER BY includes c_custkey as a tiebreak so ntile's
+    row_number-based bucketing is deterministic across engines.
+    One shuffle on the partition key serves all three functions.
+    """
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).cast("double").alias("pct_rank"),
+        F.cume_dist().over(w).cast("double").alias("cdist"),
+    )
+
+
+@query(
+    "d5_hash_sample",
+    """
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = 'a'
+    """,
+)
+def d5_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/16 hash-sample: filter on the first md5 hex digit of
+    the key, then aggregate. Unlike TABLESAMPLE this is reproducible across
+    engines, partitionings, and retries — the property that matters for
+    training-data subsampling (same sample every run, no seed plumbing).
+    Embarrassingly parallel: filter+partial-agg per partition, no shuffle
+    until the single-row final agg.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == "a"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sum_price"),
+    )
+
+
+@query(
+    "t2_paginated_sort",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10 OFFSET 10
+    """,
+)
+def t2_paginated_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination: total-order sort + LIMIT/OFFSET (rows 11-20). The
+    o_orderkey tiebreak makes the page stable. Spark executes this as a
+    TakeOrderedAndProject of the first 20 rows (no full sort materialized),
+    then drops the first 10 — driver-side cost is O(page), not O(n).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("totalprice")
+    )
+    return o.orderBy(F.col("totalprice").desc(), "o_orderkey").offset(10).limit(10)
