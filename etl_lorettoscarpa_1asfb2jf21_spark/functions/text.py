@@ -89,6 +89,41 @@ def quality_score_expr(col: Column | str) -> Column:
     )
 
 
+def word_stats_exprs(col: Column | str) -> dict[str, Column]:
+    """Per-document word statistics for Gopher-style quality rules
+    (Rae et al. 2021, "Scaling Language Models" App. A): word count,
+    unique-word ratio (repetition rule), mean word length.
+
+    Pure Column expressions — at 100 TB this is a map-only pass, no
+    shuffle, fully inside whole-stage codegen. Double divisions are
+    written identically in the DuckDB oracle so the filter predicates
+    agree bit-for-bit.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.trim(F.coalesce(c, F.lit(""))), r"\s+")
+    n_words = F.size(words).cast("long")
+    n_uniq = F.size(F.array_distinct(words)).cast("long")
+    n_nonspace = F.length(F.regexp_replace(F.coalesce(c, F.lit("")), r"\s", "")).cast("long")
+    return {
+        "n_words": n_words,
+        "uniq_ratio": n_uniq.cast("double") / n_words.cast("double"),
+        "mean_wlen": n_nonspace.cast("double") / n_words.cast("double"),
+    }
+
+
+def gopher_quality_filter_expr(col: Column | str) -> Column:
+    """Boolean keep/drop per the composite rule set: enough words, not too
+    repetitive, plausible mean word length. Thresholds sit inside the
+    observed corpus range so the filter genuinely partitions the data."""
+    s = word_stats_exprs(col)
+    return (
+        (s["n_words"] >= 30)
+        & (s["uniq_ratio"] >= 0.40)
+        & (s["mean_wlen"] >= 4.0)
+        & (s["mean_wlen"] <= 5.0)
+    )
+
+
 def normalized_text_expr(col: Column | str) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse whitespace, trim."""
     c = F.col(col) if isinstance(col, str) else col

@@ -1072,3 +1072,40 @@ def t2_paginated_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.col("o_totalprice").cast("double").alias("totalprice")
     )
     return o.orderBy(F.col("totalprice").desc(), "o_orderkey").offset(10).limit(10)
+
+
+@query(
+    "x3_quality_filter",
+    """
+    WITH s AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE)
+               / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS uniq_ratio,
+             CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+               / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS mean_wlen
+      FROM documents
+    )
+    SELECT doc_id, lang, n_words, uniq_ratio, mean_wlen
+    FROM s
+    WHERE n_words >= 30 AND uniq_ratio >= 0.40
+      AND mean_wlen >= 4.0 AND mean_wlen <= 5.0
+    """,
+)
+def x3_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: Gopher-style composite quality filter (word count, unique-word
+    repetition ratio, mean word length) returning surviving documents with
+    their metrics. Map-only, zero shuffle, whole-stage codegen — the
+    100 TB cost is exactly one corpus scan (functions.text.word_stats_exprs).
+    """
+    from .functions.text import gopher_quality_filter_expr, word_stats_exprs
+
+    d = load_table(spark, sf_dir, "documents")
+    s = word_stats_exprs("text")
+    return (
+        d.withColumn("n_words", s["n_words"])
+        .withColumn("uniq_ratio", s["uniq_ratio"])
+        .withColumn("mean_wlen", s["mean_wlen"])
+        .filter(gopher_quality_filter_expr("text"))
+        .select("doc_id", "lang", "n_words", "uniq_ratio", "mean_wlen")
+    )

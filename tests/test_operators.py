@@ -274,3 +274,34 @@ def test_interval_join_shapes_agree(spark, sf_small):
         ).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_compaction_shrinks_file_count(spark, tmp_path, sf_small):
+    """Compaction rewrites a many-small-files dataset into the planned
+    ceil(bytes/target) files, preserving every row; coalesce path adds
+    no shuffle."""
+    import glob
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.compaction import (
+        compact_parquet,
+        dataset_bytes,
+        plan_target_files,
+    )
+    from etl_lorettoscarpa_1asfb2jf21_spark.sources.tables import load_table
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    orders = load_table(spark, sf_small, "orders")
+    orders.repartition(40).write.parquet(src)
+    assert len(glob.glob(src + "/part-*.parquet")) == 40
+
+    total = dataset_bytes(spark, src)
+    assert total > 0
+    # pick a target that plans a small, >1 file count to exercise the math
+    target = total // 3
+    n = compact_parquet(spark, src, dst, target_file_bytes=target)
+    assert n == plan_target_files(total, target)
+    assert len(glob.glob(dst + "/part-*.parquet")) == n
+    before = sorted(r["o_orderkey"] for r in spark.read.parquet(src).collect())
+    after = sorted(r["o_orderkey"] for r in spark.read.parquet(dst).collect())
+    assert before == after

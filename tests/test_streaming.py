@@ -218,3 +218,47 @@ def test_streaming_gold_end_to_end(spark, tmp_path):
     assert wh2.fato_lancamento.count() == 3  # +1 new (Salário), dup ignored
     assert wh2.dim_tipo.count() == 2  # +Receita
     assert wh2.dim_tempo.count() == 2  # 01/2024, 02/2024
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path, sf_small):
+    """Stream-static broadcast join: streaming events enriched with a batch
+    dim produce the same rows as the identical batch join, and unmatched
+    stream rows survive (left_outer, stateless)."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.sources.tables import load_table
+    from etl_lorettoscarpa_1asfb2jf21_spark.streaming.joins import (
+        enrich_stream_static,
+    )
+
+    events = load_table(spark, sf_small, "events").limit(400).select(
+        "event_id", "user_id", "event_type"
+    )
+    # dim covering only half the user space -> exercises null-preserving side
+    dim = (
+        load_table(spark, sf_small, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    batch = enrich_stream_static(events, dim, "user_id")
+    expect = sorted(
+        (r["event_id"], r["c_mktsegment"]) for r in batch.collect()
+    )
+    assert len(expect) == 400
+    assert any(seg is None for _, seg in expect)
+    assert any(seg is not None for _, seg in expect)
+
+    edir = str(tmp_path / "events")
+    events.write.parquet(edir)
+    es = spark.readStream.schema(events.schema).parquet(edir)
+    out = enrich_stream_static(es, dim, "user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sse_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["event_id"], r["c_mktsegment"]) for r in spark.table("sse_test").collect()
+    )
+    assert got == expect
