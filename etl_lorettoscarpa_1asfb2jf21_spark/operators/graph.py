@@ -1,0 +1,106 @@
+"""Connected components over an edge list — the clustering step that turns
+near-duplicate *pairs* (minhash/ngram/embedding dedup output) into duplicate
+*groups* with one canonical survivor per group.
+
+Algorithm: iterative minimum-label propagation. Every node starts labeled
+with its own id; each round every node adopts the minimum label among itself
+and its neighbors; converged when no label changes. Rounds needed = graph
+diameter (near-dup graphs are overwhelmingly tiny cliques/chains, so 2-4
+rounds in practice; ``max_iter`` bounds pathological chains).
+
+Scale design (100 TB corpora → billions of nodes, edges ≪ nodes²):
+  * each round is one shuffle: edges ⋈ labels on node id, then a min-
+    aggregate on the destination id — both hash on the same key, so AQE
+    reuses the exchange layout;
+  * convergence check is a driver-side count of changed labels (one cheap
+    action per round on an already-shuffled frame);
+  * for adversarial long-chain graphs switch to the large-star/small-star
+    algorithm (Kiveris et al. 2014, "Connected Components in MapReduce"),
+    which converges in O(log^2 n) rounds — same join/agg primitives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Label every node with the minimum node id of its connected component.
+
+    ``nodes``: one row per node (``id_col``); isolated nodes allowed.
+    ``edges``: undirected pairs (``src_col``, ``dst_col``), any orientation.
+    Returns (id_col, component) — component = min id reachable from the node.
+    """
+    # Symmetrize once; edges are reused every round so cache them.
+    sym = (
+        edges.select(F.col(src_col).alias("_a"), F.col(dst_col).alias("_b"))
+        .union(edges.select(F.col(dst_col).alias("_a"), F.col(src_col).alias("_b")))
+        .distinct()
+    )
+    sym.cache()
+
+    labels = nodes.select(F.col(id_col).alias("_id"), F.col(id_col).alias("_lbl"))
+
+    for _ in range(max_iter):
+        # Neighbor labels: for each edge (a, b), b receives a's current label.
+        neighbor = (
+            sym.join(labels, sym["_a"] == labels["_id"])
+            .select(F.col("_b").alias("_id"), F.col("_lbl"))
+        )
+        # localCheckpoint truncates the lineage each round — without it the
+        # logical plan nests one join+agg per iteration and Catalyst
+        # re-optimizes an exponentially growing tree (driver OOM by ~10
+        # rounds). Eager so the convergence check below reads materialized
+        # blocks. (Cluster caveat: localCheckpoint blocks don't survive
+        # executor loss; long jobs on preemptible nodes should use
+        # checkpoint() with a reliable checkpoint dir instead.)
+        new_labels = (
+            labels.union(neighbor)
+            .groupBy("_id")
+            .agg(F.min("_lbl").alias("_lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n._id") == F.col("o._id"))
+            .filter(F.col("n._lbl") != F.col("o._lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    sym.unpersist()
+    return labels.select(F.col("_id").alias(id_col), F.col("_lbl").alias("component"))
+
+
+def duplicate_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Cluster near-duplicate pairs into groups; canonical = min id.
+
+    Returns (id_col, cluster_id, is_canonical). Downstream dedup keeps
+    ``is_canonical`` rows — one survivor per duplicate group, singletons
+    survive trivially (their cluster is themselves).
+    """
+    comp = connected_components(
+        docs.select(id_col), pairs, id_col=id_col, src_col=pair_a, dst_col=pair_b
+    )
+    return comp.select(
+        F.col(id_col),
+        F.col("component").alias("cluster_id"),
+        (F.col(id_col) == F.col("component")).alias("is_canonical"),
+    )

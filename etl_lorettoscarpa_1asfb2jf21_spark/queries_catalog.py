@@ -645,8 +645,15 @@ def k1_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
-# Extension catalog (X1-X4 + engine breadth) merges in at import time.
+# Extension catalogs merge in at import time: X1-X4 + engine breadth,
+# TPC-H canonical shapes, training-data pipeline ops.
 from . import queries_catalog_ext as _ext  # noqa: E402
+from . import queries_catalog_pipeline as _pipe  # noqa: E402
+from . import queries_catalog_shapes as _shapes  # noqa: E402
 
 QUERIES.update(_ext.QUERIES)
 ORACLE_SQL.update(_ext.ORACLE_SQL)
+QUERIES.update(_shapes.QUERIES)
+ORACLE_SQL.update(_shapes.ORACLE_SQL)
+QUERIES.update(_pipe.QUERIES)
+ORACLE_SQL.update(_pipe.ORACLE_SQL)

@@ -1,0 +1,358 @@
+"""Training-data pipeline catalog, round 2: the operators a 100 TB LLM
+corpus build runs between "raw documents" and "training shards" —
+duplicate-group clustering (connected components over near-dup pairs),
+stratified sampling, sequence packing, PII redaction, TF-IDF term salience,
+and deterministic shard interleaving.
+
+Same contract as queries_catalog: QUERIES[name] = (spark, sf_dir) -> DF,
+ORACLE_SQL[name] = the DuckDB twin. Every query here is *exactly*
+oracle-checkable — no floating-point accumulation, no engine-specific
+hashing in the result: cross-engine determinism comes from md5 (bit-
+identical in both engines), integer/decimal arithmetic, and IEEE-exact
+single divisions of exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.text import normalized_text_expr, token_count_expr
+from .operators.dedup import ngram_jaccard_pairs
+from .operators.graph import duplicate_clusters
+from .sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# SQL twin of functions.text.normalized_text_expr (same as queries_catalog_ext)
+_NORM_SQL = "trim(regexp_replace(lower(coalesce({c}, '')), '\\s+', ' ', 'g'))"
+
+# SQL twin of functions.text.token_count_expr
+_NTOK_SQL = (
+    "CASE WHEN length(trim(coalesce({c}, ''))) = 0 THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(coalesce({c}, '')), '\\s+')) END"
+)
+
+# The exact near-dup pair set of x1_ngram_jaccard (3-gram Jaccard >= 0.2,
+# blocked by source) — reused as the edge list for clustering.
+_PAIRS_SQL = """
+    WITH g AS (
+      SELECT doc_id, source,
+             list_distinct([substr(t, i, 3) FOR i IN range(1, len(t) - 1)]) AS gr
+      FROM (SELECT doc_id, source, {norm} AS t FROM documents)
+      WHERE len(t) >= 3
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.gr, b.gr))) >= 0.2
+    )
+""".format(norm=_NORM_SQL.format(c="text"))
+
+
+# =====================================================================
+# X1 — duplicate-group clustering (connected components over pairs)
+# =====================================================================
+
+@query(
+    "x1_dup_clusters",
+    # DuckDB wants RECURSIVE declared on the whole CTE list
+    _PAIRS_SQL.replace("WITH g AS", "WITH RECURSIVE g AS", 1)
+    + """
+    , edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(id, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.id
+    )
+    SELECT id AS doc_id, min(root) AS cluster_id,
+           (id = min(root)) AS is_canonical
+    FROM reach GROUP BY id
+    """,
+)
+def x1_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 clustering: near-dup *pairs* → duplicate *groups* via connected
+    components (iterative min-label propagation, operators/graph.py);
+    canonical survivor = min doc_id per component. The DuckDB oracle
+    computes the identical transitive closure with a recursive CTE.
+
+    This is the step that makes pair-producing dedup (minhash/ngram/
+    embedding) actionable: keep ``is_canonical``, drop the rest.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", "source", n=3, threshold=0.2)
+    return duplicate_clusters(d, pairs.select("id_a", "id_b"), "doc_id")
+
+
+# =====================================================================
+# TP1 — stratified (per-group quota) sampling
+# =====================================================================
+
+@query(
+    "tp1_stratified_sample",
+    """
+    SELECT doc_id, lang, rn AS sample_rank
+    FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= 20
+    """,
+)
+def tp1_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP1: deterministic stratified sampling — a fixed quota per language,
+    ordered by md5(doc_id) so the draw is pseudorandom yet identical on any
+    engine/partitioning (the language-balancing step of corpus curation).
+
+    Scale: one hash-partition-by-lang window; skewed strata (one giant
+    language) are the known hazard — for heavy strata, pre-filter with the
+    d5-style md5-digit trick to cap the per-partition sort input.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= 20)
+        .select("doc_id", "lang", F.col("sample_rank").cast("long"))
+    )
+
+
+# =====================================================================
+# TP2 — sequence packing (token-budgeted contiguous bins)
+# =====================================================================
+
+@query(
+    "tp2_pack_sequences",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_NTOK_SQL.format(c='text')} AS n FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n,
+             SUM(n) OVER (ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n AS tokens_before
+      FROM tok
+    )
+    SELECT CAST(FLOOR(tokens_before / 2048) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens
+    FROM cum GROUP BY 1
+    """,
+)
+def tp2_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP2: sequence packing — assign documents to fixed token-budget bins
+    (2048 here) by running token count in doc_id order; reports per-bin doc
+    and token totals. Contiguous running-sum packing is deterministic and
+    SQL-expressible (vs. first-fit-decreasing, which is sequential); bins
+    may overflow by at most one document — standard practice is to truncate
+    or split the straddling document at tokenization time.
+
+    Scale: the global running sum is the textbook two-pass distributed
+    prefix sum — per-partition subtotals (tiny) broadcast back as offsets;
+    expressed here as a window, which Spark executes with a single range
+    repartition at real data sizes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    toks = d.select("doc_id", token_count_expr("text").cast("long").alias("n"))
+    return (
+        toks.withColumn("tokens_before", F.coalesce(F.sum("n").over(w), F.lit(0)))
+        .groupBy(
+            F.floor(F.col("tokens_before") / 2048).cast("long").alias("bin_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+# =====================================================================
+# TP3 — PII redaction (regex scrub + audit counts)
+# =====================================================================
+
+# The synthetic corpus carries no PII, so the query *constructs* a
+# deterministic contact suffix per document, then redacts it — the
+# redaction machinery (multi-pattern regexp_replace + audit counts) runs
+# against text guaranteed to contain matches on both engines.
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}"
+
+
+@query(
+    "tp3_pii_redact",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-'
+                  || CAST(doc_id % 10000 AS VARCHAR) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones
+    FROM aug
+    """,
+)
+def tp3_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP3: PII scrubbing — regex redaction of emails/phone numbers with
+    per-document audit counts; result fingerprinted by md5 so the oracle
+    compares redacted content without shipping it.
+
+    Scale: map-only (no shuffle, full codegen); multi-pattern redaction
+    composes regexp_replace calls, the idiomatic Spark shape for scrub
+    pipelines. Patterns are RE2-and-Java-compatible by construction.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        (F.col("doc_id") % 10000).cast("string"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    n_of = lambda pat: F.coalesce(  # noqa: E731
+        F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))), F.lit(0)
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        F.md5(redacted).alias("redacted_fp"),
+        n_of(_EMAIL_RE).alias("n_emails"),
+        n_of(_PHONE_RE).alias("n_phones"),
+    )
+
+
+# =====================================================================
+# TP4 — TF-IDF term salience (top terms per document)
+# =====================================================================
+
+@query(
+    "tp4_tfidf_topterms",
+    f"""
+    WITH terms AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array({_NORM_SQL.format(c='text')}, '\\s+')) AS term
+      FROM documents
+      WHERE length(trim(coalesce(text, ''))) > 0
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf * (n.n_docs + 1) AS DOUBLE) / (df.df + 1) AS score
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, score, rnk AS term_rank
+    FROM (
+      SELECT doc_id, term, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 3
+    """,
+)
+def tp4_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP4: top-3 salient terms per document by TF-IDF with a *linearized*
+    idf — score = tf·(N+1)/(df+1) instead of tf·ln((N+1)/(df+1)) — because
+    ln() is not guaranteed bit-identical across math libraries, while an
+    integer product divided once is the same IEEE double everywhere.
+    Ranking ties break on the term string, so top-3 is fully deterministic.
+
+    Scale: explode → two hash aggregates (doc-term tf, term df) → broadcast
+    the df table (vocabulary ≪ corpus) back onto tf → per-doc top-k window.
+    The df join is the classic skew point (stopword terms) — df is already
+    aggregated to one row per term, so no row explosion occurs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.filter(
+        F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0
+    ).select(
+        "doc_id", F.explode(F.split(normalized_text_expr("text"), r"\s+")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.count()  # one scalar action; literal-folded into the plan
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        ((F.col("tf") * F.lit(n_docs + 1)).cast("double") / (F.col("df") + 1)).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= 3)
+        .select("doc_id", "term", "score", "term_rank")
+    )
+
+
+# =====================================================================
+# TP5 — deterministic shard interleaving (training-order shuffle)
+# =====================================================================
+
+@query(
+    "tp5_interleave_shards",
+    """
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                AS BIGINT) AS pos
+    FROM (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR)) AS h,
+             CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 4
+                  AS BIGINT) AS shard
+      FROM documents
+    )
+    """,
+)
+def tp5_interleave_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP5: deterministic global shuffle + sharding for training-data
+    interleaving — shard = md5-derived bucket, position = rank of the md5
+    within the shard. Reproducible on any engine/partitioning/cluster size
+    (unlike rand()-seeded shuffles, whose draw depends on partitioning).
+
+    Scale: one hash repartition by shard + per-shard sort — exactly the
+    write path of `df.repartition(shard).sortWithinPartitions(h)`; at
+    100 TB the sort is the dominant cost and is linear-merge, spill-safe.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = (F.ascii(F.substring(h, 1, 1)) % 4).cast("long")
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        d.select("doc_id", h.alias("h"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )

@@ -1,0 +1,532 @@
+"""TPC-H canonical query shapes, round 2 of breadth: Q2/Q4/Q5/Q12/Q14/Q16/
+Q17/Q18/Q19/Q22 patterns adapted to the driver testdata schema (no partsupp
+table; no l_shipmode/commitdate columns — each shape keeps its defining plan
+pattern on the columns that exist).
+
+Why these shapes matter at 100 TB (each docstring carries specifics):
+min-per-group join-back, date-bounded EXISTS semi-join, cycle-closing star
+join (customer nation == supplier nation), conditional aggregation, NOT-IN
+anti-join + COUNT(DISTINCT), correlated per-group threshold, HAVING-driven
+IN subquery, disjunctive multi-AND pushdown, global-scalar anti-join.
+
+Same contract as queries_catalog: QUERIES[name] = (spark, sf_dir) -> DF,
+ORACLE_SQL[name] = the DuckDB twin. Exact-arithmetic policy: every
+aggregate threshold comparison is rewritten into integer/DECIMAL
+cross-multiplication (no double AVG in a predicate — double accumulation
+order would make the two engines disagree on boundary rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from .sources.tables import load_table
+
+DEC = DecimalType(18, 2)
+
+QUERIES: dict = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def _revenue() -> F.Column:
+    return F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+
+# =====================================================================
+# Q2 shape — min-per-group subquery + join-back
+# =====================================================================
+
+@query(
+    "q2_min_per_group",
+    """
+    SELECT r_name AS region_name, s_name AS supplier_name,
+           CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE s_acctbal = (
+      SELECT min(s2.s_acctbal)
+      FROM supplier s2
+      JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      WHERE n2.n_regionkey = r.r_regionkey
+    )
+    """,
+)
+def q2_min_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-region minimum, joined back to recover the full
+    qualifying rows (correlated-min subquery decorrelated into agg + join).
+
+    Scale: the per-group agg is a partial/final hash aggregate over the
+    grouping key (5 regions) — the re-join broadcasts the tiny min-table,
+    so the big side is scanned once with no extra shuffle.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    enriched = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    )
+    # re-key the agg output so the join-back condition references distinct
+    # attributes (same-lineage column names would collapse to trivially-true)
+    mins = enriched.groupBy(
+        F.col("r_regionkey").alias("min_regionkey")
+    ).agg(F.min("s_acctbal").alias("min_bal"))
+    return (
+        enriched.join(
+            F.broadcast(mins),
+            (F.col("r_regionkey") == F.col("min_regionkey"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        )
+    )
+
+
+# =====================================================================
+# Q4 shape — date-bounded EXISTS semi-join + priority count
+# =====================================================================
+
+@query(
+    "q4_priority_exists",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: quarter-bounded orders with EXISTS(lineitem shipped
+    after order date), counted per priority. (Reference has no commitdate/
+    receiptdate; the defining pattern — date-window + correlated EXISTS with
+    an extra non-equi conjunct + group-count — is intact.)
+
+    Scale: left-semi hash join on l_orderkey with the non-equi conjunct
+    evaluated inside the join; the date window prunes orders at the scan.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    bounded = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("date"))
+    )
+    return (
+        bounded.join(
+            li,
+            (bounded["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > bounded["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# =====================================================================
+# Q5 shape — cycle-closing 6-way star join (local supplier revenue)
+# =====================================================================
+
+@query(
+    "q5_local_supplier_revenue",
+    f"""
+    SELECT n_name AS nation_name,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue by nation where the supplier and customer share a
+    nation — the join graph has a cycle (customer.nation == supplier.nation),
+    which defeats naive star-join planning.
+
+    Scale: lineitem⋈orders⋈customer carries c_nationkey down to the
+    supplier join as an extra equi-conjunct (one hash key, no extra
+    shuffle); nation/region broadcast; region filter prunes before the agg.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    bounded = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    return (
+        li.join(bounded, li["l_orderkey"] == bounded["o_orderkey"])
+        .join(c, bounded["o_custkey"] == c["c_custkey"])
+        .join(
+            s,
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n["n_regionkey"] == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+# =====================================================================
+# Q12 shape — conditional aggregation (CASE WHEN inside SUM)
+# =====================================================================
+
+@query(
+    "q12_conditional_agg",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: pivot-style conditional counts (CASE inside SUM)
+    after an orders⋈lineitem join. (No l_shipmode column; l_returnflag keys
+    the group and o_orderpriority drives the conditional.)
+
+    Scale: the conditional is evaluated map-side inside the partial
+    aggregate — only 3 groups × 2 longs cross the final exchange.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        )
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# =====================================================================
+# Q14 shape — conditional-aggregate ratio (promo revenue share)
+# =====================================================================
+
+@query(
+    "q14_promo_share",
+    f"""
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                      THEN {_REV_SQL} ELSE 0 END) AS DOUBLE)
+                / CAST(SUM({_REV_SQL}) AS DOUBLE) AS DOUBLE) AS promo_pct
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1997-03-01' AND l_shipdate < DATE '1997-04-01'
+    """,
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share — two conditional decimal sums, one
+    terminal double division (both sums exact, so the quotient is the same
+    IEEE double on both engines).
+
+    Scale: month filter prunes lineitem at the scan; part is the build
+    side of a broadcast join at real-world dimension sizes.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = _revenue()
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-03-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
+        )
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo_rev).cast("double")
+                / F.sum(rev).cast("double")
+            )
+            .cast("double")
+            .alias("promo_pct")
+        )
+    )
+
+
+# =====================================================================
+# Q16 shape — NOT IN anti-join + COUNT(DISTINCT)
+# =====================================================================
+
+@query(
+    "q16_supplier_count",
+    """
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_type <> 'PROMO'
+      AND p_size IN (1, 5, 10, 15, 20, 25)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_size
+    """,
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, size), with a
+    NOT IN exclusion list realized as a broadcast anti-join.
+
+    Scale: the exclusion subquery is tiny → broadcast left-anti (no
+    shuffle); COUNT(DISTINCT) expands to a two-level aggregate —
+    de-dup on (brand, size, suppkey), then count — both hash-based.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    excluded = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(excluded), li["l_suppkey"] == excluded["s_suppkey"], "left_anti")
+        .join(
+            p.filter(
+                (F.col("p_type") != "PROMO")
+                & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+            ),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+# =====================================================================
+# Q17 shape — correlated per-group threshold (exact-arithmetic rewrite)
+# =====================================================================
+
+@query(
+    "q17_below_avg_qty",
+    """
+    WITH per_part AS (
+      SELECT l_partkey,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+           AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN per_part ON per_part.l_partkey = lineitem.l_partkey
+    WHERE p_type = 'SMALL'
+      AND CAST(5 * l_quantity AS DECIMAL(18,2)) * n < qty_sum
+    """,
+)
+def q17_below_avg_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue from small-quantity line items (quantity below
+    20% of the part's average). The correlated AVG subquery is decorrelated
+    into a per-part aggregate re-joined to lineitem, and the predicate
+    ``qty < 0.2 * avg`` is cross-multiplied to ``5*qty*n < sum`` so both
+    engines compare exact decimals (double AVG would be accumulation-order
+    dependent at the boundary).
+
+    Scale: per-part agg and the re-join share the l_partkey hash
+    partitioning — AQE reuses the exchange; one wide shuffle total.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    per_part = li.groupBy(F.col("l_partkey").alias("pp_partkey")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast(DEC)).alias("qty_sum"),
+    )
+    return (
+        li.join(p.filter(F.col("p_type") == "SMALL"), li["l_partkey"] == p["p_partkey"])
+        .join(per_part, li["l_partkey"] == per_part["pp_partkey"])
+        .filter(
+            (F.lit(5) * F.col("l_quantity")).cast(DEC) * F.col("n")
+            < F.col("qty_sum")
+        )
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.lit(7.0))
+            .alias("avg_yearly")
+        )
+    )
+
+
+# =====================================================================
+# Q18 shape — HAVING-driven IN subquery (large-volume orders)
+# =====================================================================
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT c_name, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    )
+    GROUP BY c_name, o_orderkey, o_totalprice
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers with orders whose total quantity exceeds 250
+    (~p99 of the corpus) — an aggregate-filtered IN subquery realized as a
+    left-semi join on the HAVING result.
+
+    Scale: the HAVING aggregate and the outer join both hash on
+    l_orderkey/o_orderkey; the qualifying-key set is small (top ~1%), so
+    AQE converts the semi join to broadcast at runtime.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty_sum"))
+        .filter(F.col("qty_sum") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"], "left_semi")
+        .join(c, F.col("o_custkey") == c["c_custkey"])
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("total_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+# =====================================================================
+# Q19 shape — disjunction of conjunctive range predicates
+# =====================================================================
+
+@query(
+    "q19_disjunctive_filter",
+    f"""
+    SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs predicate spanning both join sides. Catalyst
+    extracts the common per-side conjuncts (brand/size from part, quantity
+    from lineitem) and pushes them below the join as a disjunctive filter,
+    so both scans prune before the hash join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = li.join(p, li["l_partkey"] == p["p_partkey"])
+    arm = lambda brand, size_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, size_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    return joined.filter(
+        arm("Brand#12", 15, 1, 11) | arm("Brand#23", 25, 10, 20) | arm("Brand#34", 35, 20, 30)
+    ).agg(F.sum(_revenue()).cast("double").alias("revenue"))
+
+
+# =====================================================================
+# Q22 shape — global-scalar threshold + NOT EXISTS anti-join
+# =====================================================================
+
+@query(
+    "q22_idle_customers",
+    """
+    WITH bal AS (
+      SELECT COUNT(*) AS n, SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey AS nation_key,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer, bal
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * bal.n > bal.s
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderdate >= DATE '2001-01-01'
+      )
+    GROUP BY c_nationkey
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no *recent*
+    orders (none since 2001 — every customer has some order in this corpus,
+    so the date bound keeps the anti-join discriminating), grouped by
+    nation. The global AVG threshold is cross-multiplied (``bal * n > sum``)
+    for exact-decimal comparison, and NOT EXISTS is a left-anti join.
+
+    Scale: the scalar (n, s) aggregate is one row → broadcast into the
+    filter (a literal at plan time via crossJoin of a 1-row DF); the
+    anti-join hashes on custkey.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c_acctbal").cast(DEC)).alias("s"),
+    )
+    recent = o.filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("date"))
+    return (
+        c.crossJoin(F.broadcast(bal))
+        .filter(F.col("c_acctbal").cast(DEC) * F.col("n") > F.col("s"))
+        .join(recent, c["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("nation_key"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
+        )
+    )

@@ -305,3 +305,41 @@ def test_compaction_shrinks_file_count(spark, tmp_path, sf_small):
     before = sorted(r["o_orderkey"] for r in spark.read.parquet(src).collect())
     after = sorted(r["o_orderkey"] for r in spark.read.parquet(dst).collect())
     assert before == after
+
+
+def test_connected_components_labels_min_id(spark):
+    """Min-label propagation: chain {1-2-3}, pair {10,11}, isolate {99} —
+    every node gets the component's minimum id, even across multi-hop
+    chains (label must traverse, not just look one edge away)."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.graph import (
+        connected_components,
+        duplicate_clusters,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 99]], ["id"])
+    edges = spark.createDataFrame([(2, 1), (2, 3), (10, 11)], ["src", "dst"])
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+    clusters = duplicate_clusters(
+        nodes.withColumnRenamed("id", "doc_id"),
+        edges.withColumnRenamed("src", "id_a").withColumnRenamed("dst", "id_b"),
+        "doc_id",
+    )
+    canon = {r["doc_id"]: r["is_canonical"] for r in clusters.collect()}
+    assert canon == {1: True, 2: False, 3: False, 10: True, 11: False, 99: True}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-node path graph needs ~diameter rounds; the loop must converge
+    (not stop after one round) and still produce one component."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.graph import connected_components
+
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    got = {r["id"]: r["component"] for r in connected_components(nodes, edges).collect()}
+    assert got == {i: 0 for i in range(n)}
