@@ -18,7 +18,7 @@ order would make the two engines disagree on boundary rows).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
@@ -529,4 +529,111 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
         )
+    )
+
+
+# =====================================================================
+# Q21 shape — multi-EXISTS self-join (sole late supplier per order)
+# =====================================================================
+
+@query(
+    "q21_sole_late_supplier",
+    """
+    WITH flagged AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+      FROM flagged GROUP BY 1
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM flagged
+    JOIN per_order USING (l_orderkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE late AND n_supp > 1 AND n_late = 1
+    GROUP BY s_name
+    """,
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: for finalized multi-supplier orders, count the line
+    items of the *only* supplier that shipped late (>90 days after order).
+    The canonical form is EXISTS(other supplier) AND NOT EXISTS(other late
+    supplier) — decorrelated here into one per-order aggregate
+    (distinct-supplier and distinct-late-supplier counts) re-joined to the
+    flagged lines, replacing two correlated self-joins of the largest table
+    with one aggregate sharing the l_orderkey hash partitioning.
+
+    Scale: flagged is computed once and feeds both the aggregate and the
+    final join — same key, so AQE reuses the exchange; supplier broadcasts.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    flagged = (
+        li.join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+            ).alias("late"),
+        )
+    )
+    per_order = flagged.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    return (
+        flagged.join(per_order, flagged["l_orderkey"] == per_order["po_orderkey"])
+        .filter(F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# =====================================================================
+# W5 — interval RANGE frame window (trailing 30-day sum)
+# =====================================================================
+
+@query(
+    "w5_range_frame",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_30d
+    FROM orders
+    """,
+)
+def w5_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: value-based RANGE frame — each order's trailing-30-day spend per
+    customer (2 592 000 s window over the epoch of the order date). RANGE
+    frames include same-timestamp peers on both engines, and the frame sum
+    is exact decimal, so the result is order-insensitive and deterministic.
+
+    Scale: one shuffle on o_custkey + per-partition sort on the order
+    timestamp; the frame is evaluated with a sliding two-pointer pass, no
+    per-row rescan. Skewed customers are bounded by their own history.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2_592_000, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("trailing_30d"),
     )
