@@ -213,8 +213,16 @@ def embedding_neardup_pairs(
         bands,
     ).select("_id", F.col("_band").alias("band"), F.col("_bucket").alias("bucket"))
     cand = bucket_pairs(b, "_id", ["band", "bucket"])
+    # Verify with the Arrow batch kernel, not dot_expr: at low thresholds
+    # the candidate set is millions of pairs and the higher-order-function
+    # dot evaluates interpreted per element (~100ns x 64 dims x pairs);
+    # one einsum per record batch is ~10x. (Vectors are unit-normalized,
+    # so cosine == dot; the kernel's norm recompute is a no-op pass.)
+    from ..functions.vectors import cosine_batch_udf
+
+    cos = cosine_batch_udf()
     return (
-        cand.withColumn("sim", dot_expr(F.col("id_a.v"), F.col("id_b.v")))
+        cand.withColumn("sim", cos(F.col("id_a.v"), F.col("id_b.v")))
         .filter(F.col("sim") >= threshold)
         .select(
             F.col("id_a.id").alias("id_a"), F.col("id_b.id").alias("id_b"), "sim"
