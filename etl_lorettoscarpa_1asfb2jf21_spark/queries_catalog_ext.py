@@ -1109,3 +1109,60 @@ def x3_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(gopher_quality_filter_expr("text"))
         .select("doc_id", "lang", "n_words", "uniq_ratio", "mean_wlen")
     )
+
+
+@query(
+    "x4_frame_sample",
+    """
+    SELECT doc_id,
+           CAST(unnest(range(0, (octet_length(encode(text)) % 100 + 1), 10))
+                AS BIGINT) AS frame_idx
+    FROM documents
+    """,
+)
+def x4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: video frame-sampling explode — one row per sampled frame index
+    (every 10th frame; frame count stubbed deterministically from payload
+    size, so the explode/partitioning plumbing is fully oracle-checkable
+    even though the container ships no media decoder).
+
+    Scale: explode multiplies rows ~10x here — at 100 TB the decode that
+    follows runs in mapInPandas batches, so the explode must happen BEFORE
+    repartitioning by a size-balanced key (multimodal/decode.py), keeping
+    any one task's frame payloads bounded.
+    """
+    from .multimodal.decode import sample_video_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return sample_video_frames(with_payload, "doc_id", "payload", every_n=10).select(
+        "doc_id", F.col("frame_idx").cast("long")
+    )
+
+
+@query(
+    "g5_unpivot",
+    """
+    SELECT p_partkey, 'retailprice' AS metric,
+           CAST(p_retailprice AS DOUBLE) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) AS val
+    FROM part
+    """,
+)
+def g5_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide columns → (metric, value) rows, the inverse of
+    g3's pivot. Spark's native unpivot emits one output row per id x value
+    column with zero shuffles — a narrow map transform, same as the UNION
+    ALL twin but in one scan.
+    """
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_retailprice").cast("double").alias("retailprice"),
+            F.col("p_size").cast("double").alias("size"),
+        )
+        .unpivot("p_partkey", ["retailprice", "size"], "metric", "val")
+    )

@@ -356,3 +356,69 @@ def tp5_interleave_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select("doc_id", "shard", "pos")
     )
+
+
+# =====================================================================
+# X1 — exact duplicated-substring spans (Lee et al. 2021 signal)
+# =====================================================================
+
+@query(
+    "x1_dup_ngram_spans",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             regexp_split_to_array({_NORM_SQL.format(c='text')}, '\\s+') AS ws
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id,
+             unnest([array_to_string(ws[i:i+7], ' ')
+                     FOR i IN range(1, len(ws) - 6)]) AS span
+      FROM w WHERE len(ws) >= 8
+    )
+    SELECT md5(span) AS span_fp,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occur
+    FROM spans
+    GROUP BY 1
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def x1_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 exact-substring dedup signal: 8-word spans appearing in 2+
+    documents (the fixed-n sliding-window form of the duplicated-passage
+    statistic from Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better" — their suffix-array finds variable-length
+    maximal repeats; fixed-n windows give the same cross-doc signal with
+    hash aggregates only). Spans travel as md5 fingerprints, never text.
+
+    Scale: explode multiplies rows ~150x, but each exploded row is one
+    16-byte hash + id — the groupBy is a partial/final hash aggregate where
+    map-side combine collapses within-doc repeats before the shuffle. A
+    production pass would roll the window with a polynomial rolling hash
+    (functions/text rolling_fingerprint_expr) instead of materializing
+    span strings; string spans keep this query oracle-exact.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(normalized_text_expr("text"), r"\s+")
+    spans = (
+        d.select("doc_id", words.alias("ws"))
+        .filter(F.size("ws") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 7),
+                    lambda i: F.array_join(F.slice(F.col("ws"), i, 8), " "),
+                )
+            ).alias("span"),
+        )
+    )
+    return (
+        spans.groupBy(F.md5("span").alias("span_fp"))
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occur"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

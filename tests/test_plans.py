@@ -99,3 +99,58 @@ def test_pairwise_dedup_stages_are_spread(spark, sf_medium):
     for name in ("x1_ngram_jaccard", "x1_minhash_dedup", "x1_embedding_neardup"):
         plan = plan_of(EXT_QUERIES[name](spark, sf_medium))
         assert "RoundRobinPartitioning" in plan, f"{name} lost its spread"
+
+
+def test_q19_pushes_disjunctive_conjuncts_to_scans(spark, sf_medium):
+    """Catalyst must extract the common per-side conjuncts of the OR-of-ANDs
+    and push a disjunctive filter below the join into BOTH scans."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.queries_catalog_shapes import (
+        QUERIES as SHAPE_QUERIES,
+    )
+
+    plan = plan_of(SHAPE_QUERIES["q19_disjunctive_filter"](spark, sf_medium))
+    # part side: the brand=... AND size<=... arms pushed as a disjunction
+    assert "Or(Or(And(EqualTo(p_brand,Brand#12)" in plan
+    # lineitem side: the quantity ranges land as a pushed Or-of-ranges
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in plan
+
+
+def test_new_shape_queries_broadcast_small_sides(spark, sf_medium):
+    """The exclusion list (q16), min-table (q2), and supplier dim (q21)
+    must broadcast — a shuffled join on those tiny sides would add a
+    full-fact exchange at scale."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.queries_catalog_shapes import (
+        QUERIES as SHAPE_QUERIES,
+    )
+
+    for name in ("q2_min_per_group", "q16_supplier_count", "q21_sole_late_supplier"):
+        plan = plan_of(SHAPE_QUERIES[name](spark, sf_medium))
+        assert "BroadcastHashJoin" in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_pipeline_map_only_ops_have_no_exchange(spark, sf_medium):
+    """PII redaction and frame sampling are map-only passes — any Exchange
+    in their plans is a scale bug, not a cost."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.queries_catalog_pipeline import (
+        QUERIES as PIPE_QUERIES,
+    )
+
+    plan = plan_of(PIPE_QUERIES["tp3_pii_redact"](spark, sf_medium))
+    assert "Exchange" not in plan
+    plan = plan_of(EXT_QUERIES["x4_frame_sample"](spark, sf_medium))
+    assert "Exchange" not in plan
+
+
+def test_q17_reuses_lineitem_partitioning(spark, sf_medium):
+    """The per-part aggregate and the re-join both hash on l_partkey; the
+    plan must not add a third wide exchange for the semi-structured
+    threshold filter."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.queries_catalog_shapes import (
+        QUERIES as SHAPE_QUERIES,
+    )
+
+    plan = plan_of(SHAPE_QUERIES["q17_below_avg_qty"](spark, sf_medium))
+    # hashpartitioning exchanges on l_partkey: one for the agg, one for the
+    # join probe side re-use; anything >3 wide exchanges means a replan
+    assert plan.count("Exchange hashpartitioning") <= 3
