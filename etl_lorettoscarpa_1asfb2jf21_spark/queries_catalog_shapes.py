@@ -365,18 +365,26 @@ def q17_below_avg_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines compare exact decimals (double AVG would be accumulation-order
     dependent at the boundary).
 
-    Scale: per-part agg and the re-join share the l_partkey hash
-    partitioning — AQE reuses the exchange; one wide shuffle total.
+    Scale: the correlated stat is per-part, so restricting lineitem to
+    SMALL parts *first* (broadcast semi-join on the filtered dimension)
+    keeps every line of each qualifying part while pruning ~5/6 of the
+    aggregate's input — the per-part agg then runs over the small slice
+    and broadcasts back, leaving no wide exchange in the plan at this
+    selectivity (AQE falls back to a shuffled join if the qualifying-part
+    set outgrows the broadcast threshold).
     """
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    per_part = li.groupBy(F.col("l_partkey").alias("pp_partkey")).agg(
+    small = p.filter(F.col("p_type") == "SMALL").select("p_partkey")
+    li_small = li.join(
+        F.broadcast(small), li["l_partkey"] == small["p_partkey"], "left_semi"
+    )
+    per_part = li_small.groupBy(F.col("l_partkey").alias("pp_partkey")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("l_quantity").cast(DEC)).alias("qty_sum"),
     )
     return (
-        li.join(p.filter(F.col("p_type") == "SMALL"), li["l_partkey"] == p["p_partkey"])
-        .join(per_part, li["l_partkey"] == per_part["pp_partkey"])
+        li_small.join(F.broadcast(per_part), li_small["l_partkey"] == per_part["pp_partkey"])
         .filter(
             (F.lit(5) * F.col("l_quantity")).cast(DEC) * F.col("n")
             < F.col("qty_sum")

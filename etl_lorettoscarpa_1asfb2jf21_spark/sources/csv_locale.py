@@ -37,3 +37,47 @@ def read_lancamentos_csv(
         if old in df.columns:
             df = df.withColumnRenamed(old, new)
     return df
+
+
+def read_lancamentos_csv_with_quarantine(
+    spark: SparkSession, path: str, header: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """S1 hardened for unattended 100 TB ingest: PERMISSIVE scan with an
+    explicit schema + corrupt-record capture, split into (good, quarantine).
+
+    The reference reads interactively and a human re-uploads on failure
+    (app/app.py:17-22); an unattended pipeline must instead land malformed
+    physical rows (wrong field count, unterminated quotes) in a quarantine
+    sink with the raw line preserved for replay — semantic validation of
+    *well-formed* rows stays in operators.validate, same as the reference's
+    null gate. Malformed-row capture requires the corrupt column to be
+    part of the declared schema, hence the explicit read schema.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField(f.name, StringType(), True) for f in LANCAMENTOS_CSV_SCHEMA]
+        + [StructField("_corrupt_record", StringType(), True)]
+    )
+    df = (
+        spark.read.option("header", header)
+        .option("quote", '"')
+        .option("sep", ",")
+        .option("emptyValue", "")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema)
+        .csv(path)
+    )
+    # corrupt-record parsing is lazy per-row; materialize the split from one
+    # cached scan so good/bad are consistent views of the same read
+    df = df.cache()
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    quarantine = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        "_corrupt_record"
+    )
+    for old, new in COLUMN_ALIASES.items():
+        if old in good.columns:
+            good = good.withColumnRenamed(old, new)
+    return good, quarantine

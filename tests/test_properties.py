@@ -147,3 +147,41 @@ def test_upsert_idempotence_property(spark, existing_rows, batch_rows):
     target = existing.unionByName(once) if existing is not None else once
     again = insert_if_absent(batch, target, ["k"])
     assert again.count() == 0
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=0,
+        max_size=40,
+    )
+)
+@SLOW
+def test_connected_components_matches_union_find(spark, edge_list):
+    """Distributed min-label propagation == sequential union-find on any
+    random graph over 25 nodes (self-loops and duplicate edges included)."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.graph import connected_components
+
+    n = 25
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: min(j for j in range(n) if find(j) == find(i)) for i in range(n)}
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = (
+        spark.createDataFrame(edge_list, "src long, dst long")
+        if edge_list
+        else spark.createDataFrame([], "src long, dst long")
+    )
+    got = {r["id"]: r["component"] for r in connected_components(nodes, edges).collect()}
+    assert got == expected

@@ -156,3 +156,33 @@ def test_gold_write_partition_pruning(spark, staging, tmp_path):
     assert "PartitionFilters: [isnotnull(ano" in plan
     # pruned scan reads only the one (ano=2024, mes=1) directory
     assert jan.count() == 3
+
+
+def test_corrupt_record_quarantine(spark, tmp_path):
+    """Physically malformed rows (wrong field count in either direction)
+    land in the corrupt-record quarantine with the raw line preserved for
+    replay; well-formed rows parse cleanly from the same cached scan.
+    Semantic defects in well-formed rows stay with the downstream
+    null-validation gate, mirroring the reference's split between read and
+    validate (app/app.py:22 vs 25-62)."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.sources.csv_locale import (
+        read_lancamentos_csv_with_quarantine,
+    )
+
+    bad_csv = (
+        "Descrição,Tipo,Grupo,Categoria,Classificação,Data,Valor\n"
+        'Mercado,Despesa,Casa,Supermercado,Variável,01/2024,"823,45"\n'
+        "Luz,Despesa,Casa,Energia,Fixa,02/2024,extra_field,99,00,MORE\n"
+        "Curto,Despesa,Casa\n"
+    )
+    p = tmp_path / "bad.csv"
+    p.write_text(bad_csv, encoding="utf-8")
+
+    good, quarantine = read_lancamentos_csv_with_quarantine(spark, str(p))
+    good_rows = good.collect()
+    bad_rows = [r["_corrupt_record"] for r in quarantine.collect()]
+
+    assert [r["Descricao"] for r in good_rows] == ["Mercado"]
+    assert len(bad_rows) == 2
+    assert any(b.startswith("Luz,") for b in bad_rows)
+    assert any(b.startswith("Curto,") for b in bad_rows)
