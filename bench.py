@@ -41,10 +41,17 @@ def main() -> None:
         cos(F.array(F.lit(1.0)), F.array(F.lit(1.0)))
     ).write.format("noop").mode("overwrite").save()
 
+    import gc
+
     for name, fn in qs.items():
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # each query is an independent measurement: drop cached blocks the
+        # query pinned (cache()/localCheckpoint in iterative ops) so later
+        # queries aren't taxed by earlier queries' storage-memory + GC churn
+        spark.catalog.clearCache()
+        gc.collect()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

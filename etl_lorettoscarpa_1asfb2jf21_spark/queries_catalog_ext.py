@@ -695,9 +695,13 @@ def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def j8_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J8 (extension): range join — orders bucketed into price bands.
-    Small interval side -> broadcast shape (operators/ranges.py; the
-    grid-bucketed big-big shape is equality-tested in tests)."""
+    """J8 (extension): range join — orders bucketed into price bands via the
+    grid-bucketed shape (operators/ranges.py): intervals explode into fixed
+    cells, points equi-join their cell, then the exact predicate filters.
+    The equi form is a codegen'd BroadcastHashJoin — the plain non-equi
+    broadcast is a BroadcastNestedLoopJoin outside whole-stage codegen,
+    measurably slower even with a 5-row build side (both shapes are
+    equality-tested in tests/test_operators.py)."""
     from .operators.ranges import interval_join
 
     o = load_table(spark, sf_dir, "orders")
@@ -707,7 +711,7 @@ def j8_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band_id int, lo double, hi double",
     )
     return (
-        interval_join(o, bands, "o_totalprice", "lo", "hi")
+        interval_join(o, bands, "o_totalprice", "lo", "hi", cell_width=100000.0)
         .groupBy("band_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
