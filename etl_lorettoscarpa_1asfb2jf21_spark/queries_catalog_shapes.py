@@ -645,3 +645,239 @@ def w5_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("trailing_30d"),
     )
+
+
+# =====================================================================
+# Q7 shape — bilateral nation-pair volume (two dim roles, one fact scan)
+# =====================================================================
+
+@query(
+    "q7_nation_volume",
+    f"""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           EXTRACT(YEAR FROM l_shipdate) AS l_year,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE ((cn.n_name = 'NATION_10' AND sn.n_name = 'NATION_9')
+        OR (cn.n_name = 'NATION_9' AND sn.n_name = 'NATION_10'))
+      AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: shipping volume between two nations by year (names are the testdata's synthetic NATION_k) — the same
+    dimension (nation) joins twice under different roles (customer side,
+    supplier side), with a symmetric pair predicate across both roles.
+
+    Scale: both nation copies broadcast; the pair predicate can't push
+    below either single join (it spans both roles) but Catalyst applies it
+    immediately after the second nation join, before the aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    pair = (
+        (F.col("cust_nation") == "NATION_10") & (F.col("supp_nation") == "NATION_9")
+    ) | ((F.col("cust_nation") == "NATION_9") & (F.col("supp_nation") == "NATION_10"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        )
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("cn_key"))
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("sn_key"))
+        .filter(pair)
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(_revenue()).cast("double").alias("volume"))
+    )
+
+
+# =====================================================================
+# Q8 shape — market-share ratio (conditional agg over a wide join)
+# =====================================================================
+
+@query(
+    "q8_market_share",
+    f"""
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_9'
+                              THEN volume ELSE 0 END) AS DOUBLE)
+                / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             {_REV_SQL} AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region   ON cn.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'AMERICA'
+    ) t
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of regional revenue per year — the
+    defining pattern is a conditional aggregate *ratio* over a join where
+    nation appears in two roles and the region filter applies to the
+    customer role only. Both sums are exact decimals; the share divides
+    once in double (identical IEEE result on both engines).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    vol = _revenue()
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("cn_key"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "AMERICA")),
+            F.col("cn_region") == F.col("r_regionkey"),
+        )
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_9", vol).otherwise(
+                    F.lit(0).cast(DEC)
+                )).cast("double")
+                / F.sum(vol).cast("double")
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+    )
+
+
+# =====================================================================
+# Q10 shape — returned-item ranking (wide group-by + top-n)
+# =====================================================================
+
+@query(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name, n_name AS nation_name,
+           CAST(revenue AS DOUBLE) AS revenue
+    FROM (
+      SELECT c_custkey, c_name, n_name,
+             SUM({_REV_SQL}) AS revenue
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+      GROUP BY c_custkey, c_name, n_name
+    ) t
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returns in a quarter —
+    selective fact filters, a wide (multi-attribute) group key, then top-n.
+    Deterministic tiebreak on c_custkey so LIMIT 20 is stable cross-engine.
+
+    Scale: the quarter + returnflag predicates push to the lineitem/orders
+    scans; the top-20 compiles to TakeOrderedAndProject (per-partition heap
+    + single merge), never a global sort.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-07-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit("1996-10-01").cast("date"))
+            ),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# =====================================================================
+# Q15 shape — global-max join-back (top revenue supplier via "view")
+# =====================================================================
+
+@query(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM({_REV_SQL}) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) achieving the maximum quarterly revenue — an
+    aggregate feeding both a global-max scalar and the join-back that
+    recovers the achieving rows (the 'CREATE VIEW revenue' pattern).
+    Exact-decimal revenue makes the equality comparison safe; ties return
+    every achieving supplier on both engines.
+
+    Scale: the revenue aggregate is computed once and reused for both
+    consumers (cache/exchange reuse); the scalar max crossJoin-broadcasts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_revenue()).alias("total_revenue"))
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(s, F.col("supplier_no") == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
