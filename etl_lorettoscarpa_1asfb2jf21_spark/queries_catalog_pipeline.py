@@ -422,3 +422,50 @@ def x1_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# =====================================================================
+# DQ1 — single-pass data-quality profile
+# =====================================================================
+
+@query(
+    "dq1_profile",
+    """
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_status,
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_orderdate,
+           COUNT(DISTINCT o_orderstatus) AS n_status,
+           COUNT(DISTINCT o_orderpriority) AS n_priority,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders
+    """,
+)
+def dq1_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ1: one-pass data-quality profile — row count, per-column null
+    counts, distinct cardinalities, value bounds. The programmatic form of
+    the reference's ingest contract gate (app/app.py:25-62): instead of
+    rejecting rows inline, a profile run reports corpus health before load.
+
+    Scale: a single scan with partial/final aggregation; the two
+    COUNT(DISTINCT)s expand+dedup map-side over low-cardinality columns.
+    Profiles over high-cardinality columns should switch to
+    approx_count_distinct (a4) — exact distinct is the one profile metric
+    that doesn't stay cheap at 100 TB.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_status"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_orderdate"),
+        F.count_distinct("o_orderstatus").alias("n_status"),
+        F.count_distinct("o_orderpriority").alias("n_priority"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+    )

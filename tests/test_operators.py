@@ -343,3 +343,46 @@ def test_connected_components_long_chain_converges(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
     got = {r["id"]: r["component"] for r in connected_components(nodes, edges).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_scd2_merge_tracks_history(spark):
+    """Type-2 merge: changed attrs close the old version and append a new
+    current one; new keys insert; unchanged and absent keys pass through;
+    re-merging the same snapshot is a no-op (idempotence)."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.scd import scd2_init, scd2_merge
+
+    dim = scd2_init(
+        spark.createDataFrame(
+            [(1, "Casa", "Fixa"), (2, "Trabalho", "Fixa"), (3, "Lazer", "Variável")],
+            "id_grupo long, nome string, classe string",
+        ),
+        "2024-01-01",
+    )
+    updates = spark.createDataFrame(
+        # id 1 changed, id 2 unchanged, id 4 new, id 3 absent
+        [(1, "Casa", "Variável"), (2, "Trabalho", "Fixa"), (4, "Saúde", "Fixa")],
+        "id_grupo long, nome string, classe string",
+    )
+    merged = scd2_merge(dim, updates, ["id_grupo"], ["nome", "classe"], "2024-02-01")
+    rows = {
+        (r["id_grupo"], str(r["valid_from"]), r["is_current"]): (
+            r["classe"],
+            str(r["valid_to"]),
+        )
+        for r in merged.collect()
+    }
+    assert len(rows) == 5
+    # old version of id 1 closed at the merge date
+    assert rows[(1, "2024-01-01", False)] == ("Fixa", "2024-02-01")
+    # new current version of id 1 carries the changed attribute
+    assert rows[(1, "2024-02-01", True)] == ("Variável", "None")
+    # unchanged / absent keys untouched
+    assert rows[(2, "2024-01-01", True)][0] == "Fixa"
+    assert rows[(3, "2024-01-01", True)][0] == "Variável"
+    # new key inserted as current
+    assert rows[(4, "2024-02-01", True)] == ("Fixa", "None")
+
+    # idempotence: merging the identical snapshot again changes nothing
+    again = scd2_merge(merged, updates, ["id_grupo"], ["nome", "classe"], "2024-03-01")
+    assert again.count() == merged.count()
+    assert again.filter(F.col("valid_from") == "2024-03-01").count() == 0
