@@ -469,3 +469,62 @@ def dq1_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").cast("double").alias("min_price"),
         F.max("o_totalprice").cast("double").alias("max_price"),
     )
+
+
+# =====================================================================
+# SCD1 — Type-2 dimension merge, oracle-checked end-to-end
+# =====================================================================
+
+@query(
+    "scd1_type2_merge",
+    """
+    WITH cur AS (
+      SELECT c_custkey, c_mktsegment FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey,
+             CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) = 'a'
+                  THEN c_mktsegment || '_X' ELSE c_mktsegment END AS c_mktsegment
+      FROM customer
+    ),
+    changed AS (
+      SELECT u.c_custkey, u.c_mktsegment
+      FROM upd u JOIN cur c USING (c_custkey)
+      WHERE u.c_mktsegment <> c.c_mktsegment
+    )
+    SELECT c.c_custkey, c.c_mktsegment,
+           '2024-01-01' AS valid_from,
+           CASE WHEN ch.c_custkey IS NOT NULL THEN '2024-02-01' END AS valid_to,
+           (ch.c_custkey IS NULL) AS is_current
+    FROM cur c LEFT JOIN changed ch ON c.c_custkey = ch.c_custkey
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, '2024-02-01', NULL, true FROM changed
+    """,
+)
+def scd1_type2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 merge end-to-end (operators/scd.py): a deterministic
+    update snapshot (customers whose md5 first hex digit is 'a' get a
+    changed segment, ~1/16 of rows) merges into the bootstrapped dimension;
+    output is the full history table — closed old versions, new current
+    versions, untouched remainder. The oracle replays the same merge
+    semantics in plain SQL.
+    """
+    from .operators.scd import scd2_init, scd2_merge
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    dim = scd2_init(c, "2024-01-01")
+    updates = c.withColumn(
+        "c_mktsegment",
+        F.when(
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1) == "a",
+            F.concat(F.col("c_mktsegment"), F.lit("_X")),
+        ).otherwise(F.col("c_mktsegment")),
+    )
+    merged = scd2_merge(dim, updates, ["c_custkey"], ["c_mktsegment"], "2024-02-01")
+    return merged.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("valid_from").cast("string").alias("valid_from"),
+        F.col("valid_to").cast("string").alias("valid_to"),
+        "is_current",
+    )
