@@ -528,3 +528,117 @@ def scd1_type2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_to").cast("string").alias("valid_to"),
         "is_current",
     )
+
+
+# =====================================================================
+# EV1 — ordered funnel (stepwise conversion with time ordering)
+# =====================================================================
+
+@query(
+    "ev1_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click,
+           (SELECT COUNT(*) FROM p) AS n_purchase
+    """,
+)
+def ev1_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV1: ordered funnel — users who viewed, then clicked *after* the
+    first view, then purchased *after* that click. Each stage is a
+    conditional min over the previous stage's anchor time (strict event
+    ordering, not mere co-occurrence).
+
+    Scale: three aggregates all hashed on user_id — one partitioning
+    serves every stage; stage populations only shrink, so each successive
+    join is against a smaller build side.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+
+
+# =====================================================================
+# EV2 — cohort retention (first-seen week × active week)
+# =====================================================================
+
+@query(
+    "ev2_cohort_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+      FROM events
+    )
+    SELECT CAST(cohort_week AS VARCHAR) AS cohort_week,
+           CAST(active_week AS VARCHAR) AS active_week,
+           COUNT(*) AS n_users
+    FROM first_seen JOIN activity USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def ev2_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV2: cohort retention — users bucketed by first-seen ISO week,
+    counted in every week they were active (the triangle matrix behind
+    retention curves). Week truncation is ISO-Monday on both engines.
+
+    Scale: first-seen and activity both aggregate on user_id (shared
+    partitioning); the cohort join then regroups on the two week keys —
+    output cardinality is weeks², independent of user count.
+    """
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            F.col("active_week").cast("string").alias("active_week"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
