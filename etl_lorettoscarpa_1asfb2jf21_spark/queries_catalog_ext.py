@@ -1170,3 +1170,43 @@ def g5_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unpivot("p_partkey", ["retailprice", "size"], "metric", "val")
     )
+
+
+@query(
+    "sk1_salted_hot_key_agg",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def sk1_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated aggregation (operators/skew.py): l_returnflag has 3
+    values over the whole fact table — the definitional hot-key aggregate.
+    Two phases: partial sums per (key, salt) spread the hot keys over the
+    cluster, then a tiny merge per key. The oracle is the plain GROUP BY —
+    salting must be result-invariant (sums are exact decimals, so shard
+    order can't perturb them).
+
+    Scale note: Spark's built-in partial aggregation already absorbs *sum*
+    skew; explicit salting is the pattern for aggregates without cheap
+    partials (collect_set/exact-distinct, percentile buffers) — exercised
+    here on the same primitive so the gate proves result-invariance.
+    """
+    from .operators.skew import salted_aggregate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_aggregate(
+        li,
+        ["l_returnflag"],
+        partial_aggs=[
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("l_quantity").cast(DEC)).alias("_sq"),
+        ],
+        merge_aggs=[
+            F.sum("_n").alias("n"),
+            F.sum("_sq").cast("double").alias("sum_qty"),
+        ],
+    )
