@@ -47,7 +47,18 @@ def connected_components(
     )
     sym.cache()
 
-    labels = nodes.select(F.col(id_col).alias("_id"), F.col(id_col).alias("_lbl"))
+    # Only edge-touched nodes can ever change labels — propagate over that
+    # (typically tiny) subgraph and union the untouched singletons at the
+    # end. On a 100 TB corpus the near-dup graph is orders of magnitude
+    # smaller than the node set; looping over all nodes would make every
+    # round cost O(corpus) instead of O(edges).
+    # localCheckpoint (eager): the returned lazy frame's singleton branch
+    # must read materialized ids, not re-derive them through the (possibly
+    # very expensive) edge-producing plan after the loop finishes.
+    touched = (
+        sym.select(F.col("_a").alias("_id")).distinct().localCheckpoint(eager=True)
+    )
+    labels = touched.select("_id", F.col("_id").alias("_lbl"))
 
     for _ in range(max_iter):
         # Neighbor labels: for each edge (a, b), b receives a's current label.
@@ -79,8 +90,16 @@ def connected_components(
         if changed == 0:
             break
 
+    singletons = (
+        nodes.select(F.col(id_col).alias("_id"))
+        .join(touched, "_id", "left_anti")
+        .select("_id", F.col("_id").alias("_lbl"))
+    )
+    out = labels.union(singletons).select(
+        F.col("_id").alias(id_col), F.col("_lbl").alias("component")
+    )
     sym.unpersist()
-    return labels.select(F.col("_id").alias(id_col), F.col("_lbl").alias("component"))
+    return out
 
 
 def duplicate_clusters(
