@@ -1210,3 +1210,42 @@ def sk1_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_sq").cast("double").alias("sum_qty"),
         ],
     )
+
+
+@query("x2_recall_report")  # approximate indexes are engine-specific — rows-only
+def x2_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 quality gate as a query: per-query recall@10 of both approximate
+    indexes (LSH, IVF) against the exact brute-force top-10 — the
+    measurement a production ANN deployment runs continuously on a traffic
+    sample to tune (planes, bands) / (n_centroids, nprobe).
+
+    Scale: the recall join is on (q_id, c_id) pairs — k rows per query —
+    negligible next to the searches themselves; the exact search runs on
+    the same bounded query sample, not the corpus.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    exact = brute_force_topk(queries, corpus, k=10).select("q_id", "c_id")
+    lsh = lsh_topk(queries, corpus, k=10, dim=64, planes=16, bands=4).select(
+        "q_id", "c_id"
+    )
+    ivf = ivf_topk(queries, corpus, k=10, n_centroids=16, nprobe=4).select(
+        "q_id", "c_id"
+    )
+
+    def recall_of(approx, name):
+        hits = exact.join(approx, ["q_id", "c_id"], "left_semi")
+        return hits.groupBy("q_id").agg(
+            (F.count(F.lit(1)).cast("double") / F.lit(10.0)).alias(name)
+        )
+
+    return (
+        exact.select("q_id")
+        .distinct()
+        .join(recall_of(lsh, "recall_lsh"), "q_id", "left")
+        .join(recall_of(ivf, "recall_ivf"), "q_id", "left")
+        .na.fill({"recall_lsh": 0.0, "recall_ivf": 0.0})
+    )

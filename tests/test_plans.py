@@ -34,7 +34,7 @@ ALL_QUERIES = {**CORE_QUERIES, **EXT_QUERIES}
 # kernel (vectors.band_buckets_batch_udf — dense matmul, measured ~10x the
 # native higher-order path). Everything else stays JVM-side, and
 # row-at-a-time Python (BatchEvalPython) is banned outright.
-ARROW_KERNEL_QUERIES = {"x1_embedding_neardup", "x2_topk_lsh"}
+ARROW_KERNEL_QUERIES = {"x1_embedding_neardup", "x2_topk_lsh", "x2_recall_report"}
 
 
 @pytest.mark.parametrize("name", sorted(ALL_QUERIES))
