@@ -642,3 +642,47 @@ def ev2_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# =====================================================================
+# X1 — edit-distance verification of near-dup candidates
+# =====================================================================
+
+@query(
+    "x1_levenshtein_verify",
+    _PAIRS_SQL
+    + f"""
+    SELECT p.id_a, p.id_b,
+           CAST(levenshtein({_NORM_SQL.format(c='a.text')},
+                            {_NORM_SQL.format(c='b.text')}) AS BIGINT)
+             AS edit_dist
+    FROM pairs p
+    JOIN documents a ON p.id_a = a.doc_id
+    JOIN documents b ON p.id_b = b.doc_id
+    """,
+)
+def x1_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 second-stage verification: exact Levenshtein distance over the
+    n-gram-Jaccard candidate pairs — the precision stage a production dedup
+    runs after set-similarity recall (edit distance is O(len²) per pair, so
+    it only ever touches candidates, never the corpus cross product).
+    Classic DP distance is engine-independent → full oracle.
+
+    Scale: candidate pairs carry only ids through the shuffle; texts join
+    in per side, and each pair costs one DP table bounded by the text
+    length band that blocked it.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", "source", n=3, threshold=0.2)
+    a = d.select(F.col("doc_id").alias("_ia"), normalized_text_expr("text").alias("_ta"))
+    b = d.select(F.col("doc_id").alias("_ib"), normalized_text_expr("text").alias("_tb"))
+    return (
+        pairs.select("id_a", "id_b")
+        .join(a, F.col("id_a") == F.col("_ia"))
+        .join(b, F.col("id_b") == F.col("_ib"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("_ta"), F.col("_tb")).cast("long").alias("edit_dist"),
+        )
+    )
