@@ -73,10 +73,31 @@ def connected_components(
         # blocks. (Cluster caveat: localCheckpoint blocks don't survive
         # executor loss; long jobs on preemptible nodes should use
         # checkpoint() with a reliable checkpoint dir instead.)
-        new_labels = (
+        propagated = (
             labels.union(neighbor)
             .groupBy("_id")
             .agg(F.min("_lbl").alias("_lbl"))
+        )
+        # Pointer-doubling shortcut: additionally adopt the label OF my
+        # label ("my root's root"), halving path lengths every round —
+        # convergence drops from O(diameter) to O(log diameter) rounds,
+        # which is what makes adversarial chain graphs safe under a small
+        # max_iter. One extra self-join per round on the already-small
+        # label table.
+        p = propagated
+        new_labels = (
+            p.alias("x")
+            .join(
+                p.select(F.col("_id").alias("_lid"), F.col("_lbl").alias("_llbl")),
+                F.col("x._lbl") == F.col("_lid"),
+                "left",
+            )
+            .select(
+                F.col("x._id").alias("_id"),
+                F.least(
+                    F.col("x._lbl"), F.coalesce(F.col("_llbl"), F.col("x._lbl"))
+                ).alias("_lbl"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -89,6 +110,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} rounds; "
+            "the graph's effective diameter exceeds 2^max_iter — raise "
+            "max_iter (rounds are O(log diameter) with shortcutting)"
+        )
 
     singletons = (
         nodes.select(F.col(id_col).alias("_id"))

@@ -386,3 +386,18 @@ def test_scd2_merge_tracks_history(spark):
     again = scd2_merge(merged, updates, ["id_grupo"], ["nome", "classe"], "2024-03-01")
     assert again.count() == merged.count()
     assert again.filter(F.col("valid_from") == "2024-03-01").count() == 0
+
+
+def test_connected_components_chain_converges_in_log_rounds(spark):
+    """Pointer-doubling: a 60-node path graph (diameter 59) must converge
+    well inside max_iter=8 (2^8 ≫ 59 after halving each round)."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.graph import connected_components
+
+    n = 60
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, edges, max_iter=8).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
