@@ -262,3 +262,60 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path, sf_small):
         (r["event_id"], r["c_mktsegment"]) for r in spark.table("sse_test").collect()
     )
     assert got == expect
+
+
+def test_streaming_scd2_matches_batch_merge(spark, tmp_path):
+    """Dimension snapshots streamed as dated files produce the same Type-2
+    history as batch scd2_init+scd2_merge over the same snapshots, and a
+    restarted stream replaying nothing new leaves the dim unchanged."""
+    import json
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.streaming.scd import start_scd2_sink
+
+    in_dir = tmp_path / "snapshots"
+    in_dir.mkdir()
+    dim_path = str(tmp_path / "dim_grupo_scd")
+    ckpt = str(tmp_path / "ckpt")
+
+    snap1 = [
+        {"id_grupo": 1, "nome": "Casa", "snapshot_date": "2024-01-01"},
+        {"id_grupo": 2, "nome": "Trabalho", "snapshot_date": "2024-01-01"},
+    ]
+    snap2 = [
+        {"id_grupo": 1, "nome": "Casa e Jardim", "snapshot_date": "2024-02-01"},
+        {"id_grupo": 2, "nome": "Trabalho", "snapshot_date": "2024-02-01"},
+        {"id_grupo": 3, "nome": "Lazer", "snapshot_date": "2024-02-01"},
+    ]
+    (in_dir / "s1.json").write_text("\n".join(json.dumps(r) for r in snap1))
+    (in_dir / "s2.json").write_text("\n".join(json.dumps(r) for r in snap2))
+
+    schema = "id_grupo long, nome string, snapshot_date string"
+    stream = spark.readStream.schema(schema).json(str(in_dir))
+    q = start_scd2_sink(stream, dim_path, ckpt, ["id_grupo"], ["nome"])
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    got = {
+        (r["id_grupo"], str(r["valid_from"]), r["is_current"]): (
+            r["nome"],
+            str(r["valid_to"]),
+        )
+        for r in spark.read.parquet(dim_path).collect()
+    }
+    assert got == {
+        (1, "2024-01-01", False): ("Casa", "2024-02-01"),
+        (1, "2024-02-01", True): ("Casa e Jardim", "None"),
+        (2, "2024-01-01", True): ("Trabalho", "None"),
+        (3, "2024-02-01", True): ("Lazer", "None"),
+    }
+
+    # restart with no new files: stream replays nothing, dim unchanged
+    q2 = start_scd2_sink(
+        spark.readStream.schema(schema).json(str(in_dir)),
+        dim_path,
+        ckpt,
+        ["id_grupo"],
+        ["nome"],
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(dim_path).count() == 4
