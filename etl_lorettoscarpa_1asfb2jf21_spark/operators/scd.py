@@ -53,11 +53,17 @@ def scd2_merge(
     * existing key, unchanged → untouched
     * key absent from updates → untouched (no implicit deletes)
 
-    ``updates`` carries key + attr columns only; history columns are
-    managed here. Idempotent for a repeated identical snapshot.
+    ``updates`` carries key + attr columns only (one row per key — enforced
+    here by dropDuplicates); history columns are managed here. Idempotent
+    for a repeated identical snapshot. Attribute change detection is a
+    64-bit hash compare (false-unchanged odds 2^-64 per row).
     """
     eff = F.lit(effective_date).cast("date")
+    updates = updates.dropDuplicates(key_cols)
     cur_live = current.filter(F.col("is_current"))
+    # closed-out history rows are immutable — they must survive every merge
+    # untouched, including further changes to their key
+    history = current.filter(~F.col("is_current"))
     cur_hash = cur_live.withColumn("_h", _attr_hash(attr_cols))
     upd_hash = updates.withColumn("_h_new", _attr_hash(attr_cols))
 
@@ -98,5 +104,9 @@ def scd2_merge(
     changed_keys = diff.filter(is_changed).select(
         *[F.col(f"_k_{k}").alias(k) for k in key_cols]
     )
-    untouched = current.join(changed_keys, key_cols, "left_anti")
-    return untouched.unionByName(closed).unionByName(inserted)
+    live_untouched = cur_live.join(changed_keys, key_cols, "left_anti")
+    return (
+        history.unionByName(live_untouched)
+        .unionByName(closed)
+        .unionByName(inserted)
+    )

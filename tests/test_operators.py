@@ -401,3 +401,36 @@ def test_connected_components_chain_converges_in_log_rounds(spark):
         for r in connected_components(nodes, edges, max_iter=8).collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+def test_scd2_second_change_preserves_prior_history(spark):
+    """Regression: a key changing a SECOND time must keep its first-version
+    history row — only the live row closes, immutable history survives."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.scd import scd2_init, scd2_merge
+
+    dim = scd2_init(
+        spark.createDataFrame([(1, "v1")], "k long, attr string"), "2024-01-01"
+    )
+    m1 = scd2_merge(
+        dim,
+        spark.createDataFrame([(1, "v2")], "k long, attr string"),
+        ["k"],
+        ["attr"],
+        "2024-02-01",
+    )
+    m2 = scd2_merge(
+        m1,
+        spark.createDataFrame([(1, "v3")], "k long, attr string"),
+        ["k"],
+        ["attr"],
+        "2024-03-01",
+    )
+    rows = {
+        (r["attr"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+        for r in m2.collect()
+    }
+    assert rows == {
+        ("v1", "2024-01-01", "2024-02-01", False),
+        ("v2", "2024-02-01", "2024-03-01", False),
+        ("v3", "2024-03-01", "None", True),
+    }
