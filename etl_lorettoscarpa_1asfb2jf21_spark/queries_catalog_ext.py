@@ -1249,3 +1249,29 @@ def x2_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(recall_of(ivf, "recall_ivf"), "q_id", "left")
         .na.fill({"recall_lsh": 0.0, "recall_ivf": 0.0})
     )
+
+
+@query("x4_decode_features")  # mapInPandas decode — deterministic stub, rows-only
+def x4_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 decode path end-to-end: binary payloads → Arrow-batched
+    mapInPandas decode (deterministic fake decoder — the container ships no
+    media libs; the real decoder drops into the same batch loop) → native
+    feature normalization. The one sanctioned mapInPandas surface, exposed
+    as a catalog entry so its plan shape is part of the gate.
+
+    Scale: decode cost is per-byte, so batches are bounded by
+    maxRecordsPerBatch and the stage parallelizes per input split; feature
+    post-processing stays JVM-side (normalize is a native array expr).
+    """
+    from .multimodal.decode import decode_image_batch, extract_image_features
+
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    decoded = decode_image_batch(payloads, use_fake_decoder=True)
+    return extract_image_features(decoded).select(
+        "doc_id",
+        F.col("width").cast("long"),
+        F.col("height").cast("long"),
+        F.col("n_channels").cast("long"),
+        "features",
+    )

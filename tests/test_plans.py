@@ -35,12 +35,17 @@ ALL_QUERIES = {**CORE_QUERIES, **EXT_QUERIES}
 # native higher-order path). Everything else stays JVM-side, and
 # row-at-a-time Python (BatchEvalPython) is banned outright.
 ARROW_KERNEL_QUERIES = {"x1_embedding_neardup", "x2_topk_lsh", "x2_recall_report"}
+# The sanctioned mapInPandas surface (multimodal decode) — the only query
+# allowed a MapInPandas node.
+MAP_IN_PANDAS_QUERIES = {"x4_decode_features"}
 
 
 @pytest.mark.parametrize("name", sorted(ALL_QUERIES))
 def test_no_python_udf_in_any_catalog_plan(spark, sf_medium, name):
     plan = plan_of(ALL_QUERIES[name](spark, sf_medium))
     allowed = ("ArrowEvalPython", "PythonUDF") if name in ARROW_KERNEL_QUERIES else ()
+    if name in MAP_IN_PANDAS_QUERIES:
+        allowed = ("MapInPandas", "PythonUDF")
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"):
         if marker in allowed:
             continue
