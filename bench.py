@@ -43,10 +43,14 @@ def main() -> None:
 
     import gc
 
+    errors: dict[str, str] = {}
     for name, fn in qs.items():
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001 — one bad query must not lose the whole record
+            errors[name] = str(exc).splitlines()[0][:200]
         # each query is an independent measurement: drop cached blocks the
         # query pinned (cache()/localCheckpoint in iterative ops) so later
         # queries aren't taxed by earlier queries' storage-memory + GC churn
@@ -65,6 +69,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    if errors:
+        result["errors"] = errors
     print(json.dumps(result))
 
 
