@@ -63,3 +63,14 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql() use."""
     for n in TPCH_TABLES:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """EP3 parity (SURVEY.md §3): register every testdata table as a temp
+    view so ad-hoc ``spark.sql`` works the way Metabase's SQL works against
+    the reference warehouse. Views are lazy — registering costs nothing
+    until a query scans one, and every scan gets the same pruning/pushdown
+    as the DataFrame path (same relations underneath).
+    """
+    for name in TPCH_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -434,3 +434,20 @@ def test_scd2_second_change_preserves_prior_history(spark):
         ("v2", "2024-02-01", "2024-03-01", False),
         ("v3", "2024-03-01", "None", True),
     }
+
+
+def test_register_views_enables_adhoc_sql(spark, sf_small):
+    """EP3: after register_views, arbitrary SQL runs against the testdata —
+    the Metabase-over-warehouse consumption pattern on Spark SQL."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.sources.tables import register_views
+
+    register_views(spark, sf_small)
+    row = spark.sql(
+        """
+        SELECT r_name, COUNT(*) AS n
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY n DESC, r_name LIMIT 1
+        """
+    ).collect()[0]
+    assert row["n"] > 0 and row["r_name"]
