@@ -185,3 +185,62 @@ def test_connected_components_matches_union_find(spark, edge_list):
     )
     got = {r["id"]: r["component"] for r in connected_components(nodes, edges).collect()}
     assert got == expected
+
+
+snap_keys = st.integers(0, 5)
+snap_vals = st.sampled_from(["a", "b", "c"])
+
+
+@given(
+    st.lists(  # 1-3 successive snapshots, each a small key->value map
+        st.dictionaries(snap_keys, snap_vals, min_size=1, max_size=6),
+        min_size=1,
+        max_size=3,
+    )
+)
+@SLOW
+def test_scd2_matches_sequential_reference(spark, snapshots):
+    """scd2_init + repeated scd2_merge == a sequential dict-based SCD2 for
+    any snapshot sequence (inserts, changes, re-changes, absences,
+    identical re-uploads)."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.scd import scd2_init, scd2_merge
+
+    dates = ["2024-01-01", "2024-02-01", "2024-03-01"]
+
+    # sequential reference: closed rows + live dict
+    closed: list[tuple] = []  # (k, v, valid_from, valid_to)
+    live: dict[int, tuple] = {}  # k -> (v, valid_from)
+    for d, snap in zip(dates, snapshots):
+        for k, v in snap.items():
+            if k not in live:
+                live[k] = (v, d)
+            elif live[k][0] != v:
+                closed.append((k, live[k][0], live[k][1], d))
+                live[k] = (v, d)
+    expected = {(k, v, f, t, False) for k, v, f, t in closed} | {
+        (k, v, f, None, True) for k, (v, f) in live.items()
+    }
+
+    dim = scd2_init(
+        spark.createDataFrame(list(snapshots[0].items()), "k long, v string"),
+        dates[0],
+    )
+    for d, snap in zip(dates[1:], snapshots[1:]):
+        dim = scd2_merge(
+            dim,
+            spark.createDataFrame(list(snap.items()), "k long, v string"),
+            ["k"],
+            ["v"],
+            d,
+        )
+    got = {
+        (
+            r["k"],
+            r["v"],
+            str(r["valid_from"]),
+            None if r["valid_to"] is None else str(r["valid_to"]),
+            r["is_current"],
+        )
+        for r in dim.collect()
+    }
+    assert got == expected
