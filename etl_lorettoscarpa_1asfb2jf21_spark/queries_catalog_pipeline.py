@@ -686,3 +686,55 @@ def x1_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein(F.col("_ta"), F.col("_tb")).cast("long").alias("edit_dist"),
         )
     )
+
+
+@query(
+    "tp2_pack_sharded",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 4
+                  AS BIGINT) AS shard,
+             {_NTOK_SQL.format(c='text')} AS n
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, shard, n,
+             SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n AS tokens_before
+      FROM tok
+    )
+    SELECT shard,
+           CAST(FLOOR(tokens_before / 2048) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens
+    FROM cum GROUP BY 1, 2
+    """,
+)
+def tp2_pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP2 at scale: per-shard sequence packing — the embarrassingly
+    parallel form of tp2_pack_sequences (SCALE.md): the prefix sum runs
+    inside each md5-derived shard, so there is no global ordering bottleneck
+    and bin boundaries are per-shard, which is what training shards want.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) % 4
+    ).cast("long")
+    toks = d.select(
+        "doc_id", shard.alias("shard"), token_count_expr("text").cast("long").alias("n")
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        toks.withColumn("tokens_before", F.coalesce(F.sum("n").over(w), F.lit(0)))
+        .groupBy(
+            "shard",
+            F.floor(F.col("tokens_before") / 2048).cast("long").alias("bin_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+        )
+    )
