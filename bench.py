@@ -50,7 +50,8 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 4)
         except Exception as exc:  # noqa: BLE001 — one bad query must not lose the whole record
-            errors[name] = str(exc).splitlines()[0][:200]
+            msg = str(exc).splitlines() or [type(exc).__name__]
+            errors[name] = msg[0][:200]
         # each query is an independent measurement: drop cached blocks the
         # query pinned (cache()/localCheckpoint in iterative ops) so later
         # queries aren't taxed by earlier queries' storage-memory + GC churn

@@ -58,6 +58,16 @@ def scd2_merge(
     for a repeated identical snapshot. Attribute change detection is a
     64-bit hash compare (false-unchanged odds 2^-64 per row).
     """
+    # column contract: the dimension must be exactly key + tracked attrs +
+    # meta. Untracked (Type-1 style) extra columns would be silently
+    # unresolvable when rebuilding inserted rows — fail loudly instead.
+    expected = set(key_cols) | set(attr_cols) | set(META_COLS)
+    extra = [c for c in current.columns if c not in expected]
+    if extra:
+        raise ValueError(
+            f"scd2_merge: dimension has columns outside key+attr+meta: {extra}; "
+            "track them in attr_cols or project them out before merging"
+        )
     eff = F.lit(effective_date).cast("date")
     updates = updates.dropDuplicates(key_cols)
     cur_live = current.filter(F.col("is_current"))

@@ -60,12 +60,6 @@ def load_tables(
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every testdata table as a temp view for spark.sql() use."""
-    for n in TPCH_TABLES:
-        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
-
-
-def register_views(spark: SparkSession, sf_dir: str) -> None:
     """EP3 parity (SURVEY.md §3): register every testdata table as a temp
     view so ad-hoc ``spark.sql`` works the way Metabase's SQL works against
     the reference warehouse. Views are lazy — registering costs nothing

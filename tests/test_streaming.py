@@ -319,3 +319,48 @@ def test_streaming_scd2_matches_batch_merge(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(dim_path).count() == 4
+
+
+def test_streaming_scd2_replay_of_processed_batch_is_noop(spark, tmp_path):
+    """Regression (review finding): replaying already-applied snapshots —
+    a fresh checkpoint over the same files, the at-least-once worst case —
+    must leave the dimension byte-identical. Without the monotonicity
+    guard, re-applying the older snapshot on top of newer history closed
+    rows with valid_to < valid_from and duplicated history."""
+    import json
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.streaming.scd import start_scd2_sink
+
+    in_dir = tmp_path / "snapshots"
+    in_dir.mkdir()
+    dim_path = str(tmp_path / "dim")
+    (in_dir / "s1.json").write_text(
+        json.dumps({"k": 1, "v": "v1", "snapshot_date": "2024-01-01"})
+    )
+    (in_dir / "s2.json").write_text(
+        json.dumps({"k": 1, "v": "v2", "snapshot_date": "2024-02-01"})
+    )
+    schema = "k long, v string, snapshot_date string"
+
+    q = start_scd2_sink(
+        spark.readStream.schema(schema).json(str(in_dir)),
+        dim_path,
+        str(tmp_path / "ckpt1"),
+        ["k"],
+        ["v"],
+    )
+    q.awaitTermination(120)
+    before = sorted(map(str, spark.read.parquet(dim_path).collect()))
+
+    # fresh checkpoint: the stream replays BOTH files onto the built dim
+    q2 = start_scd2_sink(
+        spark.readStream.schema(schema).json(str(in_dir)),
+        dim_path,
+        str(tmp_path / "ckpt2"),
+        ["k"],
+        ["v"],
+    )
+    q2.awaitTermination(120)
+    after = sorted(map(str, spark.read.parquet(dim_path).collect()))
+    assert after == before
+    assert len(after) == 2  # v1 closed + v2 current, exactly once
