@@ -738,3 +738,75 @@ def tp2_pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").cast("long").alias("total_tokens"),
         )
     )
+
+
+# =====================================================================
+# TS1 — time-series gap filling (spine + left join + zero-fill)
+# =====================================================================
+
+@query(
+    "ts1_gap_fill",
+    """
+    WITH bounds AS (
+      SELECT o_custkey,
+             CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS mn,
+             CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS mx
+      FROM orders GROUP BY o_custkey
+    ),
+    spine AS (
+      SELECT o_custkey,
+             CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+                                         CAST(mx AS TIMESTAMP),
+                                         INTERVAL 1 MONTH)) AS DATE) AS month
+      FROM bounds
+    ),
+    actual AS (
+      SELECT o_custkey,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT s.o_custkey,
+           CAST(s.month AS VARCHAR) AS month,
+           CAST(COALESCE(a.total, 0) AS DOUBLE) AS total
+    FROM spine s
+    LEFT JOIN actual a ON s.o_custkey = a.o_custkey AND s.month = a.month
+    WHERE s.o_custkey <= 100
+    """,
+)
+def ts1_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS1: gap filling — a complete month spine per customer (min..max
+    order month, generated with sequence+explode), left-joined to actual
+    monthly totals with zero-fill. The standard pre-step for time-series
+    models that can't tolerate missing periods. Restricted to custkey<=100
+    to keep the oracle comparison small; the shape is cardinality-blind.
+
+    Scale: the spine is generated, not scanned — rows = customers x
+    month-span, built map-side from the (min, max) aggregate; both join
+    sides hash on (custkey, month).
+    """
+    from pyspark.sql.types import DecimalType as _Dec
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    bounds = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("mn"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("mx"),
+    )
+    spine = bounds.select(
+        "o_custkey",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 MONTH"))).alias("_m"),
+    ).select("o_custkey", F.col("_m").cast("date").alias("month"))
+    actual = o.groupBy(
+        "o_custkey",
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+    ).agg(F.sum(F.col("o_totalprice").cast(_Dec(18, 2))).alias("total"))
+    return (
+        spine.join(actual, ["o_custkey", "month"], "left")
+        .select(
+            "o_custkey",
+            F.col("month").cast("string").alias("month"),
+            F.coalesce(F.col("total"), F.lit(0).cast(_Dec(18, 2)))
+            .cast("double")
+            .alias("total"),
+        )
+    )
