@@ -1275,3 +1275,69 @@ def x4_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_channels").cast("long"),
         "features",
     )
+
+
+@query(
+    "f14_date_arithmetic",
+    """
+    WITH m AS (
+      SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS m
+      FROM orders
+    )
+    SELECT CAST(m AS VARCHAR) AS month_start,
+           CAST(CAST(m + INTERVAL 1 MONTH AS DATE) AS VARCHAR) AS next_month,
+           CAST(CAST(m - INTERVAL 7 DAY AS DATE) AS VARCHAR) AS week_before,
+           CAST(last_day(m) AS VARCHAR) AS month_end,
+           CAST(date_diff('day', DATE '1995-01-01', m) AS BIGINT) AS days_since_epoch
+    FROM m
+    """,
+)
+def f14_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-family completion: add_months / date_sub / last_day / datediff over
+    month-start anchors (month starts sidestep end-of-month clamping
+    differences that don't arise in the reference's MM/yyyy grain)."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.select(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("m")
+    ).distinct()
+    return m.select(
+        F.col("m").cast("string").alias("month_start"),
+        F.add_months("m", 1).cast("string").alias("next_month"),
+        F.date_sub("m", 7).cast("string").alias("week_before"),
+        F.last_day("m").cast("string").alias("month_end"),
+        F.datediff("m", F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch"),
+    )
+
+
+@query(
+    "ev3_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, COUNT(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def ev3_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV3: event-transition (Markov) matrix — per-user event sequences via
+    a lead window, then pair counts. The event_id tiebreak makes same-
+    timestamp ordering deterministic across engines.
+
+    Scale: one shuffle on user_id for the window; the transition aggregate
+    is |event_types|² rows regardless of event volume.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    return seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
