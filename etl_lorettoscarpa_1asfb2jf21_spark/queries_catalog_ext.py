@@ -1341,3 +1341,76 @@ def ev3_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.groupBy("event_type", "next_type").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@query(
+    "s5_except_all",
+    """
+    SELECT c_nationkey AS k FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS k FROM supplier
+    """,
+)
+def s5_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op with multiplicity: EXCEPT ALL keeps (count_left - count_right)
+    copies per value — bag semantics, unlike s2's set-based EXCEPT. Spark
+    plans it as a counted aggregate + generate, not an anti-join."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.exceptAll(s)
+
+
+@query(
+    "w6_first_last_value",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(FIRST_VALUE(o_totalprice) OVER w AS DOUBLE) AS first_price,
+           CAST(LAST_VALUE(o_totalprice) OVER w AS DOUBLE) AS last_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def w6_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last_value over an explicit full frame (the default frame ends
+    at CURRENT ROW, which silently makes last_value == current row — the
+    classic window-frame trap, made explicit here). o_orderkey tiebreak
+    keeps same-date ordering deterministic across engines."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).cast("double").alias("first_price"),
+        F.last("o_totalprice").over(w).cast("double").alias("last_price"),
+    )
+
+
+@query(
+    "g6_multi_count_distinct",
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           COUNT(DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE)) AS n_months,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def g6_multi_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT ...) over different columns in one aggregate
+    — Spark plans this with an Expand (row replication per distinct column)
+    feeding a two-level aggregate; a plan shape none of the other aggregate
+    queries exercise."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("n_custs"),
+        F.count_distinct(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date")
+        ).alias("n_months"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
