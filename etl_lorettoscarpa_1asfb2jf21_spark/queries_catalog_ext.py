@@ -1288,13 +1288,13 @@ def x4_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(m + INTERVAL 1 MONTH AS DATE) AS VARCHAR) AS next_month,
            CAST(CAST(m - INTERVAL 7 DAY AS DATE) AS VARCHAR) AS week_before,
            CAST(last_day(m) AS VARCHAR) AS month_end,
-           CAST(date_diff('day', DATE '1995-01-01', m) AS BIGINT) AS days_since_epoch
+           CAST(date_diff('day', DATE '1995-01-01', m) AS BIGINT) AS days_since_anchor
     FROM m
     """,
 )
 def f14_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F-family completion: add_months / date_sub / last_day / datediff over
-    month-start anchors (month starts sidestep end-of-month clamping
+    """F-family completion: add_months / date_sub / last_day / datediff (days since the
+    1995-01-01 corpus anchor) over month-start anchors (month starts sidestep end-of-month clamping
     differences that don't arise in the reference's MM/yyyy grain)."""
     o = load_table(spark, sf_dir, "orders")
     m = o.select(
@@ -1307,7 +1307,7 @@ def f14_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last_day("m").cast("string").alias("month_end"),
         F.datediff("m", F.lit("1995-01-01").cast("date"))
         .cast("long")
-        .alias("days_since_epoch"),
+        .alias("days_since_anchor"),
     )
 
 

@@ -788,18 +788,20 @@ def ts1_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import DecimalType as _Dec
 
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
-    bounds = o.groupBy("o_custkey").agg(
-        F.date_trunc("month", F.min("o_orderdate")).alias("mn"),
-        F.date_trunc("month", F.max("o_orderdate")).alias("mx"),
+    actual = o.groupBy(
+        "o_custkey",
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+    ).agg(F.sum(F.col("o_totalprice").cast(_Dec(18, 2))).alias("total"))
+    # bounds derive from the (already tiny) monthly aggregate — one fact
+    # scan/shuffle total, not two
+    bounds = actual.groupBy("o_custkey").agg(
+        F.min("month").cast("timestamp").alias("mn"),
+        F.max("month").cast("timestamp").alias("mx"),
     )
     spine = bounds.select(
         "o_custkey",
         F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 MONTH"))).alias("_m"),
     ).select("o_custkey", F.col("_m").cast("date").alias("month"))
-    actual = o.groupBy(
-        "o_custkey",
-        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
-    ).agg(F.sum(F.col("o_totalprice").cast(_Dec(18, 2))).alias("total"))
     return (
         spine.join(actual, ["o_custkey", "month"], "left")
         .select(
