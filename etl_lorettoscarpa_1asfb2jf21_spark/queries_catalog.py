@@ -648,6 +648,7 @@ def k1_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Extension catalogs merge in at import time: X1-X4 + engine breadth,
 # TPC-H canonical shapes, training-data pipeline ops.
 from . import queries_catalog_ext as _ext  # noqa: E402
+from . import queries_catalog_extras as _extras  # noqa: E402
 from . import queries_catalog_pipeline as _pipe  # noqa: E402
 from . import queries_catalog_shapes as _shapes  # noqa: E402
 
@@ -657,3 +658,5 @@ QUERIES.update(_shapes.QUERIES)
 ORACLE_SQL.update(_shapes.ORACLE_SQL)
 QUERIES.update(_pipe.QUERIES)
 ORACLE_SQL.update(_pipe.ORACLE_SQL)
+QUERIES.update(_extras.QUERIES)
+ORACLE_SQL.update(_extras.ORACLE_SQL)

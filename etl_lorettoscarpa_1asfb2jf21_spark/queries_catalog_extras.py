@@ -1,0 +1,398 @@
+"""Engine-breadth catalog, round 3: remaining relational surface the earlier
+catalogs didn't touch — null-safe equality join, cross join, conditional
+scalar expressions, extended calendar parts, dispersion statistics, the
+string-function family, INTERSECT ALL, overlapping document chunking (the
+context-window prep step of an LLM corpus build), and per-group feature
+scaling (z-score + min-max).
+
+Same contract as queries_catalog: QUERIES[name] = (spark, sf_dir) -> DF,
+ORACLE_SQL[name] = the DuckDB twin, column names aligned on both sides.
+
+Cross-engine determinism notes:
+  * dispersion stats and feature scales are double-precision accumulations
+    whose partial-aggregation order differs between engines; outputs are
+    ROUND()ed (4-6 dp, values O(1)-O(1e5)) so a 1e-12-relative wobble can't
+    flip the hash;
+  * chunking derives every output column as a pure function of (token
+    array, start offset), with the tokenizer written identically on both
+    sides (trim + split on '\\s+').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from .sources.tables import load_table
+
+DEC = DecimalType(18, 2)
+
+QUERIES: dict = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# Joins: null-safe equality, cross join
+# =====================================================================
+
+
+@query(
+    "j10_null_safe_join",
+    """
+    WITH l AS (
+      SELECT c_custkey, NULLIF(c_nationkey % 7, 3) AS k FROM customer
+    ), r AS (
+      SELECT s_suppkey, NULLIF(s_nationkey % 7, 3) AS k FROM supplier
+    )
+    SELECT l.k AS k, COUNT(*) AS pairs
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY l.k
+    """,
+)
+def j10_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (`<=>` / IS NOT DISTINCT FROM): null keys match
+    null keys, unlike plain `=` which drops them. The reference's Postgres
+    planner gets this via IS NOT DISTINCT FROM; Spark's eqNullSafe keeps it
+    a *hashable* join key (EqualNullSafe is rewritten to a coalesce-style
+    key internally), so the plan stays a broadcast/shuffled hash join — it
+    does NOT degrade to a nested-loop join, which is what matters at scale.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey") % 7, F.lit(3)).alias("k")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.nullif(F.col("s_nationkey") % 7, F.lit(3)).alias("kr")
+    )
+    return (
+        c.join(s, c["k"].eqNullSafe(s["kr"]), "inner")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("pairs"))
+    )
+
+
+@query(
+    "j11_cross_join",
+    """
+    SELECT r.r_name, n.n_name,
+           length(r.r_name) + length(n.n_name) AS name_len
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def j11_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (5 x 25 rows) with a computed column.
+    Only safe when one side is tiny; Spark plans it as
+    BroadcastNestedLoopJoin with the small side broadcast — the correct
+    physical shape at any scale of the big side.
+    """
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n).select(
+        "r_name",
+        "n_name",
+        (F.length("r_name") + F.length("n_name")).cast("long").alias("name_len"),
+    )
+
+
+# =====================================================================
+# Scalar conditional expressions
+# =====================================================================
+
+
+@query(
+    "c1_conditional_exprs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity < 10 THEN 'low'
+                WHEN l_quantity < 30 THEN 'mid'
+                ELSE 'high' END AS qty_band,
+           COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS rf,
+           CAST(LEAST(CAST(l_extendedprice AS DECIMAL(18,2)),
+                      CAST(20000 AS DECIMAL(18,2))) AS DOUBLE) AS capped_price,
+           CAST(GREATEST(CAST(l_tax AS DECIMAL(18,2)),
+                         CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS max_rate
+    FROM lineitem
+    """,
+)
+def c1_conditional_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conditional-expression family in one pass: searched CASE,
+    NULLIF+COALESCE, LEAST/GREATEST. All evaluate inside whole-stage
+    codegen — map-only, zero shuffles, scales linearly with input.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") < 10, "low")
+        .when(F.col("l_quantity") < 30, "mid")
+        .otherwise("high")
+        .alias("qty_band"),
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias(
+            "rf"
+        ),
+        F.least(F.col("l_extendedprice").cast(DEC), F.lit(20000).cast(DEC))
+        .cast("double")
+        .alias("capped_price"),
+        F.greatest(F.col("l_tax").cast(DEC), F.col("l_discount").cast(DEC))
+        .cast("double")
+        .alias("max_rate"),
+    )
+
+
+# =====================================================================
+# Calendar parts beyond F8-F13
+# =====================================================================
+
+
+@query(
+    "f15_calendar_parts",
+    """
+    SELECT DISTINCT strftime(o_orderdate, '%Y-%m-%d') AS d,
+           CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS q,
+           CAST(EXTRACT(DOW FROM o_orderdate) + 1 AS BIGINT) AS dow,
+           CAST(EXTRACT(DOY FROM o_orderdate) AS BIGINT) AS doy,
+           CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+             AS epoch_day
+    FROM orders
+    """,
+)
+def f15_calendar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter / day-of-week / day-of-year / epoch-day extraction over the
+    distinct order dates. Convention trap made explicit: Spark dayofweek()
+    is 1=Sunday..7=Saturday while DuckDB EXTRACT(DOW) is 0=Sunday..6 — the
+    oracle adds 1 rather than silently disagreeing.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("epoch_day"),
+    ).distinct()
+
+
+# =====================================================================
+# Dispersion statistics (stddev / variance / correlation)
+# =====================================================================
+
+
+@query(
+    "a6_dispersion",
+    """
+    SELECT l_returnflag,
+           ROUND(CAST(stddev_samp(CAST(l_quantity AS DOUBLE)) AS DOUBLE), 4)
+             AS sd_qty,
+           ROUND(CAST(var_samp(CAST(l_quantity AS DOUBLE)) AS DOUBLE), 4)
+             AS var_qty,
+           ROUND(CAST(corr(CAST(l_quantity AS DOUBLE),
+                           CAST(l_extendedprice AS DOUBLE)) AS DOUBLE), 4)
+             AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a6_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates per group: sample stddev/variance and
+    Pearson correlation. Both engines use single-pass co-moment updates
+    (partial-aggregable, so Spark keeps map-side combine); results are
+    ROUND(4)ed because the merge order of partials legitimately differs.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    p = F.col("l_extendedprice").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp(q), 4).alias("sd_qty"),
+        F.round(F.var_samp(q), 4).alias("var_qty"),
+        F.round(F.corr(q, p), 4).alias("corr_qty_price"),
+    )
+
+
+# =====================================================================
+# String-function family
+# =====================================================================
+
+
+@query(
+    "str1_string_family",
+    """
+    SELECT p_partkey,
+           substring(p_name, 1, 5) AS name5,
+           upper(p_brand) AS brand_u,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4,
+           strpos(p_name, 'a') AS a_pos,
+           reverse(p_type) AS type_rev,
+           translate(p_type, 'AEIOU', 'aeiou') AS type_tr,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           CAST(length(p_name) AS BIGINT) AS name_len
+    FROM part
+    """,
+)
+def str1_string_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar string family in one projection: substring, upper, lpad,
+    position (Spark instr == DuckDB strpos, both 1-based / 0 when absent),
+    reverse, translate, regexp_extract, length. Map-only, codegen'd.
+    """
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.upper("p_brand").alias("brand_u"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
+        F.instr(F.col("p_name"), "a").alias("a_pos"),
+        F.reverse("p_type").alias("type_rev"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("type_tr"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.length("p_name").cast("long").alias("name_len"),
+    )
+
+
+# =====================================================================
+# Set op: INTERSECT ALL (multiset semantics)
+# =====================================================================
+
+
+@query(
+    "s6_intersect_all",
+    """
+    SELECT o_custkey AS k FROM orders
+    INTERSECT ALL
+    SELECT c_custkey AS k FROM customer
+    """,
+)
+def s6_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL: each key appears min(count_left, count_right) times —
+    multiset, not set, semantics (a customer with 9 orders contributes
+    min(9,1)=1 row). Completes the set-op family (s1-s5). Spark plans this
+    as a single hash aggregate counting per-side multiplicities — one
+    shuffle, no join.
+    """
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    return o.intersectAll(c)
+
+
+# =====================================================================
+# tp6: overlapping document chunking (context-window prep)
+# =====================================================================
+
+_CHUNK, _STRIDE = 128, 96
+
+
+@query(
+    "tp6_chunk_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+      WHERE length(trim(coalesce(text, ''))) > 0
+    ), s AS (
+      SELECT doc_id, toks,
+             UNNEST(generate_series(0, greatest(len(toks) - 1, 0), {_STRIDE}))
+               AS st
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(st // {_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(toks, st + 1, st + {_CHUNK})) AS BIGINT)
+             AS n_tok,
+           md5(array_to_string(list_slice(toks, st + 1, st + {_CHUNK}), ' '))
+             AS chunk_md5
+    FROM s
+    """,
+)
+def tp6_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width chunking — the step that turns documents
+    into model-context-sized training windows (width 128 tokens, stride 96,
+    32-token overlap so no boundary context is lost). Pure map + explode:
+    no shuffle at all, scales embarrassingly to 100 TB (each document is
+    chunked independently wherever it already lives). Every output column
+    is a pure function of (token array, start), so the DuckDB twin is
+    exact; chunk identity is the md5 of the joined tokens, ready to feed
+    the x1 dedup family downstream.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size("toks")
+    chunk = F.slice(F.col("toks"), F.col("st") + 1, _CHUNK)
+    return (
+        d.filter(F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0)
+        .select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(_STRIDE))
+            ).alias("st"),
+        )
+        .select(
+            "doc_id",
+            F.floor(F.col("st") / _STRIDE).cast("long").alias("chunk_idx"),
+            F.size(chunk).cast("long").alias("n_tok"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        )
+    )
+
+
+# =====================================================================
+# ml1: per-group feature scaling (z-score + min-max)
+# =====================================================================
+
+
+@query(
+    "ml1_feature_scale",
+    """
+    WITH s AS (
+      SELECT o_orderpriority,
+             avg(CAST(o_totalprice AS DOUBLE)) AS mu,
+             stddev_samp(CAST(o_totalprice AS DOUBLE)) AS sd,
+             min(CAST(o_totalprice AS DOUBLE)) AS lo,
+             max(CAST(o_totalprice AS DOUBLE)) AS hi
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderkey,
+           ROUND((CAST(o.o_totalprice AS DOUBLE) - s.mu) / s.sd, 4) AS zscore,
+           ROUND((CAST(o.o_totalprice AS DOUBLE) - s.lo) / (s.hi - s.lo), 6)
+             AS minmax
+    FROM orders o JOIN s USING (o_orderpriority)
+    """,
+)
+def ml1_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature normalization (z-score and min-max) — the
+    numeric-feature prep step of a training pipeline. Written as
+    aggregate-then-broadcast-join rather than a window: the per-group
+    stats table is tiny (one row per group), so the join broadcasts and
+    the big side never shuffles — a window over the same partition key
+    would shuffle the entire fact table. ROUND absorbs double partial-sum
+    ordering differences.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice").cast("double")
+    stats = o.groupBy("o_orderpriority").agg(
+        F.avg(x).alias("mu"),
+        F.stddev_samp(x).alias("sd"),
+        F.min(x).alias("lo"),
+        F.max(x).alias("hi"),
+    )
+    return (
+        o.join(F.broadcast(stats), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            F.round((x - F.col("mu")) / F.col("sd"), 4).alias("zscore"),
+            F.round((x - F.col("lo")) / (F.col("hi") - F.col("lo")), 6).alias(
+                "minmax"
+            ),
+        )
+    )
