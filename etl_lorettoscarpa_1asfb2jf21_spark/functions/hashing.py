@@ -34,6 +34,23 @@ def canonical_key(cols: Sequence[Column | str], sep: str = "-") -> Column:
     return F.concat_ws(sep, *parts)
 
 
+def md5_long60(col: Column | str) -> Column:
+    """Engine-portable 60-bit hash: first 15 md5 hex chars as a bigint.
+
+    DuckDB computes the identical value with
+    ``('0x' || substr(md5(c), 1, 15))::BIGINT``, which makes any
+    hash-partitioned / hash-signed operator built on it (MinHash bins,
+    SimHash bit votes, band buckets) exactly mirrorable in an ANSI-SQL
+    oracle — unlike ``xxhash64``, whose seeded XXH64 exists only in Spark.
+    ~2-3× slower per call than xxhash64, so hot paths keep xxhash64 and the
+    oracle-checked catalog queries opt in via ``portable=True``.
+    Value range [0, 2^60): always non-negative, so ``pmod``/``%`` and
+    decimal string renderings agree across engines.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
 def business_key_hash(
     tipo: str = "Tipo",
     grupo: str = "Grupo",

@@ -24,8 +24,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_long60
 from ..functions.text import char_ngrams_expr, normalized_text_expr
 from .partitioning import spread
+
+
+def _gram_hash(g, portable: bool):
+    """Per-gram hash: xxhash64 (fast, engine-specific) or the md5-derived
+    60-bit portable hash (exactly mirrorable in the DuckDB oracle)."""
+    return md5_long60(g) if portable else F.xxhash64(g)
 
 
 def _hashed_ngrams_expr(text_col: str, n: int, distinct: bool = True):
@@ -60,12 +67,12 @@ def _spread_normalized(df: DataFrame, text_col: str, keep: list, factor: int = 1
     return spread(df.select(*cols), factor=factor)
 
 
-def _hashed_ngrams_from_norm(n: int, distinct: bool = True):
+def _hashed_ngrams_from_norm(n: int, distinct: bool = True, portable: bool = False):
     """_hashed_ngrams_expr over the pre-materialized ``_norm`` column."""
     grams = char_ngrams_expr("_norm", n, pre_normalized=True)
     if distinct:
         grams = F.array_distinct(grams)
-    return F.transform(grams, lambda g: F.xxhash64(g))
+    return F.transform(grams, lambda g: _gram_hash(g, portable))
 
 
 def bucket_pairs(buckets: DataFrame, id_col: str, bucket_cols: list[str]) -> DataFrame:
@@ -117,6 +124,7 @@ def minhash_signature(
     id_col: str,
     num_hashes: int = 16,
     shingle_size: int = 6,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, sig array<long>) — one-permutation minhash over char shingles.
 
@@ -131,7 +139,9 @@ def minhash_signature(
     """
     shingles = _spread_normalized(df, text_col, keep=[id_col]).select(
         F.col(id_col),
-        F.explode(_hashed_ngrams_from_norm(shingle_size, distinct=False)).alias("_sh"),
+        F.explode(
+            _hashed_ngrams_from_norm(shingle_size, distinct=False, portable=portable)
+        ).alias("_sh"),
     )
     bin_mins = shingles.groupBy(
         id_col, F.pmod(F.col("_sh"), F.lit(num_hashes)).alias("_bin")
@@ -161,6 +171,7 @@ def minhash_lsh_pairs(
     # edits keep true near-dups above threshold
     shingle_size: int = 6,
     jaccard_threshold: float = 0.7,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) with exact Jaccard verify.
 
@@ -169,15 +180,25 @@ def minhash_lsh_pairs(
     pairs (bucket_pairs: single signature pass, no self-join) → verify with
     exact shingle-set Jaccard.
     Returns columns: id_a, id_b, jaccard.
+
+    ``portable=True`` swaps every engine-specific hash (xxhash64 shingles,
+    xxhash64 band buckets) for md5-derived forms DuckDB reproduces exactly,
+    making the WHOLE pipeline — candidate generation included — oracle-
+    checkable. Buckets become md5 hex strings of the '-'-joined band slice;
+    signature values are non-negative, so both engines render identical
+    decimal strings into the bucket key.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_size)
+    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_size, portable)
+
+    def band_bucket(b: int):
+        elems = [F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+        if portable:
+            return F.md5(F.concat_ws("-", *[e.cast("string") for e in elems]))
+        return F.xxhash64(*elems)
 
     band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias("bucket"),
-        )
+        F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
         for b in range(bands)
     ]
     buckets = sig.select(
@@ -188,7 +209,7 @@ def minhash_lsh_pairs(
 
     shingles = _spread_normalized(df, text_col, keep=[id_col]).select(
         F.col(id_col).alias("_sid"),
-        _hashed_ngrams_from_norm(shingle_size).alias("_shs"),
+        _hashed_ngrams_from_norm(shingle_size, portable=portable).alias("_shs"),
     )
     verified = (
         cand.join(shingles.withColumnRenamed("_sid", "id_a").withColumnRenamed("_shs", "_shs_a"), "id_a")
@@ -220,28 +241,35 @@ def minhash_lsh_dedup(
 
 # ---------------------------------------------------------------- simhash
 
-def simhash_signature(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def simhash_signature(
+    df: DataFrame, text_col: str, id_col: str, portable: bool = False
+) -> DataFrame:
     """(id, simhash long) — 64-bit SimHash over whitespace tokens.
 
     Per token: xxhash64 → 64 bits → ±1 contributions; per document: sign of
     the per-bit sum. All native bit arithmetic (shiftright/bitwise-and),
     one explode + one groupBy.
+
+    ``portable=True`` uses the md5-derived 60-bit token hash instead of
+    xxhash64 (fingerprint is then 60 bits, always non-negative), so the
+    signature — bit votes and all — is reproducible in the DuckDB oracle.
     """
+    nbits = 60 if portable else 64
     toks = spread(df).select(
         F.col(id_col),
         F.explode(F.split(normalized_text_expr(text_col), r"\s+")).alias("_t"),
     ).filter(F.length("_t") > 0)
-    h = F.xxhash64(F.col("_t"))
+    h = _gram_hash(F.col("_t"), portable)
     bit_cols = [
         F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1).alias(f"_b{i}")
-        for i in range(64)
+        for i in range(nbits)
     ]
     per_tok = toks.select(id_col, *bit_cols)
     sums = per_tok.groupBy(id_col).agg(
-        *[F.sum(f"_b{i}").alias(f"_s{i}") for i in range(64)]
+        *[F.sum(f"_b{i}").alias(f"_s{i}") for i in range(nbits)]
     )
     fingerprint = None
-    for i in range(64):
+    for i in range(nbits):
         bit = F.when(F.col(f"_s{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = bit * F.lit(1 << i).cast("long") if i < 63 else F.when(
             F.col(f"_s{i}") > 0, F.lit(-(1 << 63)).cast("long")

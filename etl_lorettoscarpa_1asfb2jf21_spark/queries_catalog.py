@@ -168,10 +168,10 @@ def p5_any_null_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT event_id,
-           [f FOR f IN [
+           concat_ws(',',
               CASE WHEN et IS NULL THEN 'et' END,
               CASE WHEN v IS NULL THEN 'v' END
-           ] IF f IS NOT NULL] AS null_fields
+           ) AS null_fields
     FROM t
     WHERE et IS NULL OR v IS NULL
     """,
@@ -182,7 +182,11 @@ def p6_null_field_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     The driver testdata carries no actual NULLs, so the report runs over
     deterministically derived nullable columns (error event_type, low value)
     — the operator logic (any-null mask + per-field name array) is identical
-    to the reference's validation gate.
+    to the reference's validation gate. The report column is emitted as a
+    comma-joined STRING (not array<string>): the driver's pandas
+    canonicalizer cannot sort/hash list cells, and both engines' concat
+    skips NULLs in the declared column order, so the string forms agree
+    byte-for-byte.
     """
     from .operators.validate import any_null_mask, null_fields_expr
 
@@ -194,7 +198,8 @@ def p6_null_field_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("value") < 5, None).otherwise(F.col("value")).alias("v"),
     )
     return e.filter(any_null_mask(["et", "v"])).select(
-        "event_id", null_fields_expr(["et", "v"]).alias("null_fields")
+        "event_id",
+        F.array_join(null_fields_expr(["et", "v"]), ",").alias("null_fields"),
     )
 
 

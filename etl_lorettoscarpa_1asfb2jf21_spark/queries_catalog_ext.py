@@ -81,22 +81,121 @@ def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(d, "text", "doc_id").select("doc_id")
 
 
-@query("x1_minhash_dedup")  # hash-based LSH — rows-only check
+# Engine-portable 60-bit hash (functions.hashing.md5_long60 twin): first 15
+# md5 hex chars as BIGINT — identical values in both engines, verified in
+# tests/test_functions.py.
+_H60 = "('0x' || substr(md5({c}), 1, 15))::BIGINT"
+
+# --- x1_minhash_dedup oracle: the FULL LSH pipeline in SQL. Portable mode
+# makes candidate generation deterministic: shingle hash = md5-60bit, band
+# bucket = md5 of the '-'-joined 4-element signature slice.
+_MH_K, _MH_BANDS, _MH_RPB, _MH_N = 16, 4, 4, 6
+_MH_SENT = (1 << 62) - 1
+_MH_SIG_COLS = ",\n             ".join(
+    f"coalesce(min(CASE WHEN bin = {i} THEN mh END), {_MH_SENT - i}) AS s{i}"
+    for i in range(_MH_K)
+)
+_MH_BUCKET_CASE = "\n             ".join(
+    f"WHEN {b} THEN md5(concat_ws('-', "
+    + ", ".join(f"s{b * _MH_RPB + r}" for r in range(_MH_RPB))
+    + "))"
+    for b in range(_MH_BANDS)
+)
+_MH_ORACLE = f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM_SQL.format(c='text')} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, {_H60.format(c='g')} AS h
+      FROM (
+        SELECT doc_id,
+               unnest([substr(t, CAST(i AS INT), {_MH_N})
+                       FOR i IN range(1, len(t) - {_MH_N - 2})]) AS g
+        FROM norm WHERE len(t) >= {_MH_N}
+      )
+    ), binmin AS (
+      SELECT doc_id, h % {_MH_K} AS bin, min(h) AS mh
+      FROM sh GROUP BY doc_id, h % {_MH_K}
+    ), sig AS (
+      SELECT doc_id,
+             {_MH_SIG_COLS}
+      FROM binmin GROUP BY doc_id
+    ), buckets AS (
+      SELECT doc_id, band,
+             CASE band
+             {_MH_BUCKET_CASE}
+             END AS bucket
+      FROM sig, (VALUES (0), (1), (2), (3)) AS bb(band)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a
+      JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                    AND a.doc_id < b.doc_id
+    ), gr AS (
+      SELECT doc_id, list(DISTINCT h) AS g FROM sh GROUP BY doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.g, b.g))) AS jaccard
+    FROM cand c
+    JOIN gr a ON c.id_a = a.doc_id
+    JOIN gr b ON c.id_b = b.doc_id
+    WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.g, b.g))) >= 0.5
+"""
+
+
+@query("x1_minhash_dedup", _MH_ORACLE)
 def x1_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1 fuzzy: MinHash-LSH near-dup candidate pairs (jaccard-verified).
-    xxhash64-salted signatures are engine-specific → no SQL oracle; the
-    *verification* arithmetic is exact-checked by x1_ngram_jaccard."""
+    """X1 fuzzy: MinHash-LSH near-dup pairs (jaccard-verified).
+
+    Runs in ``portable=True`` mode — md5-derived shingle hashes and
+    md5-string band buckets — so the ENTIRE pipeline (one-permutation
+    signature, banded buckets, candidate pairs, exact-Jaccard verify) has a
+    DuckDB twin, hash-compared; not just the verification arithmetic.
+    The hot-path xxhash64 variant stays the production default and is
+    pair-equality-tested against this one in tests/test_operators.py."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
-        d, "text", "doc_id", num_hashes=16, bands=4, jaccard_threshold=0.5
+        d, "text", "doc_id", num_hashes=16, bands=4, jaccard_threshold=0.5,
+        portable=True,
     )
 
 
-@query("x1_simhash")  # hash-based — rows-only check
+# --- x1_simhash oracle: 60 bit-vote sums + sign recombination in SQL.
+_SH_SUMS = ",\n             ".join(
+    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(60)
+)
+_SH_FP = "\n             + ".join(
+    f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(60)
+)
+_SH_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(t, '\\s+')) AS tok
+      FROM (SELECT doc_id, {_NORM_SQL.format(c='text')} AS t FROM documents)
+    ), h AS (
+      SELECT doc_id, {_H60.format(c='tok')} AS h
+      FROM toks WHERE len(tok) > 0
+    ), s AS (
+      SELECT doc_id,
+             {_SH_SUMS}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({_SH_FP} AS BIGINT) AS simhash
+    FROM s
+"""
+
+
+@query("x1_simhash", _SH_ORACLE)
 def x1_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1 SimHash: 64-bit fingerprint per document (native bit math)."""
+    """X1 SimHash: fingerprint per document (native bit math).
+
+    ``portable=True``: md5-derived 60-bit token hash, so every bit vote —
+    and hence the exact fingerprint — is reproduced by the DuckDB oracle.
+    Production keeps the 64-bit xxhash64 form (simhash_neardup_pairs)."""
     d = load_table(spark, sf_dir, "documents")
-    return simhash_signature(d, "text", "doc_id")
+    return simhash_signature(d, "text", "doc_id", portable=True)
 
 
 @query(
@@ -131,9 +230,43 @@ def x1_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~0.51), so a production-style 0.95 bar would always return zero rows; 0.3
     exercises bucketing + verification on real output. Recall is tunable via
     (planes, bands); production dedup would use 0.9+ on clustered data.
+
+    No SQL twin CAN exist: bucket membership hinges on the sign of float
+    hyperplane dot products computed by a numpy matmul kernel — a different
+    summation order than any SQL fold, so boundary signs (and hence the
+    candidate set) are engine-specific. Instead the quality gate rides in
+    the output: ``sample_recall`` = fraction of ground-truth pairs (exact
+    all-pairs cosine over the vec_id<200 sample) that the LSH path found,
+    and ``n_exact_sample`` sizes that ground truth. Precision is 1.0 by
+    construction (every emitted pair is exact-cosine-verified).
     """
     e = load_table(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.3)
+    pairs = embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.3)
+
+    from .functions.vectors import cosine_similarity_expr
+
+    s = e.filter(F.col("vec_id") < 200).select("vec_id", "embedding")
+    a = s.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = s.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    exact = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("_sim", cosine_similarity_expr("_va", "_vb"))
+        .filter(F.col("_sim") >= 0.3)
+        .select("id_a", "id_b")
+    )
+    found = exact.join(pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+    quality = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact_sample"))
+        .crossJoin(found.agg(F.count(F.lit(1)).alias("_n_found")))
+        .select(
+            "n_exact_sample",
+            F.when(
+                F.col("n_exact_sample") > 0,
+                F.col("_n_found").cast("double") / F.col("n_exact_sample"),
+            ).otherwise(F.lit(1.0)).alias("sample_recall"),
+        )
+    )
+    return pairs.crossJoin(F.broadcast(quality))
 
 
 # =====================================================================
@@ -175,27 +308,55 @@ def x2_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "c_id", "sim", F.col("rank").cast("long").alias("rank"))
 
 
+def _with_exact_rank(approx: DataFrame, queries: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Left-join the exact brute-force rank onto approximate top-k rows.
+
+    ``exact_rank`` is NULL when the approximate path surfaced a vector the
+    exact top-10 does not contain — so recall@10 is readable straight off
+    the output (fraction of non-null exact_rank). Queries are a handful of
+    rows, so the extra exact pass is one broadcast scan of the corpus.
+    """
+    exact = brute_force_topk(queries, corpus, k=10).select(
+        "q_id", "c_id", F.col("rank").cast("long").alias("exact_rank")
+    )
+    return approx.join(exact, ["q_id", "c_id"], "left")
+
+
 @query("x2_topk_lsh")  # approximate — rows-only check
 def x2_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 scale path: random-hyperplane LSH-bucketed approximate top-10."""
+    """X2 scale path: random-hyperplane LSH-bucketed approximate top-10.
+
+    No SQL twin: bucket ids come from a numpy matmul sign kernel, so the
+    candidate set is engine-specific (float summation order). The quality
+    gate rides in the output instead: ``exact_rank`` marks each returned
+    row's position in the true top-10 (NULL = false positive); recall@10 =
+    non-null fraction. The aggregate twin of this check is x2_recall_report.
+    """
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    return lsh_topk(queries, corpus, k=10, dim=64, planes=16, bands=4)
+    approx = lsh_topk(queries, corpus, k=10, dim=64, planes=16, bands=4)
+    return _with_exact_rank(approx, queries, corpus)
 
 
 @query("x2_topk_ivf")  # kmeans cells are engine-specific — rows-only check
 def x2_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 scale path #2: IVF (kmeans-cell) approximate top-10 — probes
-    nprobe/n_centroids of the corpus per query instead of all of it."""
+    nprobe/n_centroids of the corpus per query instead of all of it.
+
+    No SQL twin: cell assignment depends on numpy Lloyd centroids (float
+    iteration, driver-trained) that SQL cannot reproduce. ``exact_rank``
+    embeds the quality gate per row, as in x2_topk_lsh.
+    """
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    return ivf_topk(queries, corpus, k=10, n_centroids=16, nprobe=4)
+    approx = ivf_topk(queries, corpus, k=10, n_centroids=16, nprobe=4)
+    return _with_exact_rank(approx, queries, corpus)
 
 
 # =====================================================================
@@ -676,7 +837,11 @@ def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, purchases, on=["user_id"], left_ts="ts", right_ts="ts", suffix=""
     )
     return joined.select(
-        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "purchase_value"
+        "event_id",
+        "user_id",
+        # cast is a no-op on TIMESTAMP; tolerates NTZ from raw parquet reads
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "purchase_value",
     )
 
 

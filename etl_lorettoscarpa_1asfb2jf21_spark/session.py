@@ -48,6 +48,11 @@ def get_spark(
         # exact decimal arithmetic must not silently lose precision
         "spark.sql.ansi.enabled": "false",
         "spark.sql.session.timeZone": "UTC",
+        # timezone-less parquet timestamps must load as TIMESTAMP, not
+        # TIMESTAMP_NTZ (unix_micros/watermarks reject NTZ); belt-and-braces
+        # beside the load-boundary cast in sources/tables.normalize_ntz,
+        # which also covers externally-built sessions (the driver's).
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         "spark.ui.enabled": "false",
     }

@@ -37,7 +37,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_ntz(df)
+
+
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to plain TIMESTAMP.
+
+    The driver testdata parquet carries timezone-less ``timestamp[us]``
+    columns; depending on ``spark.sql.parquet.inferTimestampNTZ.enabled``
+    (default true in Spark 4) these load as ``TimestampNTZType``, which
+    ``unix_micros``/watermarks/session_window reject or mis-handle. The
+    session timezone is pinned to UTC (session.py), so NTZ→TIMESTAMP is a
+    pure relabel — identical instants, identical oracle hashes. Normalizing
+    once at the load boundary makes every downstream consumer
+    NTZ-agnostic regardless of who built the SparkSession (the driver
+    builds its own, so session-level conf alone is not enough).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if not ntz:
+        return df
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
 
 
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:

@@ -37,6 +37,21 @@ def gap_to_us(gap: str) -> int:
     return int(qty) * per[unit] * 1_000_000
 
 
+def _ts_as_timestamp(df: DataFrame, ts_col: str) -> DataFrame:
+    """NTZ-proof the event-time column (no-op when already TIMESTAMP).
+
+    Callers may hand a DataFrame read straight from timezone-less parquet
+    (TIMESTAMP_NTZ under Spark 4's default inference), which unix_micros,
+    watermarks, and session_window reject. Session TZ is UTC, so the cast
+    is a relabel, not a value change. See sources/tables.normalize_ntz.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def sessionize_batch(
     events: DataFrame,
     gap: str = DEFAULT_GAP,
@@ -51,6 +66,7 @@ def sessionize_batch(
     (``epoch_us``) is bit-identical; a session breaks when the inter-event
     gap is >= the threshold.
     """
+    events = _ts_as_timestamp(events, ts_col)
     gap_us = gap_to_us(gap)
     w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
     us = F.unix_micros(F.col(ts_col))
@@ -82,6 +98,7 @@ def sessionize_session_window(
 ) -> DataFrame:
     """Native session_window grouping — the declarative/streaming-ready twin
     of sessionize_batch (same sessions; Spark manages merge + state GC)."""
+    events = _ts_as_timestamp(events, ts_col)
     src = (
         events.withWatermark(ts_col, watermark)
         if watermark and events.isStreaming
@@ -160,7 +177,8 @@ def sessionize_stateful_stream(
         )
 
     return (
-        events.withWatermark("ts", watermark)
+        _ts_as_timestamp(events, "ts")
+        .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,

@@ -26,6 +26,9 @@ def windowed_event_counts(
     Works on both batch and streaming DataFrames; on a stream the watermark
     bounds late data and lets Spark GC window state.
     """
+    from .sessions import _ts_as_timestamp
+
+    events = _ts_as_timestamp(events, ts_col)
     win = (
         F.window(ts_col, window_duration, slide)
         if slide

@@ -79,6 +79,28 @@ def test_business_key_hash_matches_hashlib(spark):
     assert got == want
 
 
+def test_md5_long60_matches_duckdb(spark):
+    """md5_long60 must equal DuckDB's ('0x' || substr(md5(c),1,15))::BIGINT
+    — the contract every portable-hash oracle (x1_simhash, x1_minhash_dedup)
+    rests on."""
+    import duckdb
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.functions.hashing import md5_long60
+
+    vals = ["hello", "", "ação café", "the quick brown fox", "123", "a-b-c"]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    got = [r["h"] for r in df.select(md5_long60("s").alias("h")).collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [v]
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert got == want
+    assert all(0 <= h < (1 << 60) for h in got)
+
+
 def test_hash_case_whitespace_invariance(spark):
     cols = ["Tipo", "Grupo", "Categoria", "Data", "Descricao", "Valor"]
     a = ("Despesa", "Casa", "Aluguel", "03/2024", "Aluguel", "10.00")

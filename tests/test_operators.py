@@ -89,6 +89,36 @@ def test_simhash(spark):
     assert (4, 5) not in got
 
 
+def test_portable_minhash_matches_xxhash_pairs(spark):
+    """portable=True (md5-60bit, oracle-mirrorable) must find the same
+    verified near-dup pairs as the xxhash64 production path — both hashes
+    preserve shingle-set identity, so only bucket labels differ."""
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    kw = dict(num_hashes=32, bands=8, jaccard_threshold=0.5)
+    fast = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_lsh_pairs(df, "text", "doc_id", **kw).collect()
+    }
+    port = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_lsh_pairs(df, "text", "doc_id", portable=True, **kw).collect()
+    }
+    assert fast == port
+
+
+def test_portable_simhash_properties(spark):
+    """Portable simhash: 60-bit non-negative fingerprints, identical docs
+    collide, unrelated docs differ."""
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    sig = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signature(df, "text", "doc_id", portable=True).collect()
+    }
+    assert all(0 <= v < (1 << 60) for v in sig.values())
+    assert sig[1] == sig[2]
+    assert sig[1] != sig[4]
+
+
 def test_ngram_jaccard_pairs(spark):
     df = spark.createDataFrame([(i, t, "blk") for i, t in DOCS], ["doc_id", "text", "blk"])
     pairs = ngram_jaccard_pairs(df, "text", "doc_id", "blk", n=3, threshold=0.6)
