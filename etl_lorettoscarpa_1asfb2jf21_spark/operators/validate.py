@@ -45,9 +45,14 @@ def null_fields_expr(cols: Sequence[str]) -> Column:
     return F.array_compact(F.array(*pairs))
 
 
+def missing_columns(df: DataFrame, required: Sequence[str]) -> list[str]:
+    """P8 core: required columns absent from the schema (app/app.py:28-31)."""
+    return [c for c in required if c not in df.columns]
+
+
 def validate_contract(df: DataFrame, required: Sequence[str]) -> None:
     """P8: fail fast when a required column is missing entirely."""
-    missing = [c for c in required if c not in df.columns]
+    missing = missing_columns(df, required)
     if missing:
         raise ValueError(f"missing required columns: {missing}")
 

@@ -649,6 +649,127 @@ def k1_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Source/sink rows exercised as driver queries (S1, S3, S4, P3, P8) —
+# previously unit-test-only; round-tripping inside the query gives each
+# row a CORRECTNESS entry without needing driver-side fixtures.
+# =====================================================================
+
+
+def _scratch_dir(name: str) -> str:
+    """Per-process scratch under the system temp dir (the engine's own
+    shuffle/scratch space lives there too). PID-scoped so a concurrent
+    bench + gate run can't clobber each other's round-trip files."""
+    import os
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_{name}_{os.getpid()}")
+
+
+@query(
+    "s1_csv_brl_roundtrip",
+    """
+    SELECT p_partkey, CAST(CAST(p_retailprice AS DECIMAL(15,2)) AS DOUBLE) AS price
+    FROM part
+    """,
+)
+def s1_csv_brl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 + F4-F7 as one driver-checkable round-trip: render part prices as
+    Brazilian-locale strings ("1.234,56"), write a real CSV, re-read it with
+    the reference dialect reader (sources/csv_locale.py, app/app.py:22
+    parity), and parse back through the locale pipeline to DECIMAL(15,2).
+    Lossless by construction (prices are 2-dp money), so the oracle is a
+    plain decimal cast of the source column.
+    """
+    from .functions.locale import parse_brl_decimal
+    from .sources.csv_locale import read_lancamentos_csv
+
+    p = load_table(spark, sf_dir, "part")
+    # "1,234.56" (format_number) → "1.234,56" (swap separators)
+    brl = F.translate(F.format_number(F.col("p_retailprice"), 2), ",.", ".,")
+    out = _scratch_dir("s1_csv")
+    p.select(F.col("p_partkey"), brl.alias("Valor")).write.mode(
+        "overwrite"
+    ).option("header", True).csv(out)
+    back = read_lancamentos_csv(spark, out)
+    return back.select(
+        F.col("p_partkey").cast("long"),
+        parse_brl_decimal("Valor").cast("double").alias("price"),
+    )
+
+
+@query(
+    "s3_s4_sink_roundtrip",
+    """
+    SELECT n_nationkey AS k, n_name AS nome, 'nation' AS src FROM nation
+    UNION ALL
+    SELECT r_regionkey AS k, r_name AS nome, 'region' AS src FROM region
+    """,
+)
+def s3_s4_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 (overwrite sink, app/etl.py:16) + S4 (append sink, app/etl.py:39)
+    as one driver-checkable round-trip: overwrite a parquet sink with one
+    batch, append a second, read the sink back. The overwrite-first shape
+    makes repeated driver runs idempotent — exactly the reference's
+    replace-then-append staging contract."""
+    out = _scratch_dir("s3_s4_sink")
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"),
+        F.col("n_name").alias("nome"),
+        F.lit("nation").alias("src"),
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("long").alias("k"),
+        F.col("r_name").alias("nome"),
+        F.lit("region").alias("src"),
+    )
+    nation.write.mode("overwrite").parquet(out)  # S3: drop-and-recreate
+    region.write.mode("append").parquet(out)  # S4: append
+    return spark.read.parquet(out)
+
+
+@query(
+    "p3_dropna",
+    """
+    WITH t AS (
+      SELECT event_id,
+             NULLIF(event_type, 'error') AS et,
+             CASE WHEN value < 5 THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id, et, v FROM t
+    WHERE et IS NOT NULL AND v IS NOT NULL
+    """,
+)
+def p3_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: na.drop over a column subset (app/etl.py:26). The testdata
+    carries no physical NULLs, so nullability is derived the same way as
+    p6_null_field_report; the operator under test is ``DataFrame.na.drop``
+    itself."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("event_type"))
+        .alias("et"),
+        F.when(F.col("value") < 5, None).otherwise(F.col("value")).alias("v"),
+    )
+    return e.na.drop(subset=["et", "v"])
+
+
+@query("p8_schema_check", "SELECT 'data_criacao' AS missing_col")
+def p8_schema_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: required-column presence check (app/app.py:28-31) surfaced as a
+    query: report which of the reference-style required columns the
+    documents table lacks. Driver-side and cheap by design — the check
+    reads only the schema, never data."""
+    from .operators.validate import missing_columns
+
+    d = load_table(spark, sf_dir, "documents")
+    required = ["doc_id", "text", "lang", "source", "data_criacao"]
+    missing = missing_columns(d, required)
+    return spark.createDataFrame([(m,) for m in missing], "missing_col string")
+
+
 # ---------------------------------------------------------------------
 # Extension catalogs merge in at import time: X1-X4 + engine breadth,
 # TPC-H canonical shapes, training-data pipeline ops.

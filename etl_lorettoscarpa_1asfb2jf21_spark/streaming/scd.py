@@ -11,10 +11,15 @@ cannot re-apply an early date on top of later history. The same guard
 defines the out-of-order policy: snapshot files arriving after a newer
 date has been applied are skipped.
 
-Scale: each merge shuffles once on the natural key; the history table is
-re-read per batch (on a lakehouse this is one MERGE against Delta/Iceberg;
-plain parquet keeps the engine dependency-free here, with the same
-single-writer caveat as every sink in this repo).
+Scale: each merge shuffles once on the natural key, and the dimension is
+hash-bucketed on that key into ``_kb`` partitions so a merge touches ONLY
+the partitions containing snapshot keys: unaffected buckets are neither
+read (partition pruning on the ``_kb`` filter) nor rewritten (dynamic
+partition overwrite replaces just the partitions present in the written
+DataFrame). A small daily snapshot against a huge dimension therefore
+rewrites O(|snapshot| / |dim| · n_buckets) partitions instead of the whole
+table — the plain-parquet equivalent of a Delta/Iceberg keyed MERGE, with
+the same single-writer caveat as every sink in this repo.
 """
 
 from __future__ import annotations
@@ -25,6 +30,15 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.scd import scd2_init, scd2_merge
 
+DEFAULT_KEY_BUCKETS = 64
+
+
+def key_bucket_expr(key_cols: list[str], n_buckets: int) -> F.Column:
+    """Deterministic hash bucket of the natural key (engine-internal —
+    xxhash64 is stable across Spark runs, never compared across engines)."""
+    parts = [F.coalesce(F.col(k).cast("string"), F.lit("\x00")) for k in key_cols]
+    return F.pmod(F.xxhash64(*parts), F.lit(n_buckets))
+
 
 def start_scd2_sink(
     snapshots: DataFrame,
@@ -33,6 +47,7 @@ def start_scd2_sink(
     key_cols: list[str],
     attr_cols: list[str],
     date_col: str = "snapshot_date",
+    n_buckets: int = DEFAULT_KEY_BUCKETS,
 ) -> StreamingQuery:
     """Maintain a Type-2 dimension from a stream of dated snapshots.
 
@@ -40,6 +55,10 @@ def start_scd2_sink(
     snapshot's effective date as a 'yyyy-MM-dd' string). A micro-batch may
     span several snapshot dates; they apply in ascending date order so
     history is well-formed regardless of how files batch together.
+
+    The persisted dimension carries one extra partition column ``_kb``
+    (hash bucket of the natural key, ``n_buckets`` must stay constant for
+    the table's lifetime); readers that want the logical schema drop it.
     """
 
     def read_dim(spark) -> DataFrame | None:
@@ -50,6 +69,19 @@ def start_scd2_sink(
             return spark.read.parquet(dim_path)
         except Exception:  # noqa: BLE001 — any unreadable/absent table → bootstrap
             return None
+
+    def write_partitioned(spark, merged: DataFrame) -> None:
+        # materialize before overwrite (never read and rewrite the same
+        # files inside one plan), then dynamic-overwrite: only partitions
+        # present in ``merged`` are replaced, the rest keep their files
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
+                "_kb"
+            ).parquet(dim_path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -67,9 +99,10 @@ def start_scd2_sink(
                 snap = batch_df.filter(F.col(date_col).cast("string") == d).select(
                     *key_cols, *attr_cols
                 )
+                bucket = key_bucket_expr(key_cols, n_buckets)
                 current = read_dim(spark)
                 if current is None:
-                    merged = scd2_init(snap, d)
+                    merged = scd2_init(snap, d).withColumn("_kb", bucket)
                 else:
                     # Monotonicity guard — the replay-safety core: snapshots
                     # strictly older than the dimension's newest version are
@@ -80,17 +113,24 @@ def start_scd2_sink(
                     # re-merges as an identical-snapshot no-op. Late-arriving
                     # out-of-order snapshot files are dropped by the same
                     # rule (documented: snapshots apply in date order).
+                    # Column-pruned scan: only valid_from is read.
                     newest = current.agg(
                         F.max(F.col("valid_from").cast("string")).alias("m")
                     ).collect()[0]["m"]
                     if newest is not None and d < newest:
                         continue
-                    merged = scd2_merge(current, snap, key_cols, attr_cols, d)
-                # materialize before overwrite: never read and rewrite the
-                # same files inside one plan
-                merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-                    dim_path
-                )
+                    # merge ONLY the buckets the snapshot touches: the
+                    # isin filter prunes every other partition at scan time,
+                    # and the dynamic overwrite below leaves them on disk
+                    affected = sorted(
+                        r["b"]
+                        for r in snap.select(bucket.alias("b")).distinct().collect()
+                    )
+                    cur_aff = current.filter(F.col("_kb").isin(affected)).drop("_kb")
+                    merged = scd2_merge(
+                        cur_aff, snap, key_cols, attr_cols, d
+                    ).withColumn("_kb", bucket)
+                write_partitioned(spark, merged)
         finally:
             batch_df.unpersist()
 

