@@ -140,6 +140,27 @@ def rolling_fingerprint_expr(col: Column | str) -> Column:
     return F.md5(normalized_text_expr(col))
 
 
+def word_ngrams_expr(col: Column | str, n: int = 5, pre_normalized: bool = False) -> Column:
+    """Array of space-joined word n-grams over normalized text (empty when
+    fewer than ``n`` tokens). Pure Column expression — the backbone of
+    benchmark decontamination (shared n-gram detection between a training
+    corpus and held-out eval sets), which must run as a map-side pass at
+    100 TB."""
+    if pre_normalized:
+        c = F.col(col) if isinstance(col, str) else col
+    else:
+        c = normalized_text_expr(col)
+    toks = F.split(c, " ")
+    # guard: F.sequence with stop < start yields a DESCENDING sequence, not
+    # an empty array — short docs must short-circuit to empty explicitly
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
 def char_ngrams_expr(
     col: Column | str, n: int = 3, pre_normalized: bool = False
 ) -> Column:

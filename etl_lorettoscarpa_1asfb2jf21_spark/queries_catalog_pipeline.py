@@ -812,3 +812,60 @@ def ts1_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total"),
         )
     )
+
+
+# =====================================================================
+# tp7 — benchmark decontamination (shared word-n-gram detection)
+# =====================================================================
+
+@query(
+    "tp7_decontaminate",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array({_NORM_SQL.format(c='text')}, '\\s+') AS w
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_distinct([
+               array_to_string(w[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')
+               FOR i IN range(1, len(w) - 3)
+             ])) AS gram
+      FROM toks WHERE len(w) >= 5
+    ), eval_g AS (
+      SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0
+    )
+    SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared
+    FROM g JOIN eval_g USING (gram)
+    WHERE g.doc_id % 20 != 0
+    GROUP BY g.doc_id
+    """,
+)
+def tp7_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tp7: benchmark decontamination — flag training documents sharing any
+    word 5-gram with a held-out eval set (Dodge et al. 2021 / GPT-3 App. C
+    style n-gram-overlap check; eval set = doc_id % 20 == 0 here).
+
+    Scale shape: the eval-side gram set is tiny relative to the corpus
+    (benchmark suites, not training data), so the overlap test is a
+    broadcast semi-join against the training side's map-side-generated
+    grams — one corpus pass, no corpus shuffle; the per-doc count is a
+    partial-aggregated groupBy. Returns (doc_id, n_shared) for
+    contaminated training docs only.
+    """
+    from .functions.text import word_ngrams_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams_expr("text", n=5))).alias("gram"),
+    )
+    eval_grams = F.broadcast(
+        grams.filter(F.col("doc_id") % 20 == 0).select("gram").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % 20 != 0)
+        .join(eval_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_shared"))
+    )
