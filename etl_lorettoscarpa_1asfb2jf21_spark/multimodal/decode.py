@@ -100,15 +100,33 @@ def decode_image_batch(
     container. The fake decoder is deterministic for tests.
     """
 
+    def decode_one(payload: bytes) -> dict:
+        if use_fake_decoder:
+            return _fake_decode(payload)
+        # REAL path: uncompressed BMP is parsed for real (multimodal/codecs.py
+        # — struct headers, BGR, padding, bottom-up rows). Only compressed
+        # formats still need an external library.
+        if bytes(payload[:2]) == b"BM":
+            from .codecs import decode_bmp
+
+            w, h, c, img = decode_bmp(bytes(payload))
+            feats = (img.reshape(-1, 3).mean(axis=0) / 255.0).astype(float)
+            return {
+                "width": w,
+                "height": h,
+                "n_channels": c,
+                "features": list(feats),
+            }
+        raise NotImplementedError(
+            "compressed image decode (PNG/JPEG) requires Pillow/libvips — "
+            "not in this container; BMP decodes natively, or pass "
+            "use_fake_decoder=True"
+        )
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not use_fake_decoder:
-                raise NotImplementedError(
-                    "real image decode requires Pillow/libvips — not in this "
-                    "container; pass use_fake_decoder=True for the test path"
-                )
             rows = [
-                {"doc_id": i, **_fake_decode(p)}
+                {"doc_id": i, **decode_one(p)}
                 for i, p in zip(pdf[id_col], pdf[payload_col])
             ]
             yield pd.DataFrame(rows)

@@ -1579,3 +1579,126 @@ def g6_multi_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_months"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# =====================================================================
+# X4 real-codec decode — oracle-checked end-to-end
+# =====================================================================
+#
+# The payloads are synthesized from pure integer formulas (codecs.make_bmp
+# / make_wav), then parsed back by the REAL decoders (struct-parsed BMP,
+# stdlib-wave PCM16). Because the pixel/sample values follow closed-form
+# arithmetic, DuckDB recomputes the expected decoded statistics without
+# ever seeing the bytes — any padding / byte-order / channel-swizzle bug
+# in encoder or parser breaks the hash match. All outputs are exact
+# integers (no float accumulation).
+
+@query(
+    "x4_bmp_decode",
+    """
+    WITH dims AS (
+      SELECT doc_id, CAST(3 + doc_id % 6 AS BIGINT) AS width,
+             CAST(2 + doc_id % 5 AS BIGINT) AS height
+      FROM documents
+    ), px AS (
+      SELECT doc_id, width, height, unnest(range(0, width * height)) AS p
+      FROM dims
+    )
+    SELECT doc_id, width, height, CAST(3 AS BIGINT) AS n_channels,
+           CAST(SUM((doc_id * 7 + p * 3 + 0) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((doc_id * 7 + p * 3 + 1) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((doc_id * 7 + p * 3 + 2) % 256) AS BIGINT) AS sum_b,
+           CAST(54 + height * (width * 3 + (4 - (width * 3) % 4) % 4) AS BIGINT)
+             AS n_bytes
+    FROM px
+    GROUP BY doc_id, width, height
+    """,
+)
+def x4_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 real image decode: synthesize a valid 24-bit BMP per document,
+    parse it back with the dependency-free real parser, emit exact decoded
+    statistics. The generate→encode→parse round-trip runs inside one Arrow
+    mapInPandas pass (the sanctioned Python path for media); at scale the
+    generator stage is replaced by reading payload bytes from the table —
+    the decode side of the plan is identical.
+    """
+    import pandas as pd
+
+    from .multimodal.codecs import decode_bmp, make_bmp
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_decode(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                payload = make_bmp(int(i))
+                w, h, c, img = decode_bmp(payload)
+                s = img.reshape(-1, 3).astype("int64").sum(axis=0)
+                rows.append(
+                    {
+                        "doc_id": int(i), "width": w, "height": h,
+                        "n_channels": c, "sum_r": int(s[0]), "sum_g": int(s[1]),
+                        "sum_b": int(s[2]), "n_bytes": len(payload),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        gen_decode,
+        "doc_id long, width long, height long, n_channels long, "
+        "sum_r long, sum_g long, sum_b long, n_bytes long",
+    )
+
+
+@query(
+    "x4_wav_decode",
+    """
+    WITH dims AS (
+      SELECT doc_id, CAST(doc_id % 50 + 20 AS BIGINT) AS n_samples
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n_samples, unnest(range(0, n_samples)) AS i
+      FROM dims
+    )
+    SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS n_channels, n_samples,
+           CAST(SUM(ABS((doc_id * 31 + i * 17) % 65536 - 32768)) AS BIGINT)
+             AS sum_abs,
+           CAST(MAX((doc_id * 31 + i * 17) % 65536 - 32768) AS BIGINT) AS max_amp
+    FROM s
+    GROUP BY doc_id, n_samples
+    """,
+)
+def x4_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 real audio decode: synthesize a valid PCM16 mono WAV per
+    document, parse it back with the stdlib-wave real parser, emit exact
+    integer sample statistics (sum of |amplitude|, max amplitude — no
+    float accumulation, so the SQL twin matches bit-for-bit)."""
+    import pandas as pd
+
+    from .multimodal.codecs import decode_wav, make_wav
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_decode(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                payload = make_wav(int(i))
+                rate, nch, samples = decode_wav(payload)
+                a = samples.astype("int64")
+                rows.append(
+                    {
+                        "doc_id": int(i), "sample_rate": rate, "n_channels": nch,
+                        "n_samples": len(samples),
+                        "sum_abs": int(abs(a).sum()), "max_amp": int(a.max()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        gen_decode,
+        "doc_id long, sample_rate long, n_channels long, n_samples long, "
+        "sum_abs long, max_amp long",
+    )

@@ -881,3 +881,207 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_revenue").cast("double").alias("total_revenue"),
         )
     )
+
+
+# =====================================================================
+# Q9 / Q11 / Q20 shapes — over a DERIVED partsupp
+# =====================================================================
+#
+# The driver testdata ships no partsupp table, so the three TPC-H shapes
+# defined over it derive one deterministically from part × supplier:
+#
+#   partsupp := {(p, s) : (p_partkey + s_suppkey) % 25 == 0}   (~4 supp/part)
+#   ps_supplycost_cents := (p_partkey*37 + s_suppkey*61) % 90000 + 10000
+#   ps_availqty         := (p_partkey*5  + s_suppkey*13) % 9999 + 1
+#
+# Pure integer arithmetic → both engines build the identical table, so the
+# queries are fully oracle-checked. The membership predicate is rewritten
+# as a COMPUTED-KEY EQUI JOIN (s_suppkey % 25 == (25 - p_partkey % 25) % 25)
+# so the derivation is a broadcast hash join, never a nested loop — at
+# 100 TB the same shape holds (supplier is the broadcast side).
+
+_PS_SQL = """
+      SELECT p_partkey AS ps_partkey, s_suppkey AS ps_suppkey, p_name,
+             (p_partkey * 37 + s_suppkey * 61) % 90000 + 10000 AS ps_supplycost_cents,
+             (p_partkey * 5 + s_suppkey * 13) % 9999 + 1 AS ps_availqty
+      FROM part JOIN supplier ON (p_partkey + s_suppkey) % 25 = 0
+"""
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    pk = F.col("p_partkey").cast("long")
+    sk = F.col("s_suppkey").cast("long")
+    return (
+        p.withColumn("_m", (F.lit(25) - pk % 25) % 25)
+        .join(F.broadcast(s.withColumn("_m", sk % 25)), "_m")
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.col("s_suppkey").alias("ps_suppkey"),
+            "p_name",
+            ((pk * 37 + sk * 61) % 90000 + 10000).alias("ps_supplycost_cents"),
+            ((pk * 5 + sk * 13) % 9999 + 1).alias("ps_availqty"),
+        )
+    )
+
+
+# supplycost in exact currency: cents × 0.01 as a DECIMAL product (scale
+# addition, no division — division scale rules differ between engines)
+_COST_SQL = "CAST(ps_supplycost_cents AS DECIMAL(18,0)) * CAST(0.01 AS DECIMAL(3,2))"
+
+
+def _cost_dec() -> F.Column:
+    return F.col("ps_supplycost_cents").cast(DecimalType(18, 0)) * F.lit("0.01").cast(
+        DecimalType(3, 2)
+    )
+
+
+@query(
+    "q9_product_profit",
+    f"""
+    WITH partsupp AS ({_PS_SQL})
+    SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+           CAST(SUM({_REV_SQL}
+                    - {_COST_SQL} * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_profit
+    FROM lineitem
+    JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: profit (revenue − supplycost·qty) by supplier nation and
+    order year, for parts matching a name pattern.
+
+    Scale: partsupp (derived; filtered on p_name before the fact join) and
+    supplier/nation broadcast; the only big-side shuffle is the final
+    (nation, year) aggregation — lineitem joins all hash/broadcast on its
+    own keys. Exact DECIMAL profit; cast to DOUBLE once at the end.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    ps = _derived_partsupp(spark, sf_dir).filter(F.col("p_name").like("%gear%"))
+    profit = _revenue() - _cost_dec() * F.col("l_quantity").cast(DEC)
+    return (
+        li.join(
+            F.broadcast(ps),
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+@query(
+    "q11_important_stock",
+    f"""
+    WITH partsupp AS ({_PS_SQL}),
+    filtered AS (
+      SELECT ps_partkey, ps_supplycost_cents * ps_availqty AS value_cents
+      FROM partsupp JOIN supplier ON s_suppkey = ps_suppkey
+      WHERE s_nationkey < 5
+    )
+    SELECT ps_partkey, CAST(SUM(value_cents) AS BIGINT) AS value_cents
+    FROM filtered
+    GROUP BY ps_partkey
+    HAVING SUM(value_cents) * 10000 > (SELECT SUM(value_cents) FROM filtered) * 5
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: parts whose stock value (supplycost × availqty, summed
+    over a nation subset's suppliers) exceeds a fraction of the total.
+
+    The fraction test is integer cross-multiplication
+    (sum·10000 > total·5 ⟺ sum > total·0.0005) — exact on both engines,
+    no double accumulation in the predicate. Scale: per-part partial/final
+    hash agg; the global total is one scalar broadcast back over the
+    per-part sums (same reuse-shape as q15/q22).
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    ps = _derived_partsupp(spark, sf_dir)
+    filtered = (
+        ps.join(
+            F.broadcast(s.filter(F.col("s_nationkey") < 5).select("s_suppkey")),
+            F.col("s_suppkey") == F.col("ps_suppkey"),
+        )
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("value_cents"),
+        )
+    )
+    per_part = filtered.groupBy("ps_partkey").agg(
+        F.sum("value_cents").alias("value_cents")
+    )
+    total = filtered.agg(F.sum("value_cents").alias("_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * 10000 > F.col("_total") * 5)
+        .select("ps_partkey", "value_cents")
+    )
+
+
+@query(
+    "q20_part_promotion",
+    f"""
+    WITH partsupp AS ({_PS_SQL}),
+    shipped AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM partsupp
+    JOIN shipped  ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    JOIN supplier ON s_suppkey = ps_suppkey
+    WHERE p_name LIKE '%bolt%'
+      AND CAST(2 * ps_availqty AS DECIMAL(18,2)) > qty
+    """,
+)
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20: suppliers holding excess stock (availqty > half the
+    quantity they shipped of that part in a year) for parts matching a
+    name pattern — the nested-IN chain decorrelated into joins.
+
+    The threshold is cross-multiplied (2·availqty > qty) in exact DECIMAL.
+    Scale: 'shipped' is the only fact aggregation (one shuffle on the
+    (partkey, suppkey) composite); partsupp and supplier broadcast onto
+    it; DISTINCT collapses to the tiny supplier grain at the end.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    ps = _derived_partsupp(spark, sf_dir).filter(F.col("p_name").like("%bolt%"))
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
+    )
+    return (
+        shipped.join(
+            F.broadcast(ps),
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .filter((F.lit(2) * F.col("ps_availqty")).cast(DEC) > F.col("qty"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )

@@ -37,7 +37,7 @@ ALL_QUERIES = {**CORE_QUERIES, **EXT_QUERIES}
 ARROW_KERNEL_QUERIES = {"x1_embedding_neardup", "x2_topk_lsh", "x2_recall_report"}
 # The sanctioned mapInPandas surface (multimodal decode) — the only query
 # allowed a MapInPandas node.
-MAP_IN_PANDAS_QUERIES = {"x4_decode_features"}
+MAP_IN_PANDAS_QUERIES = {"x4_decode_features", "x4_bmp_decode", "x4_wav_decode"}
 
 
 @pytest.mark.parametrize("name", sorted(ALL_QUERIES))
