@@ -245,7 +245,13 @@ def x1_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .functions.vectors import cosine_similarity_expr
 
-    s = e.filter(F.col("vec_id") < 200).select("vec_id", "embedding")
+    # Recall is measured on a SAMPLE-ONLY LSH pass, not by semi-joining the
+    # full `pairs` plan (that would duplicate the expensive subtree — the
+    # hyperplanes are fixed, so a pair with both ids in the sample lands in
+    # the same buckets whether or not the rest of the corpus is present;
+    # the restricted run finds exactly the full run's in-sample pairs).
+    s = e.filter(F.col("vec_id") < 200)
+    sample_pairs = embedding_neardup_pairs(s, "vec_id", "embedding", threshold=0.3)
     a = s.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
     b = s.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
     exact = (
@@ -254,7 +260,9 @@ def x1_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_sim") >= 0.3)
         .select("id_a", "id_b")
     )
-    found = exact.join(pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+    found = exact.join(
+        sample_pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+    )
     quality = (
         exact.agg(F.count(F.lit(1)).alias("n_exact_sample"))
         .crossJoin(found.agg(F.count(F.lit(1)).alias("_n_found")))
@@ -319,7 +327,8 @@ def _with_exact_rank(approx: DataFrame, queries: DataFrame, corpus: DataFrame) -
     exact = brute_force_topk(queries, corpus, k=10).select(
         "q_id", "c_id", F.col("rank").cast("long").alias("exact_rank")
     )
-    return approx.join(exact, ["q_id", "c_id"], "left")
+    # k-rows-per-query side: broadcast, or Spark picks a sort-merge join
+    return approx.join(F.broadcast(exact), ["q_id", "c_id"], "left")
 
 
 @query("x2_topk_lsh")  # approximate — rows-only check
