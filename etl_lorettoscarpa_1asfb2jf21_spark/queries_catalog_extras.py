@@ -396,3 +396,59 @@ def ml1_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# =====================================================================
+# arr1 — higher-order array function family
+# =====================================================================
+
+@query(
+    "arr1_array_family",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             list_sort(list(CAST(o_totalprice AS DECIMAL(18,2)))) AS prices
+      FROM orders
+      GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CAST(len(prices) AS BIGINT) AS n_orders,
+           CAST(prices[1] AS DOUBLE) AS min_price,
+           CAST(prices[-1] AS DOUBLE) AS max_price,
+           CAST(len(list_filter(prices, p -> p > 200000)) AS BIGINT) AS n_large,
+           CAST(list_sum(list_transform(prices, p -> CAST(p AS DECIMAL(18,2))))
+                AS DOUBLE) AS total
+    FROM per_cust
+    WHERE len(prices) >= 8
+    """,
+)
+def arr1_array_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arr1: the higher-order array-function family — collect into a sorted
+    array per group, then element access, lambda filter, lambda transform +
+    fold — all JVM-side native HOFs (no UDF, stays inside codegen).
+
+    Scale: one shuffle to the group key; per-group arrays are bounded by
+    the group cardinality (orders per customer). The exact-DECIMAL fold
+    makes the sum order-independent, so sort_array + aggregate is
+    bit-stable across partitionings — the property the oracle hash checks.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast(DEC)
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list(dec)).alias("prices")
+    )
+    # the fold's merge must re-cast: DECIMAL(18,2)+DECIMAL(18,2) widens to
+    # (19,2), which no longer matches the accumulator type Spark requires
+    total = F.aggregate(
+        F.col("prices"),
+        F.lit(0).cast(DEC),
+        lambda acc, p: (acc + p).cast(DEC),
+    )
+    return per_cust.filter(F.size("prices") >= 8).select(
+        "o_custkey",
+        F.size("prices").cast("long").alias("n_orders"),
+        F.element_at("prices", 1).cast("double").alias("min_price"),
+        F.element_at("prices", -1).cast("double").alias("max_price"),
+        F.size(F.filter("prices", lambda p: p > 200000)).cast("long").alias("n_large"),
+        total.cast("double").alias("total"),
+    )

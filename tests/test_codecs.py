@@ -98,3 +98,50 @@ def test_decode_image_batch_real_bmp_path(spark):
         for r in decode_image_batch(df).collect()
     }
     assert got == {i: (*bmp_dims(i), 3) for i in (1, 2, 3)}
+
+
+# -------------------------------------------------------------- properties
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    width=st.integers(min_value=1, max_value=40),
+    height=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bmp_roundtrip_property(width, height, seed):
+    """Any pixel grid survives encode→decode exactly (padding widths,
+    1-pixel edges, all-extreme values included via the random generator)."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+    payload = _manual_bmp(
+        [[tuple(int(v) for v in img[y, x]) for x in range(width)] for y in range(height)]
+    )
+    w, h, c, out = decode_bmp(payload)
+    assert (w, h, c) == (width, height, 3)
+    assert np.array_equal(out, img)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=500
+    )
+)
+def test_wav_roundtrip_property(samples):
+    """Any PCM16 sample sequence survives encode→decode exactly."""
+    import io
+    import wave as wave_mod
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(WAV_RATE)
+        w.writeframes(np.array(samples, dtype="<i2").tobytes())
+    rate, nch, out = decode_wav(buf.getvalue())
+    assert rate == WAV_RATE and nch == 1
+    assert out.tolist() == samples
