@@ -452,3 +452,72 @@ def arr1_array_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("prices", lambda p: p > 200000)).cast("long").alias("n_large"),
         total.cast("double").alias("total"),
     )
+
+
+# =====================================================================
+# j12 — time-window interval self-join (the stream-stream join shape)
+# =====================================================================
+
+_J12_W_US = 3_600_000_000  # 1 hour
+
+
+@query(
+    "j12_interval_self_join",
+    f"""
+    SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {_J12_W_US}
+    """,
+)
+def j12_interval_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j12: pairs of same-user events within a 1-hour window — the batch
+    twin of a stream-stream interval join (streaming/joins.py runs the
+    watermarked form of the same predicate).
+
+    Scale shape: NOT a non-equi self-join (quadratic per user). Time is
+    bucketed at the window width; one side explodes to its bucket ±1, the
+    other joins on (user, bucket) — each qualifying pair matches on
+    exactly one offset, so no dedup pass is needed — then the exact
+    |Δts| <= W predicate filters within candidates. Candidate volume is
+    linear in events × density of each 2-bucket neighborhood, the same
+    state-bounding argument a streaming interval join's watermark makes.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    w = F.lit(_J12_W_US)
+    a = e.select(
+        "user_id",
+        F.col("event_id").alias("id_a"),
+        F.col("ts_us").alias("_tsa"),
+        F.expr(f"ts_us div {_J12_W_US}").alias("_bk"),
+    )
+    b = e.select(
+        "user_id",
+        F.col("event_id").alias("id_b"),
+        F.col("ts_us").alias("_tsb"),
+        F.explode(
+            F.array(
+                F.expr(f"ts_us div {_J12_W_US} - 1"),
+                F.expr(f"ts_us div {_J12_W_US}"),
+                F.expr(f"ts_us div {_J12_W_US} + 1"),
+            )
+        ).alias("_bk"),
+    )
+    return (
+        a.join(b, ["user_id", "_bk"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("_tsa") - F.col("_tsb")) <= w)
+        )
+        .select(
+            "user_id",
+            "id_a",
+            "id_b",
+            (F.col("_tsb") - F.col("_tsa")).alias("gap_us"),
+        )
+    )
