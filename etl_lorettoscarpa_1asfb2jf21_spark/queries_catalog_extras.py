@@ -521,3 +521,76 @@ def j12_interval_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_tsb") - F.col("_tsa")).alias("gap_us"),
         )
     )
+
+
+# =====================================================================
+# opt1 — bucketed co-located join (shuffle elimination)
+# =====================================================================
+
+@query(
+    "opt1_bucketed_join",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def opt1_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """opt1: the bucketed co-located join — both sides persisted bucketed
+    (and sorted) on the join key, so the join runs with ZERO exchanges:
+    bucket files align one-to-one and the sort-merge join streams them
+    (tests/test_plans.py asserts no Exchange in this plan). At 100 TB
+    this is the difference between shuffling the fact table per join and
+    never shuffling it at all — the canonical strategy for a fact table
+    joined repeatedly on the same key.
+
+    The bucket count (16) must match on both sides; writes are external
+    tables at the engine's scratch path, overwritten per run (idempotent).
+    """
+    import os
+
+    from .queries_catalog import _scratch_dir
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = _scratch_dir("opt1_buckets")
+    pid = os.getpid()
+    to, tc = f"opt1_orders_{pid}", f"opt1_customer_{pid}"
+    # repartition by the join key into bucket-count partitions before the
+    # bucketed write: Spark's shuffle hash == its bucket hash (Murmur3 pmod),
+    # so every bucket lands in one file per side — minimal files, aligned
+    # bucket scans
+    (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(16, "o_custkey")
+        .write.mode("overwrite")
+        .option("path", os.path.join(base, "orders"))
+        .bucketBy(16, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable(to)
+    )
+    (
+        c.select("c_custkey", "c_mktsegment")
+        .repartition(16, "c_custkey")
+        .write.mode("overwrite")
+        .option("path", os.path.join(base, "customer"))
+        .bucketBy(16, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable(tc)
+    )
+    # hint("merge"): at sf0.01 Catalyst would broadcast the small side and
+    # hide the point — at 100 TB neither side broadcasts, and THIS is the
+    # plan that matters: a sort-merge join whose join sides have NO
+    # Exchange (the residual Sorts are bucket-local, shuffle-free)
+    return (
+        spark.table(to)
+        .hint("merge")
+        .join(spark.table(tc), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
+        )
+    )

@@ -159,3 +159,18 @@ def test_q17_reuses_lineitem_partitioning(spark, sf_medium):
     # hashpartitioning exchanges on l_partkey: one for the agg, one for the
     # join probe side re-use; anything >3 wide exchanges means a replan
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_bucketed_join_has_no_join_side_exchange(spark, sf_medium):
+    """opt1_bucketed_join's reason to exist: both sides bucketed on the
+    join key -> the sort-merge join consumes bucket-aligned scans with NO
+    Exchange below the join (the only exchange allowed is the final
+    aggregation shuffle above it)."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.queries_catalog_extras import (
+        QUERIES as EXTRA_QUERIES,
+    )
+
+    plan = plan_of(EXTRA_QUERIES["opt1_bucketed_join"](spark, sf_medium))
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1  # agg shuffle only
