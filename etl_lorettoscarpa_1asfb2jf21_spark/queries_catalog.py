@@ -770,6 +770,43 @@ def p8_schema_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(m,) for m in missing], "missing_col string")
 
 
+@query(
+    "s5_orc_roundtrip",
+    """
+    SELECT n_nationkey AS k, n_name AS nome FROM nation
+    """,
+)
+def s5_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-row format breadth: ORC sink + scan round-trip. Columnar like
+    parquet (striped, predicate-pushdown-capable); the engine treats the
+    format as a scan/sink property, not a semantic one — same lazy plan
+    shape as the parquet path."""
+    out = _scratch_dir("s5_orc")
+    load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"), F.col("n_name").alias("nome")
+    ).write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
+@query(
+    "s6_jsonl_roundtrip",
+    """
+    SELECT r_regionkey AS k, r_name AS nome FROM region
+    """,
+)
+def s6_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-row format breadth: JSON-lines sink + schema-on-read scan
+    round-trip (the interchange format of most corpus pipelines). The
+    read declares an explicit schema — schema inference over JSON is a
+    full extra pass at 100 TB and is the first thing to delete from a
+    production job."""
+    out = _scratch_dir("s6_jsonl")
+    load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("long").alias("k"), F.col("r_name").alias("nome")
+    ).write.mode("overwrite").json(out)
+    return spark.read.schema("k long, nome string").json(out)
+
+
 # ---------------------------------------------------------------------
 # Extension catalogs merge in at import time: X1-X4 + engine breadth,
 # TPC-H canonical shapes, training-data pipeline ops.
