@@ -31,17 +31,26 @@ def write_bucketed(
     buckets: int,
     sort: bool = True,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` hash-bucketed (and sorted, for merge-join readiness)
     by ``keys`` into ``buckets`` buckets as a catalog table.
 
     Both sides of a future join must use the SAME bucket count (or an
     integer multiple, with ``spark.sql.bucketing.coalesceBucketsInJoin``)
-    and the same keys for the exchange to be elided.
+    and the same keys for the exchange to be elided. ``path`` makes the
+    table external (data at an explicit location instead of the session
+    warehouse dir — needed when the working directory isn't writable).
+
+    The repartition below aligns the write shuffle with the bucket hash
+    (both Murmur3 pmod ``buckets``), so each bucket is one file per input
+    partitioning — minimal small files without a second pass.
     """
-    writer = df.write.mode(mode).bucketBy(buckets, *keys)
+    writer = df.repartition(buckets, *keys).write.mode(mode).bucketBy(buckets, *keys)
     if sort:
         writer = writer.sortBy(*keys)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
 
 

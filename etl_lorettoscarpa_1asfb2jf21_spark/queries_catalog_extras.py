@@ -551,6 +551,7 @@ def opt1_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
+    from .operators.bucketing import write_bucketed
     from .queries_catalog import _scratch_dir
 
     o = load_table(spark, sf_dir, "orders")
@@ -558,27 +559,13 @@ def opt1_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _scratch_dir("opt1_buckets")
     pid = os.getpid()
     to, tc = f"opt1_orders_{pid}", f"opt1_customer_{pid}"
-    # repartition by the join key into bucket-count partitions before the
-    # bucketed write: Spark's shuffle hash == its bucket hash (Murmur3 pmod),
-    # so every bucket lands in one file per side — minimal files, aligned
-    # bucket scans
-    (
-        o.select("o_orderkey", "o_custkey", "o_totalprice")
-        .repartition(16, "o_custkey")
-        .write.mode("overwrite")
-        .option("path", os.path.join(base, "orders"))
-        .bucketBy(16, "o_custkey")
-        .sortBy("o_custkey")
-        .saveAsTable(to)
+    write_bucketed(
+        o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        to, ["o_custkey"], 16, path=os.path.join(base, "orders"),
     )
-    (
-        c.select("c_custkey", "c_mktsegment")
-        .repartition(16, "c_custkey")
-        .write.mode("overwrite")
-        .option("path", os.path.join(base, "customer"))
-        .bucketBy(16, "c_custkey")
-        .sortBy("c_custkey")
-        .saveAsTable(tc)
+    write_bucketed(
+        c.select("c_custkey", "c_mktsegment"),
+        tc, ["c_custkey"], 16, path=os.path.join(base, "customer"),
     )
     # hint("merge"): at sf0.01 Catalyst would broadcast the small side and
     # hide the point — at 100 TB neither side broadcasts, and THIS is the
