@@ -581,3 +581,62 @@ def opt1_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
         )
     )
+
+
+# =====================================================================
+# ts2 — time-series downsampling (per-key hourly OHLC)
+# =====================================================================
+
+@query(
+    "ts2_ohlc_downsample",
+    """
+    SELECT user_id,
+           epoch_us(date_trunc('hour', ts)) AS bucket_us,
+           CAST(arg_min(value, ts || '-' || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                AS DOUBLE) AS open,
+           CAST(max(value) AS DOUBLE) AS high,
+           CAST(min(value) AS DOUBLE) AS low,
+           CAST(arg_max(value, ts || '-' || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                AS DOUBLE) AS close,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY user_id, date_trunc('hour', ts)
+    """,
+)
+def ts2_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts2: per-user hourly OHLC downsampling — the canonical time-series
+    reduction, via native min_by/max_by (no window, no sort: one hash
+    aggregation carrying (orderkey, value) pairs map-side).
+
+    Tie-break: first/last within a bucket is ordered by (ts, event_id) —
+    encoded as a zero-padded sortable string so both engines' arg_min/
+    arg_max agree exactly even when two events share a timestamp.
+
+    Scale: single shuffle on (user, hour-bucket); OHLC state is O(1) per
+    group (min_by/max_by keep one candidate each) — unlike a window-rank
+    formulation, which would sort every group's rows.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+    order_key = F.concat_ws(
+        "-",
+        F.col("ts").cast("string"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        e.groupBy(
+            "user_id",
+            F.unix_micros(F.date_trunc("hour", "ts")).alias("bucket_us"),
+        )
+        .agg(
+            F.min_by("value", order_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order_key).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
