@@ -807,6 +807,48 @@ def s6_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema("k long, nome string").json(out)
 
 
+@query(
+    "s7_csv_quarantine",
+    """
+    SELECT CAST(3 AS BIGINT) AS n_good, CAST(2 AS BIGINT) AS n_quarantined
+    """,
+)
+def s7_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 hardened path as a driver query: a CSV with physically malformed
+    rows (wrong field count, unterminated quote) lands them in the
+    quarantine side with the raw line preserved, while well-formed rows
+    parse — the unattended-ingest contract of
+    read_lancamentos_csv_with_quarantine. The oracle pins the exact
+    good/quarantined split for the fixed malformed input below.
+
+    The driver-local file write stands in for the reference's uploaded
+    file (app/app.py:17-19); on a cluster the upload already lives on
+    shared storage and only the spark.read path below runs.
+    """
+    import os
+
+    from .sources.csv_locale import read_lancamentos_csv_with_quarantine
+
+    out = _scratch_dir("s7_csv_quarantine")
+    os.makedirs(out, exist_ok=True)
+    header = "Descricao,Tipo,Grupo,Categoria,Classificacao,Data,Valor"
+    rows = [
+        'aluguel,Despesa,Casa,Aluguel,Fixa,03/2024,"1.500,00"',   # good
+        'salario,Receita,Trabalho,CLT,Fixa,03/2024,"12.000,00"',  # good
+        "mercado,Despesa,Casa",                                   # too few fields
+        'luz,Despesa,Casa,Energia,Fixa,03/2024,"200,00",extra',   # too many fields
+        'agua,Despesa,Casa,Agua,Fixa,03/2024,"80,00"',            # good
+    ]
+    with open(os.path.join(out, "upload.csv"), "w") as f:
+        f.write(header + "\n" + "\n".join(rows) + "\n")
+    good, quarantine = read_lancamentos_csv_with_quarantine(
+        spark, os.path.join(out, "upload.csv")
+    )
+    return good.agg(F.count(F.lit(1)).alias("n_good")).crossJoin(
+        quarantine.agg(F.count(F.lit(1)).alias("n_quarantined"))
+    )
+
+
 # ---------------------------------------------------------------------
 # Extension catalogs merge in at import time: X1-X4 + engine breadth,
 # TPC-H canonical shapes, training-data pipeline ops.
