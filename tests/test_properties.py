@@ -244,3 +244,57 @@ def test_scd2_matches_sequential_reference(spark, snapshots):
         for r in dim.collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------- graph property
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0,
+        max_size=60,
+    ),
+    st.integers(min_value=31, max_value=40),
+)
+def test_connected_components_matches_union_find(spark, edges, n_nodes):
+    """For ANY random graph (self-loops, duplicate/reversed edges, isolated
+    nodes included), distributed min-label + pointer-doubling must produce
+    exactly the component labeling of a sequential union-find."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.graph import (
+        connected_components,
+    )
+
+    parent = list(range(n_nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id per component
+    want = {}
+    roots = {}
+    for x in range(n_nodes):
+        r = find(x)
+        roots.setdefault(r, x)  # first (smallest) node seen per root
+        want[x] = min(roots[r], x)
+        roots[r] = want[x]
+    # second pass so every member gets the final min
+    for x in range(n_nodes):
+        want[x] = roots[find(x)]
+
+    nodes_df = spark.createDataFrame([(i,) for i in range(n_nodes)], "id long")
+    edges_df = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "src long, dst long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes_df, edges_df).collect()
+    }
+    assert got == want
