@@ -338,3 +338,146 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "sim", "rank")
     )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    rerank: int = 5,
+    seed: int = 42,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    corpus_id: str = "c_id",
+    corpus_vec: str = "c_vec",
+) -> DataFrame:
+    """Approximate cosine top-k via product quantization (PQ) with
+    asymmetric distance computation (ADC) — the memory-compression scale
+    path: each corpus vector is stored as ``n_subspaces`` small codes
+    (8 bytes here vs 256 bytes of float32 for dim=64, a 32× reduction),
+    which is what makes billion-vector ANN fit in cluster memory at all
+    (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    Search"; faiss's IndexPQ).
+
+    Train: per-subspace k-means on a bounded sample (driver numpy, flat
+    cost in corpus size — same policy as ivf_topk). Encode: per-row argmin
+    over ``n_codes`` unit-subvector literals — a map-only native pass, the
+    corpus is never shuffled. Search: queries are collected (they are a
+    handful by contract), each contributes a literal per-subspace lookup
+    table; approximate distance is a sum of ``n_subspaces`` array lookups
+    per corpus row — again map-only — ranks an ADC shortlist of
+    ``rerank``·k candidates per query, and an exact-cosine re-rank over
+    just that shortlist decides the final top-k (vectors are
+    unit-normalized, so squared-L2 and cosine order agree).
+
+    Codes and LUTs are float-engine-specific → no SQL twin; callers embed
+    the exact_rank quality column (queries_catalog_ext.x2_topk_pq).
+    """
+    from ..functions.vectors import normalize_expr
+
+    sub_dim_src = corpus.select(F.size(F.col(corpus_vec)).alias("d")).first()["d"]
+    sub_dim = sub_dim_src // n_subspaces
+
+    sample = np.asarray(
+        [
+            r[0]
+            for r in corpus.select(normalize_expr(corpus_vec))
+            .limit(256 * n_codes)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    rng = np.random.default_rng(seed)
+    codebooks = []  # [s] -> (n_codes, sub_dim)
+    for s in range(n_subspaces):
+        block = sample[:, s * sub_dim : (s + 1) * sub_dim]
+        C = block[rng.choice(len(block), size=min(n_codes, len(block)), replace=False)]
+        for _ in range(5):
+            d2 = ((block[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(len(C)):
+                members = block[assign == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+        codebooks.append(C)
+
+    def subspace_code(vec_c: str, s: int):
+        """argmin-over-codes for subspace s — native expressions only."""
+        entries = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice(F.col(vec_c), s * sub_dim + 1, sub_dim),
+                            array_lit(list(c)),
+                            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("d2"),
+                    F.lit(j).alias("code"),
+                )
+                for j, c in enumerate(codebooks[s])
+            ]
+        )
+        best = F.array_sort(
+            entries,
+            lambda a, b: F.when(a["d2"] < b["d2"], -1)
+            .when(a["d2"] > b["d2"], 1)
+            .otherwise(a["code"] - b["code"]),
+        )
+        return F.element_at(best, 1)["code"]
+
+    cn = spread(corpus.select(F.col(corpus_id), normalize_expr(corpus_vec).alias("_v")))
+    encoded = cn.select(
+        F.col(corpus_id),
+        *[subspace_code("_v", s).alias(f"_c{s}") for s in range(n_subspaces)],
+    )
+
+    # queries are a handful by contract (same bounded-collect policy as the
+    # IVF training sample); each yields n_subspaces literal LUTs
+    qrows = queries.select(F.col(query_id), normalize_expr(query_vec).alias("_q")).collect()
+    per_query_dists = []
+    for row in qrows:
+        q = np.asarray(row["_q"], dtype=np.float64)
+        dist = None
+        for s in range(n_subspaces):
+            lut = ((codebooks[s] - q[s * sub_dim : (s + 1) * sub_dim]) ** 2).sum(axis=1)
+            term = F.element_at(array_lit(list(lut)), F.col(f"_c{s}") + 1)
+            dist = term if dist is None else dist + term
+        per_query_dists.append(
+            F.struct(F.lit(row[query_id]).alias(query_id), dist.alias("adc_dist"))
+        )
+    exploded = encoded.select(
+        F.col(corpus_id), F.explode(F.array(*per_query_dists)).alias("_qd")
+    ).select(corpus_id, F.col(f"_qd.{query_id}").alias(query_id), F.col("_qd.adc_dist"))
+
+    # ADC shortlist -> exact re-rank (the faiss production pattern: PQ
+    # compresses the scan, the true metric decides the final order). The
+    # shortlist is rerank*k rows per query — the exact pass touches only
+    # those, joined back against the (normalized) corpus vectors.
+    w = Window.partitionBy(query_id).orderBy(F.asc("adc_dist"), F.col(corpus_id))
+    shortlist = (
+        exploded.withColumn("_adc_rank", F.row_number().over(w))
+        .filter(F.col("_adc_rank") <= k * rerank)
+        .select(query_id, corpus_id)
+    )
+    qv = F.broadcast(
+        queries.select(F.col(query_id), normalize_expr(query_vec).alias("_qv"))
+    )
+    cv = corpus.select(F.col(corpus_id), normalize_expr(corpus_vec).alias("_cv"))
+    from ..functions.vectors import dot_expr
+
+    rescored = (
+        shortlist.join(cv, corpus_id)
+        .join(qv, query_id)
+        .withColumn("sim", dot_expr("_qv", "_cv"))
+    )
+    w2 = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "sim", "rank")
+    )

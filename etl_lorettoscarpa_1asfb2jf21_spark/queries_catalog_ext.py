@@ -350,6 +350,27 @@ def x2_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_exact_rank(approx, queries, corpus)
 
 
+@query("x2_topk_pq")  # PQ codes/LUTs are float-engine-specific — rows-only check
+def x2_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 scale path #3: product-quantization (PQ/ADC) approximate top-10 —
+    the memory-compression path (8-byte codes vs 256-byte vectors, 32×),
+    which is what lets billion-vector corpora fit in cluster memory.
+    Encode and search are both map-only native passes over the corpus.
+
+    No SQL twin (float k-means codebooks); ``exact_rank`` embeds the
+    quality gate per returned row, as in x2_topk_lsh/x2_topk_ivf.
+    """
+    from .operators.similarity import pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    approx = pq_topk(queries, corpus, k=10, n_subspaces=8, n_codes=16)
+    return _with_exact_rank(approx, queries, corpus)
+
+
 @query("x2_topk_ivf")  # kmeans cells are engine-specific — rows-only check
 def x2_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 scale path #2: IVF (kmeans-cell) approximate top-10 — probes
@@ -1389,7 +1410,7 @@ def sk1_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("x2_recall_report")  # approximate indexes are engine-specific — rows-only
 def x2_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 quality gate as a query: per-query recall@10 of both approximate
-    indexes (LSH, IVF) against the exact brute-force top-10 — the
+    indexes (LSH, IVF, PQ+re-rank) against the exact brute-force top-10 — the
     measurement a production ANN deployment runs continuously on a traffic
     sample to tune (planes, bands) / (n_centroids, nprobe).
 
@@ -1409,6 +1430,11 @@ def x2_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = ivf_topk(queries, corpus, k=10, n_centroids=16, nprobe=4).select(
         "q_id", "c_id"
     )
+    from .operators.similarity import pq_topk
+
+    pq = pq_topk(queries, corpus, k=10, n_subspaces=8, n_codes=16).select(
+        "q_id", "c_id"
+    )
 
     def recall_of(approx, name):
         hits = exact.join(approx, ["q_id", "c_id"], "left_semi")
@@ -1421,7 +1447,8 @@ def x2_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .join(recall_of(lsh, "recall_lsh"), "q_id", "left")
         .join(recall_of(ivf, "recall_ivf"), "q_id", "left")
-        .na.fill({"recall_lsh": 0.0, "recall_ivf": 0.0})
+        .join(recall_of(pq, "recall_pq"), "q_id", "left")
+        .na.fill({"recall_lsh": 0.0, "recall_ivf": 0.0, "recall_pq": 0.0})
     )
 
 

@@ -481,3 +481,33 @@ def test_register_views_enables_adhoc_sql(spark, sf_small):
         """
     ).collect()[0]
     assert row["n"] > 0 and row["r_name"]
+
+
+def test_pq_topk_finds_true_neighbors(spark):
+    """PQ/ADC with exact re-rank must find the true nearest neighbor for
+    well-separated vectors (each axis-cluster quantizes to its own code)."""
+    import numpy as np
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.similarity import pq_topk
+
+    rng = np.random.default_rng(7)
+    base = np.eye(8)  # 8 well-separated directions in 8-dim space
+    rows = []
+    for i in range(64):
+        v = base[i % 8] + rng.normal(0, 0.05, 8)
+        rows.append((i, [float(x) for x in v]))
+    corpus = spark.createDataFrame(rows, "c_id long, c_vec array<float>")
+    queries = spark.createDataFrame(
+        [(100 + j, [float(x) for x in base[j]]) for j in range(4)],
+        "q_id long, q_vec array<float>",
+    )
+    got = pq_topk(
+        queries, corpus, k=8, n_subspaces=4, n_codes=8
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append(r["c_id"])
+    for j in range(4):
+        # every returned neighbor of query j must come from cluster j
+        assert by_q[100 + j], f"query {j} returned nothing"
+        assert all(c % 8 == j for c in by_q[100 + j][:4])
