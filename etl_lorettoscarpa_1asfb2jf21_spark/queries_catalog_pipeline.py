@@ -876,3 +876,71 @@ def tp7_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct("gram").alias("n_shared"))
     )
+
+
+# =====================================================================
+# x1_winnowing — content-defined document fingerprints (MOSS)
+# =====================================================================
+
+_WIN_N, _WIN_W = 5, 4  # 5-char grams, window of 4 gram-hashes
+_H60P = "('0x' || substr(md5({c}), 1, 15))::BIGINT"
+
+
+@query(
+    "x1_winnowing",
+    f"""
+    WITH g AS (
+      SELECT doc_id,
+             [{_H60P.format(c="substr(t, CAST(i AS INT), " + str(_WIN_N) + ")")}
+              FOR i IN range(1, len(t) - {_WIN_N - 2})] AS gh
+      FROM (SELECT doc_id, {_NORM_SQL.format(c='text')} AS t FROM documents)
+      WHERE len(t) >= {_WIN_N + _WIN_W - 1}
+    ), fp AS (
+      SELECT doc_id,
+             list_sort(list_distinct([
+               list_min(gh[CAST(i AS INT):CAST(i + {_WIN_W - 1} AS INT)])
+               FOR i IN range(1, len(gh) - {_WIN_W - 2})
+             ])) AS fps
+      FROM g
+    )
+    SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+           md5(array_to_string(fps, ',')) AS fp_digest
+    FROM fp
+    """,
+)
+def x1_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 winnowing fingerprints (Schleimer et al. 2003 — the MOSS
+    plagiarism-detection selector): hash every character 5-gram, slide a
+    window of 4 hashes, keep each window's minimum — guaranteeing any
+    sufficiently long shared substring contributes a shared fingerprint,
+    while storing ~1/w of the grams.
+
+    Entirely map-only native expressions (sequence/transform/slice/
+    array_min — no explode, no shuffle): per-doc cost is linear, the
+    100 TB cost is exactly the corpus scan. Portable md5-60bit gram
+    hashes make the whole selector — window minima included — exactly
+    reproducible in the DuckDB twin; the output digests the sorted
+    fingerprint set so the hash compare covers every selected value.
+    """
+    from .functions.hashing import md5_long60
+    from .functions.text import char_ngrams_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.transform(
+        char_ngrams_expr("_t", _WIN_N, pre_normalized=True), md5_long60
+    )
+    windows = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_gh")) - F.lit(_WIN_W - 1)),
+        lambda i: F.array_min(F.slice(F.col("_gh"), i, _WIN_W)),
+    )
+    return (
+        d.select("doc_id", normalized_text_expr("text").alias("_t"))
+        .filter(F.length("_t") >= _WIN_N + _WIN_W - 1)
+        .withColumn("_gh", grams)
+        .withColumn("_fps", F.array_sort(F.array_distinct(windows)))
+        .select(
+            "doc_id",
+            F.size("_fps").cast("long").alias("n_fp"),
+            F.md5(F.concat_ws(",", F.col("_fps"))).alias("fp_digest"),
+        )
+    )
