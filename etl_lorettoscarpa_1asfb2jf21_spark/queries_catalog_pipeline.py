@@ -944,3 +944,78 @@ def x1_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws(",", F.col("_fps"))).alias("fp_digest"),
         )
     )
+
+
+# =====================================================================
+# dq2 — expectation suite (Deequ-style constraint checks)
+# =====================================================================
+
+@query(
+    "dq2_expectations",
+    """
+    SELECT 'orderkey_unique' AS check_name,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS violations,
+           (COUNT(*) = COUNT(DISTINCT o_orderkey)) AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_not_null',
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           (SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0)
+    FROM orders
+    UNION ALL
+    SELECT 'totalprice_in_range',
+           CAST(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           (SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000
+                THEN 1 ELSE 0 END) = 0)
+    FROM orders
+    UNION ALL
+    SELECT 'customer_fk_integrity',
+           CAST(COUNT(*) AS BIGINT), (COUNT(*) = 0)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    """,
+)
+def dq2_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dq2: an expectation suite over the orders table — uniqueness,
+    completeness, range, and referential-integrity checks, each reported
+    as (check_name, violations, passed). The constraint-gate pattern
+    (Deequ/Great-Expectations style) a production pipeline runs before
+    promoting a batch.
+
+    Scale: the three single-table checks share ONE aggregation pass over
+    one scan (they are parallel aggregates, not three jobs); the FK check
+    is a broadcast anti-join counted. Nothing is collected until the
+    4-row report.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    one_pass = o.agg(
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("uniq_v"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("null_v"),
+        F.sum(
+            F.when(
+                (F.col("o_totalprice") < 0) | (F.col("o_totalprice") > 1_000_000), 1
+            ).otherwise(0)
+        ).alias("range_v"),
+    )
+    fk_v = (
+        o.join(F.broadcast(c.select("c_custkey")),
+               F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("fk_v"))
+    )
+    rep = one_pass.crossJoin(F.broadcast(fk_v))
+
+    def row(name: str, col: str):
+        return rep.select(
+            F.lit(name).alias("check_name"),
+            F.col(col).cast("long").alias("violations"),
+            (F.col(col) == 0).alias("passed"),
+        )
+
+    return (
+        row("orderkey_unique", "uniq_v")
+        .unionByName(row("custkey_not_null", "null_v"))
+        .unionByName(row("totalprice_in_range", "range_v"))
+        .unionByName(row("customer_fk_integrity", "fk_v"))
+    )
