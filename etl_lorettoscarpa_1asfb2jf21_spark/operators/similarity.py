@@ -347,6 +347,7 @@ def pq_topk(
     n_subspaces: int = 8,
     n_codes: int = 16,
     rerank: int = 5,
+    use_arrow: bool = False,
     seed: int = 42,
     query_id: str = "q_id",
     query_vec: str = "q_vec",
@@ -362,9 +363,14 @@ def pq_topk(
     Search"; faiss's IndexPQ).
 
     Train: per-subspace k-means on a bounded sample (driver numpy, flat
-    cost in corpus size — same policy as ivf_topk). Encode: per-row argmin
-    over ``n_codes`` unit-subvector literals — a map-only native pass, the
-    corpus is never shuffled. Search: queries are collected (they are a
+    cost in corpus size — same policy as ivf_topk). Encode: map-only, the
+    corpus is never shuffled — fully native per-subspace
+    argmin-over-literals expressions by default (at n_codes=16 the
+    interpreted cost is NOT the bottleneck: measured within noise of the
+    Arrow kernel, so the plan stays Python-free); ``use_arrow=True``
+    swaps in one numpy argmin kernel per record batch
+    (functions.vectors.pq_codes_batch_udf, equality-tested) for larger
+    codebooks where the expression count grows. Search: queries are collected (they are a
     handful by contract), each contributes a literal per-subspace lookup
     table; approximate distance is a sum of ``n_subspaces`` array lookups
     per corpus row — again map-only — ranks an ADC shortlist of
@@ -431,10 +437,19 @@ def pq_topk(
         return F.element_at(best, 1)["code"]
 
     cn = spread(corpus.select(F.col(corpus_id), normalize_expr(corpus_vec).alias("_v")))
-    encoded = cn.select(
-        F.col(corpus_id),
-        *[subspace_code("_v", s).alias(f"_c{s}") for s in range(n_subspaces)],
-    )
+    if use_arrow:
+        from ..functions.vectors import pq_codes_batch_udf
+
+        codes = pq_codes_batch_udf(codebooks)(F.col("_v"))
+        encoded = cn.select(F.col(corpus_id), codes.alias("_codes")).select(
+            F.col(corpus_id),
+            *[F.col("_codes")[s].alias(f"_c{s}") for s in range(n_subspaces)],
+        )
+    else:
+        encoded = cn.select(
+            F.col(corpus_id),
+            *[subspace_code("_v", s).alias(f"_c{s}") for s in range(n_subspaces)],
+        )
 
     # queries are a handful by contract (same bounded-collect policy as the
     # IVF training sample); each yields n_subspaces literal LUTs

@@ -511,3 +511,26 @@ def test_pq_topk_finds_true_neighbors(spark):
         # every returned neighbor of query j must come from cluster j
         assert by_q[100 + j], f"query {j} returned nothing"
         assert all(c % 8 == j for c in by_q[100 + j][:4])
+
+
+def test_pq_arrow_encoder_matches_native(spark):
+    """The Arrow PQ encoder must produce the same top-k as the native
+    argmin-over-literals path (same codebooks, same seed)."""
+    import random
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.similarity import pq_topk
+
+    rng = random.Random(3)
+    corpus = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)],
+        "c_id long, c_vec array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0] + [0.0] * 7)], "q_id long, q_vec array<float>"
+    )
+    kw = dict(k=5, n_subspaces=4, n_codes=8)
+    native = {(r["q_id"], r["c_id"], r["rank"])
+              for r in pq_topk(queries, corpus, use_arrow=False, **kw).collect()}
+    arrow = {(r["q_id"], r["c_id"], r["rank"])
+             for r in pq_topk(queries, corpus, use_arrow=True, **kw).collect()}
+    assert arrow == native
