@@ -1010,11 +1010,35 @@ def st3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a4_approx_count_distinct")  # sketch-based — rows-only check
+@query(
+    "a4_approx_count_distinct",
+    """
+    SELECT COUNT(DISTINCT user_id) AS exact_users, TRUE AS within_5pct
+    FROM events
+    """,
+)
 def a4_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct-count sketch (engine-specific estimate)."""
+    """HyperLogLog++ distinct-count sketch with a hash-checkable quality gate.
+
+    The sketch estimate itself is engine-specific (Spark's HLL++ vs any
+    oracle's), so instead of emitting the raw estimate we emit the exact
+    count alongside a boolean asserting the sketch landed within its
+    documented error envelope (rsd=0.05 default -> we gate at 5%). The
+    oracle mirrors the exact count and expects the gate to hold, turning
+    an unverifiable approximate answer into a verified one — same pattern
+    as x2_recall_report's recall thresholds.
+    """
     e = load_table(spark, sf_dir, "events")
-    return e.agg(F.approx_count_distinct("user_id").alias("approx_users"))
+    return e.agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id").cast("double")
+                - F.count_distinct("user_id").cast("double")
+            )
+            <= F.lit(0.05) * F.count_distinct("user_id").cast("double")
+        ).alias("within_5pct"),
+    )
 
 
 @query(

@@ -1019,3 +1019,154 @@ def dq2_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("totalprice_in_range", "range_v"))
         .unionByName(row("customer_fk_integrity", "fk_v"))
     )
+
+
+# =====================================================================
+# x3_unigram_rarity — corpus-frequency quality buckets (CCNet-style)
+# =====================================================================
+
+@query(
+    "x3_unigram_rarity",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(t, ' ')) AS token
+      FROM (SELECT doc_id, {_NORM_SQL.format(c='text')} AS t FROM documents)
+      WHERE len(t) > 0
+    ), vocab AS (
+      SELECT token, COUNT(*) AS tf FROM tok GROUP BY 1
+    ), per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_tokens, SUM(tf) AS sum_tf
+      FROM tok JOIN vocab USING (token) GROUP BY 1
+    ), scored AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(sum_tf AS BIGINT) AS sum_tf,
+             CAST(sum_tf AS DOUBLE) / n_tokens AS mean_tf
+      FROM per_doc
+    )
+    SELECT doc_id, n_tokens, sum_tf, mean_tf,
+           CASE ntile(3) OVER (ORDER BY mean_tf DESC, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM scored
+    """,
+)
+def x3_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x3: corpus-level unigram-frequency scoring with head/middle/tail
+    buckets — the CCNet split (Wenzek et al. 2020) with corpus token
+    frequency standing in for the LM: documents whose tokens are common
+    corpus-wide land in `head`, rare-token documents land in `tail`.
+
+    Two passes over the exploded tokens: (1) global token counts — the
+    vocabulary is Zipf-bounded, so at 100 TB the count table is still
+    tiny and is BROADCAST for the re-join (no shuffle of the token
+    stream for the join; the only wide op is the vocab groupBy, which
+    map-side combines to vocabulary size per partition). (2) per-doc sum
+    — combines on doc_id. All integer arithmetic until one IEEE-exact
+    division, so the oracle hash-matches bit-for-bit; ntile gets a
+    deterministic (mean_tf DESC, doc_id) total order.
+
+    The ntile here is a global total order — exact tertiles for the
+    oracle compare. At 100 TB you'd swap the window for two cut-points
+    from approx_percentile(mean_tf, [1/3, 2/3]) broadcast into a
+    map-side CASE (same bucket semantics, no global sort); the scoring
+    passes above are the scale-dominant cost either way.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", normalized_text_expr("text").alias("_t"))
+        .filter(F.length("_t") > 0)
+        .select("doc_id", F.explode(F.split("_t", " ")).alias("token"))
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    per_doc = (
+        tok.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("tf").alias("sum_tf"))
+    )
+    scored = per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("sum_tf").cast("long").alias("sum_tf"),
+        (F.col("sum_tf").cast("double") / F.col("n_tokens")).alias("mean_tf"),
+    )
+    w = Window.orderBy(F.col("mean_tf").desc(), "doc_id")
+    bucket = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "sum_tf",
+        "mean_tf",
+        F.when(bucket == 1, "head").when(bucket == 2, "middle").otherwise("tail").alias("bucket"),
+    )
+
+
+# =====================================================================
+# tp8_domain_mix — deterministic per-source mixture sampling
+# =====================================================================
+
+# Target acceptance rates in exact 65536ths: even-numbered sources keep
+# everything, odd-numbered keep half. The hash compare is on the first 4
+# md5 hex digits (uniform over 0..65535), so the split is reproducible
+# across engines, partitionings, and retries — no RNG, no seed plumbing.
+_MIX_SALT = "mix1:"
+
+
+@query(
+    "tp8_domain_mix",
+    f"""
+    WITH rated AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                  THEN 65536 ELSE 32768 END AS rate_64k,
+             ('0x' || substr(md5('{_MIX_SALT}' || CAST(doc_id AS VARCHAR)), 1, 4))::INT AS h
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+               ORDER BY doc_id)) AS kept_digest
+    FROM rated
+    WHERE h < rate_64k
+    GROUP BY source
+    """,
+)
+def tp8_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tp8: domain-mixture sampling — reweight the corpus toward a target
+    per-source mixture (the Pile/DoReMi-style knob) by deterministic
+    hash-thresholding: keep a document iff the first 4 md5 hex digits of
+    its salted id fall below the source's acceptance rate (expressed in
+    exact 65536ths, so Spark and the oracle make the identical keep/drop
+    decision on every row).
+
+    Map-only filter (no shuffle to decide membership) followed by a
+    per-source aggregate; at 100 TB the sampling cost is exactly one
+    corpus scan. The digest of the kept doc_id set makes the hash check
+    cover *which* rows were kept, not just how many.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.substring("source", 4, 10).cast("int") % 2 == 0, 65536)
+        .otherwise(32768)
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(_MIX_SALT), F.col("doc_id").cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("int")
+    kept = d.select("doc_id", "source", "n_chars", rate.alias("rate_64k"), h.alias("h")).filter(
+        F.col("h") < F.col("rate_64k")
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("chars_kept"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("kept_digest"),
+    )

@@ -104,7 +104,8 @@ def main() -> int:
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
             print(f"OK    {name}: {len(sdf)} rows")
-    print(f"\n{len(qs) - len(failures)}/{len([n for n in qs if not only or n in only])} passed")
+    n_run = len([n for n in qs if not only or n in only])
+    print(f"\n{n_run - len(failures)}/{n_run} passed")
     return 1 if failures else 0
 
 
