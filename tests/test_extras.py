@@ -62,3 +62,55 @@ def test_feature_scale_broadcasts_stats_no_window(spark, sf_medium):
     plan = plan_of(QUERIES["ml1_feature_scale"](spark, sf_medium))
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------
+# x3_unigram_rarity — CCNet-style corpus-frequency buckets
+# ---------------------------------------------------------------------
+
+def test_unigram_rarity_buckets_are_ordered_tertiles(spark, sf_medium):
+    from etl_lorettoscarpa_1asfb2jf21_spark.queries_catalog_pipeline import QUERIES
+
+    out = QUERIES["x3_unigram_rarity"](spark, sf_medium).toPandas()
+    sizes = out["bucket"].value_counts().to_dict()
+    n = len(out)
+    # ntile(3): bucket sizes differ by at most 1
+    assert set(sizes) == {"head", "middle", "tail"}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert sum(sizes.values()) == n
+    # buckets respect the mean_tf order: every head doc scores >= every
+    # tail doc (ties broken inside ntile, so compare strict bounds only)
+    assert out.loc[out.bucket == "head", "mean_tf"].min() >= \
+        out.loc[out.bucket == "tail", "mean_tf"].max()
+    # per-doc token accounting: sum_tf >= n_tokens (every token occurs
+    # at least once corpus-wide — namely in this document)
+    assert (out["sum_tf"] >= out["n_tokens"]).all()
+
+
+# ---------------------------------------------------------------------
+# tp8_domain_mix — deterministic per-source mixture sampling
+# ---------------------------------------------------------------------
+
+def test_domain_mix_rates_and_determinism(spark, sf_medium):
+    from etl_lorettoscarpa_1asfb2jf21_spark.queries_catalog_pipeline import QUERIES
+    from etl_lorettoscarpa_1asfb2jf21_spark.sources.tables import load_table
+
+    totals = (
+        load_table(spark, sf_medium, "documents")
+        .groupBy("source")
+        .count()
+        .toPandas()
+        .set_index("source")["count"]
+    )
+    out = QUERIES["tp8_domain_mix"](spark, sf_medium).toPandas().set_index("source")
+    for src, total in totals.items():
+        kept = out.loc[src, "n_kept"]
+        if int(src[3:]) % 2 == 0:
+            assert kept == total, f"{src}: full-rate source must keep all"
+        else:
+            # rate 1/2 in exact 65536ths; binomial(25, .5) stays in [3, 22]
+            # with probability ~1-4e-5 per source — deterministic anyway
+            assert 0 < kept < total, f"{src}: half-rate source must subsample"
+    # deterministic: identical digest on re-run (no RNG anywhere)
+    again = QUERIES["tp8_domain_mix"](spark, sf_medium).toPandas().set_index("source")
+    assert (out["kept_digest"] == again["kept_digest"]).all()
