@@ -1440,7 +1440,12 @@ def x2_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the recall join is on (q_id, c_id) pairs — k rows per query —
     negligible next to the searches themselves; the exact search runs on
-    the same bounded query sample, not the corpus.
+    the same bounded query sample, not the corpus. The three approximate
+    result sets are tagged and unioned so the exact top-10 subtree is
+    built ONCE and joined once (three separate semi-joins would
+    re-instantiate — and recompute — the brute-force search per method);
+    the q_id spine comes from the 5-row query sample, not another pass
+    over exact.
     """
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5).select(
@@ -1460,18 +1465,24 @@ def x2_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id", "c_id"
     )
 
-    def recall_of(approx, name):
-        hits = exact.join(approx, ["q_id", "c_id"], "left_semi")
-        return hits.groupBy("q_id").agg(
-            (F.count(F.lit(1)).cast("double") / F.lit(10.0)).alias(name)
-        )
-
+    tagged = (
+        lsh.withColumn("_m", F.lit("lsh"))
+        .unionByName(ivf.withColumn("_m", F.lit("ivf")))
+        .unionByName(pq.withColumn("_m", F.lit("pq")))
+    )
+    hits = exact.join(tagged, ["q_id", "c_id"], "inner")
+    per_q = hits.groupBy("q_id").agg(
+        *[
+            (
+                F.sum(F.when(F.col("_m") == m, 1).otherwise(0)).cast("double")
+                / F.lit(10.0)
+            ).alias(f"recall_{m}")
+            for m in ("lsh", "ivf", "pq")
+        ]
+    )
     return (
-        exact.select("q_id")
-        .distinct()
-        .join(recall_of(lsh, "recall_lsh"), "q_id", "left")
-        .join(recall_of(ivf, "recall_ivf"), "q_id", "left")
-        .join(recall_of(pq, "recall_pq"), "q_id", "left")
+        queries.select("q_id")
+        .join(per_q, "q_id", "left")
         .na.fill({"recall_lsh": 0.0, "recall_ivf": 0.0, "recall_pq": 0.0})
     )
 
