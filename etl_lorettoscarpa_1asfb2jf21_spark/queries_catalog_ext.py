@@ -1504,12 +1504,19 @@ def x4_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     decoded = decode_image_batch(payloads, use_fake_decoder=True)
-    return extract_image_features(decoded).select(
+    # Flatten the feature vector to scalar columns: rows-only checks still
+    # canonicalize the frame, and list cells are unhashable in pandas (the
+    # round-1 p6 lesson) — scalars keep every value in the check.
+    feats = extract_image_features(decoded)
+    return feats.select(
         "doc_id",
         F.col("width").cast("long"),
         F.col("height").cast("long"),
         F.col("n_channels").cast("long"),
-        "features",
+        *[
+            F.element_at("features", i + 1).alias(f"feat_{i}")
+            for i in range(4)
+        ],
     )
 
 
