@@ -159,6 +159,28 @@ def minhash_signature(
     return pivoted.select(id_col, sig.alias("sig"))
 
 
+def _lsh_band_buckets(
+    sig: DataFrame, id_col: str, bands: int, rows_per_band: int, portable: bool
+) -> DataFrame:
+    """(_id, band, bucket) — one row per (doc, band): the banded-LSH index
+    entries. Portable mode hashes the '-'-joined band slice with md5 so the
+    bucket keys are engine-reproducible."""
+
+    def band_bucket(b: int):
+        elems = [F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+        if portable:
+            return F.md5(F.concat_ws("-", *[e.cast("string") for e in elems]))
+        return F.xxhash64(*elems)
+
+    band_cols = [
+        F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
+        for b in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col).alias("_id"), F.explode(F.array(*band_cols)).alias("bb")
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -190,20 +212,7 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_size, portable)
-
-    def band_bucket(b: int):
-        elems = [F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-        if portable:
-            return F.md5(F.concat_ws("-", *[e.cast("string") for e in elems]))
-        return F.xxhash64(*elems)
-
-    band_cols = [
-        F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
-        for b in range(bands)
-    ]
-    buckets = sig.select(
-        F.col(id_col).alias("_id"), F.explode(F.array(*band_cols)).alias("bb")
-    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = _lsh_band_buckets(sig, id_col, bands, rows_per_band, portable)
 
     cand = bucket_pairs(buckets, "_id", ["band", "bucket"])
 
@@ -237,6 +246,76 @@ def minhash_lsh_dedup(
     pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def incremental_neardup(
+    index_df: DataFrame,
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 6,
+    jaccard_threshold: float = 0.7,
+    portable: bool = False,
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch against an EXISTING corpus index — the
+    incremental-crawl shape: every ingest round checks arriving documents
+    against everything already accepted, without re-pairing the corpus
+    against itself.
+
+    Asymmetric LSH probe: bucket both sides with the same banded minhash,
+    equi-join new-side buckets against index-side buckets on (band,
+    bucket), then exact-Jaccard-verify the candidates. Returns
+    (new_id, index_id, jaccard) — callers drop or link the matched rows.
+
+    Scale: the index bucket table is the persisted artifact (in production
+    it's written once and appended per round — a parquet table partitioned
+    by band); the probe is an equi join AGAINST it keyed on (band, bucket)
+    — the new batch (≪ index) broadcasts, so a round's cost is one scan of
+    the batch plus a bucket lookup, never O(index) pairing, and never a
+    within-index or within-batch pair. Candidate volume is bounded by
+    bucket collisions, exactly as in the self-dedup path.
+    """
+    rows_per_band = num_hashes // bands
+    idx_sig = minhash_signature(
+        index_df, text_col, id_col, num_hashes, shingle_size, portable
+    )
+    new_sig = minhash_signature(
+        new_df, text_col, id_col, num_hashes, shingle_size, portable
+    )
+    idx_b = _lsh_band_buckets(idx_sig, id_col, bands, rows_per_band, portable)
+    new_b = _lsh_band_buckets(new_sig, id_col, bands, rows_per_band, portable)
+    cand = (
+        idx_b.join(
+            F.broadcast(
+                new_b.select(
+                    F.col("_id").alias("new_id"), "band", "bucket"
+                )
+            ),
+            ["band", "bucket"],
+        )
+        .select(F.col("_id").alias("index_id"), "new_id")
+        .distinct()
+    )
+
+    def shingle_sets(df: DataFrame, out_id: str, out_shs: str) -> DataFrame:
+        return _spread_normalized(df, text_col, keep=[id_col]).select(
+            F.col(id_col).alias(out_id),
+            _hashed_ngrams_from_norm(shingle_size, portable=portable).alias(out_shs),
+        )
+
+    return (
+        cand.join(F.broadcast(shingle_sets(new_df, "new_id", "_shs_n")), "new_id")
+        .join(shingle_sets(index_df, "index_id", "_shs_i"), "index_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_shs_n", "_shs_i")).cast("double")
+            / F.size(F.array_union("_shs_n", "_shs_i")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("new_id", "index_id", "jaccard")
+    )
 
 
 # ---------------------------------------------------------------- simhash

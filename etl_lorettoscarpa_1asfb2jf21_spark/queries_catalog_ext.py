@@ -161,6 +161,80 @@ def x1_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- x1_incremental_neardup oracle: same portable LSH pipeline, but the
+# candidate join is asymmetric — index side (doc_id < 400) probed by the
+# new batch (doc_id >= 400). Shares every CTE with the self-dedup twin.
+_MH_INC_SPLIT = 400
+_MH_INC_ORACLE = f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM_SQL.format(c='text')} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, {_H60.format(c='g')} AS h
+      FROM (
+        SELECT doc_id,
+               unnest([substr(t, CAST(i AS INT), {_MH_N})
+                       FOR i IN range(1, len(t) - {_MH_N - 2})]) AS g
+        FROM norm WHERE len(t) >= {_MH_N}
+      )
+    ), binmin AS (
+      SELECT doc_id, h % {_MH_K} AS bin, min(h) AS mh
+      FROM sh GROUP BY doc_id, h % {_MH_K}
+    ), sig AS (
+      SELECT doc_id,
+             {_MH_SIG_COLS}
+      FROM binmin GROUP BY doc_id
+    ), buckets AS (
+      SELECT doc_id, band,
+             CASE band
+             {_MH_BUCKET_CASE}
+             END AS bucket
+      FROM sig, (VALUES (0), (1), (2), (3)) AS bb(band)
+    ), cand AS (
+      SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS index_id
+      FROM buckets a
+      JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < {_MH_INC_SPLIT} AND b.doc_id >= {_MH_INC_SPLIT}
+    ), gr AS (
+      SELECT doc_id, list(DISTINCT h) AS g FROM sh GROUP BY doc_id
+    )
+    SELECT c.new_id, c.index_id,
+           CAST(len(list_intersect(n.g, i.g)) AS DOUBLE)
+             / len(list_distinct(list_concat(n.g, i.g))) AS jaccard
+    FROM cand c
+    JOIN gr n ON c.new_id = n.doc_id
+    JOIN gr i ON c.index_id = i.doc_id
+    WHERE CAST(len(list_intersect(n.g, i.g)) AS DOUBLE)
+             / len(list_distinct(list_concat(n.g, i.g))) >= 0.5
+"""
+
+
+@query("x1_incremental_neardup", _MH_INC_ORACLE)
+def x1_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 incremental: near-dup pairs of a NEW document batch against the
+    EXISTING corpus index (`operators/dedup.incremental_neardup`) — the
+    per-ingest-round shape of fuzzy dedup: new crawl vs everything already
+    accepted, asymmetric LSH bucket probe, no within-index or
+    within-batch pairing. The doc_id<400 / >=400 split stands in for the
+    index/batch boundary on the driver testdata.
+
+    Portable mode gives the whole asymmetric pipeline — signatures, band
+    buckets, candidate probe, exact-Jaccard verify — a DuckDB twin.
+    """
+    from .operators.dedup import incremental_neardup
+
+    d = load_table(spark, sf_dir, "documents")
+    return incremental_neardup(
+        d.filter(F.col("doc_id") < _MH_INC_SPLIT),
+        d.filter(F.col("doc_id") >= _MH_INC_SPLIT),
+        "text",
+        "doc_id",
+        num_hashes=16,
+        bands=4,
+        jaccard_threshold=0.5,
+        portable=True,
+    )
+
+
 # --- x1_simhash oracle: 60 bit-vote sums + sign recombination in SQL.
 _SH_SUMS = ",\n             ".join(
     f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"

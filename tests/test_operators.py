@@ -106,6 +106,35 @@ def test_portable_minhash_matches_xxhash_pairs(spark):
     assert fast == port
 
 
+def test_incremental_neardup_matches_cross_boundary_pairs(spark):
+    """The asymmetric index-vs-batch probe must find exactly the
+    self-dedup pairs that cross the index/batch boundary — no more
+    (it never pairs within a side) and no fewer (the probe uses the
+    same buckets)."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.dedup import incremental_neardup
+
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    split = 3  # index: 1-2, new batch: 3-5 (doc 3 near-dups 1 and 2)
+    kw = dict(num_hashes=32, bands=8, jaccard_threshold=0.5)
+    expected = {
+        (r["id_b"], r["id_a"], round(r["jaccard"], 9))
+        for r in minhash_lsh_pairs(df, "text", "doc_id", **kw).collect()
+        if r["id_a"] < split <= r["id_b"]
+    }
+    got = {
+        (r["new_id"], r["index_id"], round(r["jaccard"], 9))
+        for r in incremental_neardup(
+            df.filter(F.col("doc_id") < split),
+            df.filter(F.col("doc_id") >= split),
+            "text",
+            "doc_id",
+            **kw,
+        ).collect()
+    }
+    assert got == expected
+    assert got, "expected at least one cross-boundary near-dup in DOCS"
+
+
 def test_portable_simhash_properties(spark):
     """Portable simhash: 60-bit non-negative fingerprints, identical docs
     collide, unrelated docs differ."""
