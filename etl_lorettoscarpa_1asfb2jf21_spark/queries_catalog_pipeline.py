@@ -1170,3 +1170,101 @@ def tp8_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("kept_digest"),
     )
+
+
+# =====================================================================
+# x3_repetition_filter — Gopher-style repetition quality rules
+# =====================================================================
+
+@query(
+    "x3_repetition_filter",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(t, ' ') AS tk
+      FROM (SELECT doc_id, {_NORM_SQL.format(c='text')} AS t FROM documents)
+      WHERE len(t) > 0
+    ), base AS (
+      SELECT doc_id,
+             len(tk) AS n_tokens,
+             len(list_distinct(tk)) AS n_distinct,
+             [tk[CAST(i AS INT)] || ' ' || tk[CAST(i + 1 AS INT)]
+              FOR i IN range(1, len(tk))] AS bgs
+      FROM toks
+    ), bg AS (
+      SELECT doc_id, unnest(bgs) AS b FROM base
+    ), cnt AS (
+      SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2
+    ), agg AS (
+      SELECT doc_id, MAX(c) AS top_bg, SUM(c) AS n_bg FROM cnt GROUP BY 1
+    )
+    SELECT base.doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(top_bg, 0) AS DOUBLE) / coalesce(n_bg, 1)
+             AS top_bigram_frac,
+           CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens
+             AS dup_token_frac,
+           (CAST(coalesce(top_bg, 0) AS DOUBLE) / coalesce(n_bg, 1) <= 0.2
+            AND CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens <= 0.5)
+             AS passes
+    FROM base LEFT JOIN agg USING (doc_id)
+    """,
+)
+def x3_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x3: repetition-based quality rules (the Gopher family, Rae et al.
+    2021 §A1.1): fraction of token mass in the single most-frequent
+    bigram, and the duplicate-token fraction — the signals that catch
+    boilerplate/spam documents that length/stopword heuristics miss.
+    A document passes when both fractions stay under their thresholds.
+
+    Distinct-token counting is map-only (array_distinct on the token
+    array, no shuffle); the bigram mode needs one (doc, bigram) hash
+    aggregate then a doc-keyed max — both combine map-side, state is
+    O(distinct bigrams). All counts are exact integers with one IEEE
+    division each, so fractions AND the boolean gate hash-match the
+    oracle exactly.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", normalized_text_expr("text").alias("_t"))
+        .filter(F.length("_t") > 0)
+        .select("doc_id", F.split("_t", " ").alias("_tk"))
+    )
+    base = toks.select(
+        "doc_id",
+        F.size("_tk").alias("n_tokens"),
+        F.size(F.array_distinct("_tk")).alias("n_distinct"),
+        F.when(
+            F.size("_tk") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_tk") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("_tk", i), F.element_at("_tk", i + 1)
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_bgs"),
+    )
+    agg = (
+        base.select("doc_id", F.explode("_bgs").alias("_b"))
+        .groupBy("doc_id", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("doc_id")
+        .agg(F.max("_c").alias("_top_bg"), F.sum("_c").alias("_n_bg"))
+    )
+    top_frac = F.coalesce(F.col("_top_bg"), F.lit(0)).cast("double") / F.coalesce(
+        F.col("_n_bg"), F.lit(1)
+    )
+    dup_frac = (F.col("n_tokens") - F.col("n_distinct")).cast("double") / F.col(
+        "n_tokens"
+    )
+    return (
+        base.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            top_frac.alias("top_bigram_frac"),
+            dup_frac.alias("dup_token_frac"),
+            ((top_frac <= 0.2) & (dup_frac <= 0.5)).alias("passes"),
+        )
+    )
