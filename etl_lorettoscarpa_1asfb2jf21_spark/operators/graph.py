@@ -12,8 +12,9 @@ Scale design (100 TB corpora → billions of nodes, edges ≪ nodes²):
   * each round is one shuffle: edges ⋈ labels on node id, then a min-
     aggregate on the destination id — both hash on the same key, so AQE
     reuses the exchange layout;
-  * convergence check is a driver-side count of changed labels (one cheap
-    action per round on an already-shuffled frame);
+  * convergence check is a driver-side label-sum comparison (labels are
+    elementwise non-increasing, so an unchanged exact sum is a fixpoint
+    proof) — one scalar aggregate per round, no new-vs-old join;
   * for adversarial long-chain graphs switch to the large-star/small-star
     algorithm (Kiveris et al. 2014, "Connected Components in MapReduce"),
     which converges in O(log^2 n) rounds — same join/agg primitives.
@@ -60,6 +61,17 @@ def connected_components(
     )
     labels = touched.select("_id", F.col("_id").alias("_lbl"))
 
+    # Convergence test: labels only ever decrease elementwise (min of self,
+    # neighbors, label-of-label), so the label SUM is strictly decreasing
+    # until the fixpoint — an unchanged sum proves convergence. One scalar
+    # aggregate per round on the just-materialized frame, no new-vs-old
+    # join. decimal(38,0) keeps the sum exact at billions of 64-bit ids.
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("_lbl").cast("decimal(38,0)")).alias("_s")
+        ).collect()[0]["_s"]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         # Neighbor labels: for each edge (a, b), b receives a's current label.
         neighbor = (
@@ -100,16 +112,11 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n._id") == F.col("o._id"))
-            .filter(F.col("n._lbl") != F.col("o._lbl"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         raise RuntimeError(
             f"connected_components did not converge within {max_iter} rounds; "

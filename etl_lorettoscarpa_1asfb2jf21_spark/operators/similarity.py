@@ -364,13 +364,14 @@ def pq_topk(
 
     Train: per-subspace k-means on a bounded sample (driver numpy, flat
     cost in corpus size — same policy as ivf_topk). Encode: map-only, the
-    corpus is never shuffled — fully native per-subspace
-    argmin-over-literals expressions by default (at n_codes=16 the
-    interpreted cost is NOT the bottleneck: measured within noise of the
-    Arrow kernel, so the plan stays Python-free); ``use_arrow=True``
-    swaps in one numpy argmin kernel per record batch
-    (functions.vectors.pq_codes_batch_udf, equality-tested) for larger
-    codebooks where the expression count grows. Search: queries are collected (they are a
+    corpus is never shuffled — either fully native per-subspace
+    argmin-over-literals expressions (``use_arrow=False``), or one numpy
+    argmin kernel per record batch (functions.vectors.pq_codes_batch_udf,
+    equality-tested). Re-measured at sf0.1: the Arrow kernel is >2× the
+    native path end-to-end — n_subspaces·n_codes interpreted aggregate
+    expressions per row don't amortize — so the catalog queries pass
+    ``use_arrow=True``; the native path remains the dependency-free
+    fallback and the equality reference. Search: queries are collected (they are a
     handful by contract), each contributes a literal per-subspace lookup
     table; approximate distance is a sum of ``n_subspaces`` array lookups
     per corpus row — again map-only — ranks an ADC shortlist of

@@ -433,6 +433,11 @@ def x2_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No SQL twin (float k-means codebooks); ``exact_rank`` embeds the
     quality gate per returned row, as in x2_topk_lsh/x2_topk_ivf.
+
+    Encode uses the Arrow batch kernel: re-measured at sf0.1 it is >2×
+    the native argmin-expression path end-to-end (128 interpreted
+    aggregate exprs per row don't amortize; equality of the two encoders
+    is asserted in tests/test_operators.py).
     """
     from .operators.similarity import pq_topk
 
@@ -441,7 +446,7 @@ def x2_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    approx = pq_topk(queries, corpus, k=10, n_subspaces=8, n_codes=16)
+    approx = pq_topk(queries, corpus, k=10, n_subspaces=8, n_codes=16, use_arrow=True)
     return _with_exact_rank(approx, queries, corpus)
 
 
@@ -1535,9 +1540,9 @@ def x2_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .operators.similarity import pq_topk
 
-    pq = pq_topk(queries, corpus, k=10, n_subspaces=8, n_codes=16).select(
-        "q_id", "c_id"
-    )
+    pq = pq_topk(
+        queries, corpus, k=10, n_subspaces=8, n_codes=16, use_arrow=True
+    ).select("q_id", "c_id")
 
     tagged = (
         lsh.withColumn("_m", F.lit("lsh"))

@@ -34,7 +34,14 @@ ALL_QUERIES = {**CORE_QUERIES, **EXT_QUERIES}
 # kernel (vectors.band_buckets_batch_udf — dense matmul, measured ~10x the
 # native higher-order path). Everything else stays JVM-side, and
 # row-at-a-time Python (BatchEvalPython) is banned outright.
-ARROW_KERNEL_QUERIES = {"x1_embedding_neardup", "x2_topk_lsh", "x2_recall_report"}
+ARROW_KERNEL_QUERIES = {
+    "x1_embedding_neardup",
+    "x2_topk_lsh",
+    "x2_recall_report",
+    # PQ encode: the Arrow argmin kernel measured >2x the native
+    # 128-aggregate-expression path at sf0.1 (equality-tested)
+    "x2_topk_pq",
+}
 # The sanctioned mapInPandas surface (multimodal decode) — the only query
 # allowed a MapInPandas node.
 MAP_IN_PANDAS_QUERIES = {"x4_decode_features", "x4_bmp_decode", "x4_wav_decode"}
