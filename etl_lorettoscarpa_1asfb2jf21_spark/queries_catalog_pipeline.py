@@ -1270,3 +1270,146 @@ def x3_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((top_frac <= 0.2) & (dup_frac <= 0.5)).alias("passes"),
         )
     )
+
+
+# =====================================================================
+# cdc1 — CDC apply: last-writer-wins change-log materialization
+# =====================================================================
+
+@query(
+    "cdc1_apply_changes",
+    """
+    WITH chg AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+      FROM events
+    )
+    SELECT user_id,
+           epoch_us(ts) AS last_ts_us,
+           CAST(v AS DOUBLE) AS last_value,
+           CAST(n_changes AS BIGINT) AS n_changes
+    FROM chg
+    WHERE rn = 1 AND op = 'U'
+    """,
+)
+def cdc1_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cdc1: change-data-capture apply — materialize the latest state per
+    key from an ordered change log with upserts and deletes (the
+    Debezium-feed → table-merge semantics; events stand in as the log,
+    `error` meaning delete). Last-writer-wins on (ts, event_id); keys
+    whose final operation is a delete vanish from the result.
+
+    One key-grouped aggregate: max_by over the (ts, event_id) order plus
+    a count — O(1) state per key, combiner-friendly, no per-key window
+    sort (the oracle uses the window formulation; the engine does not
+    need it).
+    """
+    e = load_table(spark, sf_dir, "events")
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    last = F.struct(
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    agg = (
+        e.groupBy("user_id")
+        .agg(
+            F.max_by(last, ordk).alias("_last"),
+            F.count(F.lit(1)).alias("n_changes"),
+        )
+    )
+    return agg.filter(F.col("_last.op") == "U").select(
+        "user_id",
+        F.col("_last.ts_us").alias("last_ts_us"),
+        F.col("_last.v").cast("double").alias("last_value"),
+        F.col("n_changes").cast("long").alias("n_changes"),
+    )
+
+
+# =====================================================================
+# scd2b — point-in-time join: facts routed to the dim version valid
+# at event time
+# =====================================================================
+
+@query(
+    "scd2_point_in_time",
+    """
+    WITH cur AS (
+      SELECT c_custkey, c_mktsegment FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey,
+             CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) = 'a'
+                  THEN c_mktsegment || '_X' ELSE c_mktsegment END AS c_mktsegment
+      FROM customer
+    ),
+    changed AS (
+      SELECT u.c_custkey, u.c_mktsegment
+      FROM upd u JOIN cur c USING (c_custkey)
+      WHERE u.c_mktsegment <> c.c_mktsegment
+    ),
+    hist AS (
+      SELECT c.c_custkey, c.c_mktsegment,
+             DATE '2024-01-01' AS valid_from,
+             CASE WHEN ch.c_custkey IS NOT NULL THEN DATE '2024-01-15' END AS valid_to
+      FROM cur c LEFT JOIN changed ch ON c.c_custkey = ch.c_custkey
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, DATE '2024-01-15', NULL FROM changed
+    )
+    SELECT h.c_mktsegment AS segment,
+           (h.valid_to IS NULL) AS is_current_version,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN hist h
+      ON e.user_id = h.c_custkey
+     AND CAST(e.ts AS DATE) >= h.valid_from
+     AND (h.valid_to IS NULL OR CAST(e.ts AS DATE) < h.valid_to)
+    GROUP BY 1, 2
+    """,
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scd2b: point-in-time (temporal) join — every fact row joins the
+    dimension VERSION that was valid when the fact happened, not the
+    current one (the as-was reporting semantics SCD Type-2 exists for).
+    The dimension history comes from the same deterministic mid-January
+    merge the scd1 query replays, so facts before/after the boundary
+    route to different versions of the changed keys.
+
+    Plan shape: equi join on the natural key with the validity-range
+    conjuncts as join filters — a hash join, never a BNLJ; at 100 TB
+    the dim history broadcasts (bounded by attribute cardinality x
+    versions) and the fact side is never shuffled.
+    """
+    from .operators.scd import scd2_init, scd2_merge
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    dim = scd2_init(c, "2024-01-01")
+    updates = c.withColumn(
+        "c_mktsegment",
+        F.when(
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1) == "a",
+            F.concat(F.col("c_mktsegment"), F.lit("_X")),
+        ).otherwise(F.col("c_mktsegment")),
+    )
+    hist = scd2_merge(dim, updates, ["c_custkey"], ["c_mktsegment"], "2024-01-15")
+    e = load_table(spark, sf_dir, "events")
+    ev_date = F.to_date("ts")
+    joined = e.join(
+        F.broadcast(hist),
+        (F.col("user_id") == F.col("c_custkey"))
+        & (ev_date >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (ev_date < F.col("valid_to"))),
+    )
+    return joined.groupBy(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("valid_to").isNull().alias("is_current_version"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
