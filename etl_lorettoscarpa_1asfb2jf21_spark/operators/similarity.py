@@ -230,6 +230,50 @@ def embedding_neardup_pairs(
     )
 
 
+def train_unit_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    n_centroids: int,
+    seed: int = 42,
+    sample_per_cell: int = 256,
+    iters: int = 5,
+) -> list[tuple[int, list[float]]]:
+    """K-means coarse centroids, L2-normalized, as ``(cell_id, unit_vec)``.
+
+    Trains on a BOUNDED sample (standard IVF practice — faiss does the
+    same): centroid quality needs ~100s of points per cell, not the full
+    corpus, so training cost stays flat as the corpus grows. Because the
+    sample is bounded by construction (``sample_per_cell`` rows/cell),
+    Lloyd iterations run driver-side in numpy — milliseconds, versus
+    seconds of distributed-ML job scheduling for the same arithmetic.
+    Only training is driver-side; callers fold the centroids back in as
+    literals so corpus assignment stays a distributed map-only pass.
+    """
+    sample = np.asarray(
+        [
+            r[0]
+            for r in corpus.select(vec_col)
+            .limit(sample_per_cell * n_centroids)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    rng = np.random.default_rng(seed)
+    C = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    for _ in range(iters):
+        # assign each sample point to its nearest centroid (squared L2)
+        d2 = ((sample[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(len(C)):
+            members = sample[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+
+    norms = np.linalg.norm(C, axis=1)
+    norms[norms == 0] = 1.0
+    return [(i, (c / n).tolist()) for i, (c, n) in enumerate(zip(C, norms))]
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -259,32 +303,7 @@ def ivf_topk(
     """
     from ..functions.vectors import dot_expr, normalize_expr
 
-    # Train on a bounded sample (standard IVF practice — faiss does the
-    # same): centroid quality needs ~100s of points per cell, not the full
-    # corpus, so training cost stays flat as the corpus grows. Because the
-    # sample is bounded by construction (256 rows/cell), Lloyd iterations
-    # run driver-side in numpy — milliseconds, versus seconds of
-    # distributed-ML job scheduling for the same arithmetic. Only training
-    # is driver-side; corpus assignment below stays a distributed map-only
-    # pass with the centroids folded in as literals.
-    sample = np.asarray(
-        [r[0] for r in corpus.select(corpus_vec).limit(256 * n_centroids).collect()],
-        dtype=np.float64,
-    )
-    rng = np.random.default_rng(seed)
-    C = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
-    for _ in range(5):
-        # assign each sample point to its nearest centroid (squared L2)
-        d2 = ((sample[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for j in range(len(C)):
-            members = sample[assign == j]
-            if len(members):
-                C[j] = members.mean(axis=0)
-
-    norms = np.linalg.norm(C, axis=1)
-    norms[norms == 0] = 1.0
-    centroids = [(i, (c / n).tolist()) for i, (c, n) in enumerate(zip(C, norms))]
+    centroids = train_unit_centroids(corpus, corpus_vec, n_centroids, seed=seed)
 
     def nearest_cells(vec_c: str, probes: int):
         """Array of the ``probes`` nearest centroid cell ids — pure per-row
@@ -496,4 +515,83 @@ def pq_topk(
         rescored.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "sim", "rank")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    n_centroids: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with bounded-sample k-means,
+    then prune near-duplicates WITHIN each cluster only — a vector is
+    dropped when a lower-id vector in the same cell has cosine >=
+    ``threshold``. Keep-lowest-id is the deterministic stand-in for the
+    paper's keep-one-per-group policy.
+
+    Returns (id_col, cell, is_kept, pruned_by) — ``pruned_by`` is the
+    minimum dominating id (NULL for kept rows), so the output doubles as
+    an audit trail of why each vector was dropped.
+
+    Scale design (the whole point of SemDeDup vs all-pairs): the O(n²)
+    cosine comparison is confined to cells of ~n/n_centroids vectors —
+    candidate generation is LINEAR in the corpus (one map-only
+    assignment pass with centroid literals folded in, exactly like
+    ivf_topk's index step), and the within-cell self-join is a hash
+    join on cell id. Cross-cell duplicates are missed BY DESIGN
+    (quantifiable: the caller can measure recall on a sample, as
+    x1_semantic_dedup does in-output). At 100 TB: raise n_centroids so
+    cells stay bounded (~10⁴-10⁵ rows); skewed cells are AQE skew-join
+    territory.
+    """
+    from ..functions.vectors import array_lit, dot_expr, normalize_expr
+
+    centroids = train_unit_centroids(corpus, vec_col, n_centroids, seed=seed)
+
+    def nearest_cell(vec_c: str):
+        entries = F.array(
+            *[
+                F.struct(
+                    dot_expr(vec_c, array_lit(c)).alias("sim"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in centroids
+            ]
+        )
+        ordered = F.array_sort(
+            entries,
+            lambda a, b: F.when(a["sim"] > b["sim"], -1)
+            .when(a["sim"] < b["sim"], 1)
+            .otherwise(a["cell"] - b["cell"]),
+        )
+        return ordered[0]["cell"]
+
+    # normalize below the spread() exchange so the n_centroids cell scores
+    # and the pair dot products all reuse one normalized copy per row
+    cn = spread(
+        corpus.select(F.col(id_col), normalize_expr(vec_col).alias("_v"))
+    ).withColumn("cell", nearest_cell("_v"))
+    cn = cn.localCheckpoint(eager=False)  # assignment feeds both join sides
+
+    a = cn.select(F.col("cell"), F.col(id_col).alias("_ida"), F.col("_v").alias("_va"))
+    b = cn.select(F.col("cell"), F.col(id_col).alias("_idb"), F.col("_v").alias("_vb"))
+    dominated = (
+        a.join(b, "cell")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(dot_expr("_va", "_vb") >= F.lit(threshold))
+        .groupBy(F.col("_idb").alias(id_col))
+        .agg(F.min("_ida").alias("pruned_by"))
+    )
+    return (
+        cn.join(dominated, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.col("pruned_by").isNull().alias("is_kept"),
+            "pruned_by",
+        )
     )

@@ -852,6 +852,7 @@ def s7_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 # Extension catalogs merge in at import time: X1-X4 + engine breadth,
 # TPC-H canonical shapes, training-data pipeline ops.
+from . import queries_catalog_curation as _cur  # noqa: E402
 from . import queries_catalog_ext as _ext  # noqa: E402
 from . import queries_catalog_extras as _extras  # noqa: E402
 from . import queries_catalog_pipeline as _pipe  # noqa: E402
@@ -865,3 +866,5 @@ QUERIES.update(_pipe.QUERIES)
 ORACLE_SQL.update(_pipe.ORACLE_SQL)
 QUERIES.update(_extras.QUERIES)
 ORACLE_SQL.update(_extras.ORACLE_SQL)
+QUERIES.update(_cur.QUERIES)
+ORACLE_SQL.update(_cur.ORACLE_SQL)

@@ -1,0 +1,133 @@
+"""Tests for the curation/layout round: SemDeDup semantic dedup and
+Z-order clustering. (er1 / x1_dedup_resolve / opt2's key computation are
+fully DuckDB-oracle-checked via the driver gate; these tests cover the
+properties the oracle can't express — dedup invariants and layout
+tightness.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_lorettoscarpa_1asfb2jf21_spark.functions.vectors import (
+    cosine_similarity_expr,
+)
+from etl_lorettoscarpa_1asfb2jf21_spark.operators.similarity import semantic_dedup
+from etl_lorettoscarpa_1asfb2jf21_spark.sources.tables import load_table
+
+THRESH = 0.3
+
+
+def test_semantic_dedup_invariants(spark, sf_small):
+    """Precision is exact by construction; verify it, plus within-cell
+    completeness: a kept vector has NO lower-id same-cell neighbor at
+    cosine >= threshold, and a pruned vector HAS one (its pruned_by)."""
+    e = load_table(spark, sf_small, "embeddings")
+    res = semantic_dedup(e, "vec_id", "embedding", threshold=THRESH, n_centroids=8)
+    res.cache()
+
+    n = e.count()
+    assert res.count() == n  # one verdict per vector
+    assert res.filter(F.col("is_kept") & F.col("pruned_by").isNotNull()).count() == 0
+
+    vecs = e.select(F.col("vec_id"), F.col("embedding"))
+
+    # precision: every pruned row's dominator is lower-id, same-cell, and
+    # actually >= threshold cosine
+    pruned = res.filter(~F.col("is_kept"))
+    assert pruned.filter(F.col("pruned_by") >= F.col("vec_id")).count() == 0
+    cells = res.select("vec_id", "cell")
+    dom_cell = (
+        pruned.join(
+            cells.select(F.col("vec_id").alias("pruned_by"), F.col("cell").alias("_dc")),
+            "pruned_by",
+        )
+        .filter(F.col("cell") != F.col("_dc"))
+        .count()
+    )
+    assert dom_cell == 0
+    bad_sim = (
+        pruned.join(vecs, "vec_id")
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("pruned_by"), F.col("embedding").alias("_e2")
+            ),
+            "pruned_by",
+        )
+        .withColumn("_sim", cosine_similarity_expr("embedding", "_e2"))
+        .filter(F.col("_sim") < THRESH)
+        .count()
+    )
+    assert bad_sim == 0
+
+    # within-cell completeness: no kept vector has a lower-id same-cell
+    # neighbor above threshold
+    wv = res.join(vecs, "vec_id")
+    a = wv.select(
+        F.col("cell"), F.col("vec_id").alias("_ia"), F.col("embedding").alias("_va")
+    )
+    b = wv.filter(F.col("is_kept")).select(
+        F.col("cell"), F.col("vec_id").alias("_ib"), F.col("embedding").alias("_vb")
+    )
+    missed = (
+        a.join(b, "cell")
+        .filter(F.col("_ia") < F.col("_ib"))
+        .withColumn("_sim", cosine_similarity_expr("_va", "_vb"))
+        .filter(F.col("_sim") >= THRESH)
+        .count()
+    )
+    assert missed == 0
+    res.unpersist()
+
+
+def test_semantic_dedup_prunes_planted_duplicates(spark):
+    """Planted near-identical vectors must collapse to one survivor."""
+    import math
+
+    base = [[1.0 if i == j else 0.0 for i in range(8)] for j in range(4)]
+    rows = []
+    vid = 0
+    for j, v in enumerate(base):
+        for _ in range(3):  # three copies of each distinct direction
+            rows.append((vid, [x + 0.001 * vid for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    res = semantic_dedup(df, "vec_id", "embedding", threshold=0.99, n_centroids=4)
+    out = {r["vec_id"]: r["is_kept"] for r in res.collect()}
+    # per planted triple, exactly one survivor iff the triple shares a cell;
+    # copies are near-identical so they MUST land in the same cell
+    kept = [v for v, k in out.items() if k]
+    assert len(kept) == 4
+    assert math.isclose(len(out), 12)
+
+
+def test_zorder_buckets_tighter_than_single_column_sort(spark, sf_small):
+    """Range-bucketing by the z-value must give per-bucket (xk, yd)
+    bounding boxes with smaller total area than bucketing by a single
+    column — the min/max-stat tightness that makes scans prunable on BOTH
+    dimensions. Uses deterministic ntile buckets as the layout proxy."""
+    from pyspark.sql import Window
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.queries_catalog_curation import (
+        opt2_zorder_cluster,
+    )
+
+    z = opt2_zorder_cluster(spark, sf_small)
+
+    def total_bbox_area(df, order_col):
+        w = Window.orderBy(order_col)
+        b = df.withColumn("_b", F.ntile(16).over(w))
+        areas = (
+            b.groupBy("_b")
+            .agg(
+                ((F.max("xk") - F.min("xk")) * (F.max("yd") - F.min("yd"))).alias(
+                    "_area"
+                )
+            )
+            .agg(F.sum("_area").alias("_t"))
+            .collect()[0]["_t"]
+        )
+        return areas
+
+    z_area = total_bbox_area(z, "zval")
+    k_area = total_bbox_area(z, "o_orderkey")
+    assert z_area < k_area * 0.5, (z_area, k_area)

@@ -298,3 +298,72 @@ def test_connected_components_matches_union_find(spark, edges, n_nodes):
         for r in connected_components(nodes_df, edges_df).collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=0,
+        max_size=30,
+    ),
+    st.integers(min_value=16, max_value=20),
+)
+def test_connected_components_star_matches_union_find(spark, edges, n_nodes):
+    """The alternating large-star/small-star engine (the adversarial-
+    diameter fallback) must agree with sequential union-find on ANY random
+    graph, exactly like the default min-label engine."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    parent = list(range(n_nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict[int, int] = {}
+    for x in range(n_nodes):
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    want = {x: comp_min[find(x)] for x in range(n_nodes)}
+
+    nodes_df = spark.createDataFrame([(i,) for i in range(n_nodes)], "id long")
+    edges_df = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "src long, dst long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components_star(nodes_df, edges_df).collect()
+    }
+    assert got == want
+
+
+def test_connected_components_star_long_chain(spark):
+    """A 40-node path graph — the adversarial shape for plain label
+    propagation — must fully contract to component 0."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    n = 40
+    nodes_df = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges_df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components_star(nodes_df, edges_df).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
