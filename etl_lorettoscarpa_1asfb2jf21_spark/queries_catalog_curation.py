@@ -343,3 +343,75 @@ def x1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return res.crossJoin(F.broadcast(quality))
+
+
+# =====================================================================
+# X3 — language-model perplexity quality filter (CCNet-style)
+# =====================================================================
+
+@query(
+    "x3_perplexity",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(t, ' ')) AS token
+      FROM (SELECT doc_id, {_NORM_SQL.format(c='text')} AS t FROM documents)
+      WHERE len(t) > 0
+    ),
+    vocab AS (
+      SELECT token, COUNT(*) AS tf FROM tok GROUP BY 1
+    ),
+    total AS (SELECT COUNT(*) AS t_total FROM tok),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_tokens, SUM(ln(tf)) AS s_lntf
+      FROM tok JOIN vocab USING (token) GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(ln(t_total) - s_lntf / n_tokens, 4) AS cross_entropy,
+           ROUND(exp(ln(t_total) - s_lntf / n_tokens), 3) AS ppl,
+           (ROUND(ln(t_total) - s_lntf / n_tokens, 4) <= 7.0) AS is_kept
+    FROM per_doc, total
+    """,
+)
+def x3_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: unigram language-model perplexity scoring + keep gate — the
+    CCNet quality filter (Wenzek et al. 2020; KenLM stand-in = the
+    corpus's own unigram MLE). Per document: cross-entropy
+    H = ln(T) − mean(ln tf(token)), perplexity = e^H; documents whose
+    tokens are corpus-common score low (kept), rare-token noise scores
+    high (dropped at the fixed H <= 7 bar).
+
+    Scale: identical shape to x3_unigram_rarity — one Zipf-bounded vocab
+    aggregation BROADCAST back over the token stream (the token stream is
+    never shuffled for the join), one per-doc combine; the global token
+    total is a 1-row broadcast. Double-precision ln-sums are
+    order-sensitive at the 1e-13 level, so outputs are ROUND()ed (4dp on
+    H, 3dp on ppl) per the catalog's dtype policy; the keep gate compares
+    the ROUNDED H so both engines gate identically.
+    """
+    from .functions.text import normalized_text_expr as _norm
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", _norm("text").alias("_t"))
+        .filter(F.length("_t") > 0)
+        .select("doc_id", F.explode(F.split("_t", " ")).alias("token"))
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = tok.agg(F.count(F.lit(1)).alias("t_total"))
+    per_doc = (
+        tok.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.log("tf")).alias("s_lntf"),
+        )
+    )
+    h = F.log("t_total") - F.col("s_lntf") / F.col("n_tokens")
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(h, 4).alias("cross_entropy"),
+        F.round(F.exp(h), 3).alias("ppl"),
+        (F.round(h, 4) <= 7.0).alias("is_kept"),
+    )

@@ -131,3 +131,31 @@ def test_zorder_buckets_tighter_than_single_column_sort(spark, sf_small):
     z_area = total_bbox_area(z, "zval")
     k_area = total_bbox_area(z, "o_orderkey")
     assert z_area < k_area * 0.5, (z_area, k_area)
+
+
+def _plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_er1_plan_is_hash_join(spark, sf_small):
+    """The blocking join must stay an equi hash join — never a nested
+    loop over dirty x master."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.queries_catalog_curation import (
+        er1_blocked_fuzzy_join,
+    )
+
+    plan = _plan_of(er1_blocked_fuzzy_join(spark, sf_small))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_opt2_zorder_is_map_only(spark, sf_small):
+    """Computing the z-value must not shuffle: one scan, zero exchanges."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.queries_catalog_curation import (
+        opt2_zorder_cluster,
+    )
+
+    plan = _plan_of(opt2_zorder_cluster(spark, sf_small))
+    assert "Exchange" not in plan
