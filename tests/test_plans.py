@@ -181,3 +181,56 @@ def test_bucketed_join_has_no_join_side_exchange(spark, sf_medium):
     assert "SortMergeJoin" in plan
     assert "Bucketed: true" in plan
     assert plan.count("Exchange hashpartitioning") <= 1  # agg shuffle only
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_medium):
+    """Runtime bloom-filter semi-join reduction: with a selective filter on
+    the creation side of a shuffle join, Spark injects a bloom_filter_agg
+    on the dim side and a might_contain probe above the fact scan —
+    cutting shuffled fact rows before the exchange. Local testdata sits
+    under the production size thresholds, so the test pins them down to
+    prove the path; at the 100 TB target the defaults (creation side <=
+    10MB compressed, application scan >= 10GB) trigger it unaided."""
+    from pyspark.sql import functions as F
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.sources.tables import load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = (
+            load_table(spark, sf_medium, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        lt = load_table(spark, sf_medium, "lineitem")
+        j = (
+            lt.join(o, lt.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = plan_of(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan.lower() or "bloomFilter" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
