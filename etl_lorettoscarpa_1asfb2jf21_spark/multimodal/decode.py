@@ -103,25 +103,32 @@ def decode_image_batch(
     def decode_one(payload: bytes) -> dict:
         if use_fake_decoder:
             return _fake_decode(payload)
-        # REAL path: uncompressed BMP is parsed for real (multimodal/codecs.py
-        # — struct headers, BGR, padding, bottom-up rows). Only compressed
-        # formats still need an external library.
+        # REAL path: uncompressed BMP and zlib-compressed PNG are parsed
+        # for real (multimodal/codecs.py — struct headers, BGR/padding/
+        # bottom-up for BMP; chunk CRC walk + inflate + full filter
+        # reconstruction for PNG). Only entropy/DCT formats (JPEG) still
+        # need an external library.
         if bytes(payload[:2]) == b"BM":
             from .codecs import decode_bmp
 
             w, h, c, img = decode_bmp(bytes(payload))
-            feats = (img.reshape(-1, 3).mean(axis=0) / 255.0).astype(float)
-            return {
-                "width": w,
-                "height": h,
-                "n_channels": c,
-                "features": list(feats),
-            }
-        raise NotImplementedError(
-            "compressed image decode (PNG/JPEG) requires Pillow/libvips — "
-            "not in this container; BMP decodes natively, or pass "
-            "use_fake_decoder=True"
-        )
+        elif bytes(payload[:4]) == b"\x89PNG":
+            from .codecs import decode_png
+
+            w, h, c, img = decode_png(bytes(payload))
+        else:
+            raise NotImplementedError(
+                "JPEG/entropy-coded image decode requires Pillow/libvips — "
+                "not in this container; BMP and PNG decode natively, or "
+                "pass use_fake_decoder=True"
+            )
+        feats = (img.reshape(-1, c).mean(axis=0)[:3] / 255.0).astype(float)
+        return {
+            "width": w,
+            "height": h,
+            "n_channels": c,
+            "features": list(feats),
+        }
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -415,3 +415,64 @@ def x3_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(h), 3).alias("ppl"),
         (F.round(h, 4) <= 7.0).alias("is_kept"),
     )
+
+
+# =====================================================================
+# X4 — real PNG decode (zlib inflate + filter reconstruction)
+# =====================================================================
+
+@query(
+    "x4_png_decode",
+    """
+    WITH dims AS (
+      SELECT doc_id, CAST(2 + doc_id % 7 AS BIGINT) AS width,
+             CAST(2 + doc_id % 4 AS BIGINT) AS height
+      FROM documents
+    ), px AS (
+      SELECT doc_id, width, height, unnest(range(0, width * height)) AS p
+      FROM dims
+    )
+    SELECT doc_id, width, height, CAST(3 AS BIGINT) AS n_channels,
+           CAST(SUM((doc_id * 11 + p * 3 + 0) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((doc_id * 11 + p * 3 + 1) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((doc_id * 11 + p * 3 + 2) % 256) AS BIGINT) AS sum_b
+    FROM px
+    GROUP BY doc_id, width, height
+    """,
+)
+def x4_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 real COMPRESSED-image decode: synthesize a valid 8-bit RGB PNG
+    per document (per-row filter type rotates None/Sub/Up), parse it back
+    with the dependency-free real decoder (chunk CRC walk, zlib inflate,
+    full five-filter reconstruction — multimodal/codecs.py), and emit
+    exact decoded channel sums. The DuckDB twin recomputes the expected
+    statistics in closed form from the pixel formula without ever seeing
+    the bytes: any framing/CRC/inflate/unfilter bug breaks the hash.
+    Same Arrow mapInPandas shape as x4_bmp_decode — at scale the
+    generator stage is replaced by payload bytes read from the table."""
+    import pandas as pd
+
+    from .multimodal.codecs import decode_png, make_png
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_decode(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                w, h, c, img = decode_png(make_png(int(i)))
+                s = img.reshape(-1, 3).astype("int64").sum(axis=0)
+                rows.append(
+                    {
+                        "doc_id": int(i), "width": w, "height": h,
+                        "n_channels": c, "sum_r": int(s[0]),
+                        "sum_g": int(s[1]), "sum_b": int(s[2]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        gen_decode,
+        "doc_id long, width long, height long, n_channels long, "
+        "sum_r long, sum_g long, sum_b long",
+    )

@@ -145,3 +145,92 @@ def test_wav_roundtrip_property(samples):
     rate, nch, out = decode_wav(buf.getvalue())
     assert rate == WAV_RATE and nch == 1
     assert out.tolist() == samples
+
+
+# ------------------------------------------------------------------ PNG
+
+from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (  # noqa: E402
+    decode_png,
+    make_png,
+    png_dims,
+    png_pixel_value,
+)
+
+
+def test_png_roundtrip_exact_pixels():
+    for doc_id in (0, 1, 2, 5, 11, 23):
+        w, h, c, img = decode_png(make_png(doc_id))
+        assert (w, h, c) == (*png_dims(doc_id), 3)
+        want = np.array(
+            [
+                [[png_pixel_value(doc_id, y * w + x, ch) for ch in range(3)] for x in range(w)]
+                for y in range(h)
+            ],
+            dtype=np.uint8,
+        )
+        assert (img == want).all()
+
+
+def test_png_average_and_paeth_filters():
+    """The generator only emits filters 0/1/2; hand-build rows with
+    Average (3) and Paeth (4) to prove the full unfilter path."""
+    import zlib
+
+    width, height, bpp = 4, 3, 3
+    rng = np.random.default_rng(7)
+    pixels = rng.integers(0, 256, size=(height, width * bpp), dtype=np.int32)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    raw = bytearray()
+    prev = np.zeros(width * bpp, dtype=np.int32)
+    for y, ftype in zip(range(height), (0, 3, 4)):
+        cur = pixels[y]
+        raw.append(ftype)
+        for i in range(width * bpp):
+            a = int(cur[i - bpp]) if i >= bpp else 0
+            b = int(prev[i])
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            if ftype == 0:
+                enc = cur[i]
+            elif ftype == 3:
+                enc = cur[i] - (a + b) // 2
+            else:
+                enc = cur[i] - paeth(a, b, c)
+            raw.append(int(enc) & 0xFF)
+        prev = cur
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    w, h, c, img = decode_png(payload)
+    assert (w, h, c) == (width, height, 3)
+    assert (img.reshape(height, width * bpp) == (pixels & 0xFF)).all()
+
+
+def test_png_rejects_corrupt_crc():
+    p = bytearray(make_png(3))
+    p[-5] ^= 0xFF  # flip a bit inside IEND's CRC
+    with pytest.raises(ValueError):
+        decode_png(bytes(p))
+
+
+def test_png_rejects_non_png():
+    with pytest.raises(ValueError):
+        decode_png(b"GIF89a....")

@@ -40,10 +40,42 @@ def test_fake_decode_deterministic(media_df):
     assert out1[1]["features"] != out1[2]["features"]  # payload-dependent
 
 
-def test_real_decode_is_stubbed(media_df):
+def test_real_decode_stubbed_only_for_entropy_formats(spark):
+    """JPEG (entropy-coded) still raises; a malformed PNG-magic payload
+    fails CRC/signature validation rather than silently decoding."""
+    jpeg_df = spark.createDataFrame(
+        [(1, b"\xff\xd8\xff\xe0JFIF-fake")], "doc_id long, payload binary"
+    )
     with pytest.raises(Exception) as ei:
-        decode_image_batch(media_df, use_fake_decoder=False).collect()
-    assert "NotImplementedError" in str(ei.value) or "real image decode" in str(ei.value)
+        decode_image_batch(jpeg_df, use_fake_decoder=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "JPEG" in str(ei.value)
+
+    with pytest.raises(Exception):
+        decode_image_batch(
+            spark.createDataFrame(
+                [(1, b"\x89PNG-fake-bytes-aaaa")], "doc_id long, payload binary"
+            ),
+            use_fake_decoder=False,
+        ).collect()
+
+
+def test_real_decode_png_path(spark):
+    """A genuine PNG payload decodes for real through the Arrow batch."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (
+        make_png,
+        png_dims,
+    )
+
+    df = spark.createDataFrame(
+        [(i, make_png(i)) for i in (3, 10)], "doc_id long, payload binary"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decode_image_batch(df, use_fake_decoder=False).collect()
+    }
+    for i in (3, 10):
+        w, h = png_dims(i)
+        assert (out[i]["width"], out[i]["height"], out[i]["n_channels"]) == (w, h, 3)
 
 
 def test_sample_video_frames(media_df):

@@ -44,7 +44,12 @@ ARROW_KERNEL_QUERIES = {
 }
 # The sanctioned mapInPandas surface (multimodal decode) — the only query
 # allowed a MapInPandas node.
-MAP_IN_PANDAS_QUERIES = {"x4_decode_features", "x4_bmp_decode", "x4_wav_decode"}
+MAP_IN_PANDAS_QUERIES = {
+    "x4_decode_features",
+    "x4_bmp_decode",
+    "x4_wav_decode",
+    "x4_png_decode",
+}
 
 
 @pytest.mark.parametrize("name", sorted(ALL_QUERIES))
