@@ -476,3 +476,117 @@ def x4_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width long, height long, n_channels long, "
         "sum_r long, sum_g long, sum_b long",
     )
+
+
+# =====================================================================
+# IVM1 — incremental materialized-view maintenance (delta merge)
+# =====================================================================
+
+# The change batch is DERIVED deterministically from the fact table so
+# both engines see identical changes: orderkey%7==0 rows get qty+1
+# (update), %11==0 (and not updated) rows are deleted, %13==0 (and
+# neither) rows are re-inserted with qty+10. Updates/deletes/inserts
+# become +/- deltas on (SUM, COUNT) — the textbook self-maintainable
+# aggregate view.
+
+@query(
+    "ivm1_incremental_rollup",
+    """
+    WITH l AS (
+      SELECT l_orderkey, l_returnflag,
+             strftime(date_trunc('month', CAST(l_shipdate AS DATE)), '%Y-%m-%d')
+               AS ship_month,
+             CAST(l_quantity AS DECIMAL(18,2)) AS qty
+      FROM lineitem
+    ),
+    modified AS (
+      SELECT l_returnflag, ship_month,
+             CASE WHEN l_orderkey % 7 = 0
+                  THEN qty + CAST(1 AS DECIMAL(18,2)) ELSE qty END AS qty
+      FROM l
+      WHERE NOT (l_orderkey % 11 = 0 AND l_orderkey % 7 <> 0)
+      UNION ALL
+      SELECT l_returnflag, ship_month, qty + CAST(10 AS DECIMAL(18,2))
+      FROM l
+      WHERE l_orderkey % 13 = 0 AND l_orderkey % 7 <> 0 AND l_orderkey % 11 <> 0
+    )
+    SELECT l_returnflag, ship_month,
+           CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM modified
+    GROUP BY l_returnflag, ship_month
+    """,
+)
+def ivm1_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM1: incremental maintenance of a materialized SUM/COUNT rollup —
+    apply a CDC batch (updates/deletes/inserts) to the MATERIALIZED
+    aggregate by merging per-group deltas, never re-reading the base
+    facts. The DuckDB oracle recomputes the final rollup from scratch
+    over the modified fact multiset: a hash match PROVES the delta
+    algebra (update → +diff, delete → (−qty, −1), insert → (+qty, +1),
+    full-outer merge, drop groups at count 0) is exactly equivalent to
+    recomputation.
+
+    Scale: this is THE pattern that keeps a 100 TB warehouse's rollups
+    fresh — the delta aggregation touches only the change batch (MB, not
+    TB), and the merge is a join on the (tiny) group-key space; Spark
+    executes it as two small hash aggregations + one full-outer hash
+    join, with the base rollup read from its materialization, not from
+    the fact table. (Here the base rollup is computed in-query since the
+    driver contract is read-only; the merge plan is the deliverable.)
+    """
+    from pyspark.sql.types import DecimalType
+
+    DEC = DecimalType(18, 2)
+    lt = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM-dd").alias(
+            "ship_month"
+        ),
+        F.col("l_quantity").cast(DEC).alias("qty"),
+    )
+    keys = ["l_returnflag", "ship_month"]
+    is_upd = F.col("l_orderkey") % 7 == 0
+    is_del = (F.col("l_orderkey") % 11 == 0) & ~is_upd
+    is_ins = (F.col("l_orderkey") % 13 == 0) & ~is_upd & ~is_del
+
+    # the materialized view (normally read back from storage)
+    base = lt.groupBy(*keys).agg(
+        F.sum("qty").alias("_s"), F.count(F.lit(1)).alias("_n")
+    )
+    # CDC batch → per-group (SUM, COUNT) deltas
+    upd = lt.filter(is_upd).select(
+        *keys, F.lit(1).cast(DEC).alias("_dq"), F.lit(0).alias("_dn")
+    )
+    dele = lt.filter(is_del).select(
+        *keys, (-F.col("qty")).alias("_dq"), F.lit(-1).alias("_dn")
+    )
+    ins = lt.filter(is_ins).select(
+        *keys, (F.col("qty") + F.lit(10).cast(DEC)).alias("_dq"), F.lit(1).alias("_dn")
+    )
+    delta = (
+        upd.unionByName(dele)
+        .unionByName(ins)
+        .groupBy(*keys)
+        .agg(F.sum("_dq").alias("_dq"), F.sum("_dn").alias("_dn"))
+    )
+    merged = (
+        base.join(delta, keys, "full_outer")
+        .select(
+            *keys,
+            (
+                F.coalesce(F.col("_s"), F.lit(0).cast(DEC))
+                + F.coalesce(F.col("_dq"), F.lit(0).cast(DEC))
+            ).alias("_sum"),
+            (F.coalesce(F.col("_n"), F.lit(0)) + F.coalesce(F.col("_dn"), F.lit(0))).alias(
+                "n_rows"
+            ),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+    return merged.select(
+        *keys,
+        F.col("_sum").cast("double").alias("sum_qty"),
+        F.col("n_rows"),
+    )
