@@ -449,3 +449,119 @@ def test_streaming_scd2_replay_of_processed_batch_is_noop(spark, tmp_path):
     after = sorted(map(str, spark.read.parquet(dim_path).collect()))
     assert after == before
     assert len(after) == 2  # v1 closed + v2 current, exactly once
+
+
+def test_streaming_ivm_matches_recompute(spark, tmp_path):
+    """CDC change files streamed through the incremental-rollup sink
+    produce exactly the rollup a from-scratch recompute over all changes
+    gives; deletes that empty a group become tombstones that read_rollup
+    hides; replaying an applied batch_id is a no-op (ledger)."""
+    import json
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.streaming.ivm import (
+        apply_cdc_batch,
+        read_rollup,
+        start_incremental_rollup_sink,
+    )
+
+    in_dir = tmp_path / "cdc"
+    in_dir.mkdir()
+    view_path = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = [
+        {"grp": "a", "qty": 10.0, "op": "I"},
+        {"grp": "a", "qty": 5.0, "op": "I"},
+        {"grp": "b", "qty": 7.0, "op": "I"},
+        {"grp": "c", "qty": 1.0, "op": "I"},
+    ]
+    b2 = [
+        {"grp": "a", "qty": 5.0, "op": "D"},   # update part 1
+        {"grp": "a", "qty": 6.0, "op": "I"},   # update part 2
+        {"grp": "c", "qty": 1.0, "op": "D"},   # group fully deleted
+        {"grp": "d", "qty": 2.0, "op": "I"},   # new group
+    ]
+    (in_dir / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+    (in_dir / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+
+    schema = "grp string, qty double, op string"
+    q = start_incremental_rollup_sink(
+        spark.readStream.schema(schema).json(str(in_dir)),
+        view_path,
+        ckpt,
+        ["grp"],
+        n_buckets=8,
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    got = {
+        r["grp"]: (r["sum_qty"], r["n_rows"])
+        for r in read_rollup(spark, view_path).collect()
+    }
+    # recompute from scratch over all change rows
+    assert got == {"a": (16.0, 2), "b": (7.0, 1), "d": (2.0, 1)}
+
+    # fully-deleted group persists as a hidden tombstone
+    raw = {r["grp"]: r["n_rows"] for r in spark.read.parquet(view_path).collect()}
+    assert raw["c"] == 0
+
+    # replaying an already-applied batch_id must change nothing
+    replay = spark.createDataFrame(
+        [("a", 100.0, "I")], "grp string, qty double, op string"
+    )
+    applied = [
+        r["batch_id"] for r in spark.read.parquet(view_path + "_applied").collect()
+    ]
+    apply_cdc_batch(replay, applied[0], view_path, ["grp"], n_buckets=8)
+    got2 = {
+        r["grp"]: (r["sum_qty"], r["n_rows"])
+        for r in read_rollup(spark, view_path).collect()
+    }
+    assert got2 == got
+
+
+def test_streaming_ivm_rewrites_only_touched_buckets(spark, tmp_path):
+    """Scale contract: a CDC batch touching one group rewrites only that
+    group's hash bucket — all other partitions stay byte-identical."""
+    import os
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.streaming.ivm import apply_cdc_batch
+
+    view_path = str(tmp_path / "rollup")
+    seed = spark.createDataFrame(
+        [(f"g{i}", float(i), "I") for i in range(20)],
+        "grp string, qty double, op string",
+    )
+    apply_cdc_batch(seed, 0, view_path, ["grp"], n_buckets=8)
+
+    def file_state():
+        state = {}
+        for root, _dirs, files in os.walk(view_path):
+            for f in files:
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                state[p] = (st.st_size, st.st_mtime_ns)
+        return state
+
+    before = file_state()
+    one = spark.createDataFrame(
+        [("g3", 2.5, "I")], "grp string, qty double, op string"
+    )
+    apply_cdc_batch(one, 1, view_path, ["grp"], n_buckets=8)
+    after = file_state()
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.streaming.scd import key_bucket_expr
+    from pyspark.sql import functions as F
+
+    kb = (
+        spark.createDataFrame([("g3",)], "grp string")
+        .select(key_bucket_expr(["grp"], 8).alias("kb"))
+        .collect()[0]["kb"]
+    )
+    touched_dir = os.path.join(view_path, f"_kb={kb}")
+    for p, st in before.items():
+        if not p.startswith(touched_dir):
+            assert after.get(p) == st, f"untouched file changed: {p}"
+    assert any(p.startswith(touched_dir) and after.get(p) != before.get(p)
+               for p in set(before) | set(after))
