@@ -159,3 +159,32 @@ def pq_codes_batch_udf(codebooks):
 
     _codes.__annotations__ = {"v": pandas.Series, "return": pandas.Series}
     return pandas_udf(_codes, "array<int>")
+
+
+def nearest_cell_batch_udf(centroids):
+    """Arrow-batched k-means cell assignment: vec -> nearest centroid id.
+
+    One ``(n, dim) @ (dim, cells)`` matmul per record batch replaces
+    ``cells`` interpreted zip_with/aggregate dot products plus an
+    array_sort per row — same dense-linear-algebra argument as
+    band_buckets_batch_udf. ``centroids`` is the ``(cell_id, unit_vec)``
+    list from train_unit_centroids with ids 0..n-1 in order; rows are
+    re-normalized defensively so the dot IS cosine, and argmax's
+    first-maximum rule matches the native comparator's lowest-cell-id
+    tie-break.
+    """
+    import numpy as np
+    import pandas
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    C = np.asarray([c for _, c in centroids], dtype=np.float64)
+
+    def _cell(v):
+        V = np.asarray(v.tolist(), dtype=np.float64)
+        n = np.linalg.norm(V, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return pandas.Series(((V / n) @ C.T).argmax(axis=1).astype("int32"))
+
+    _cell.__annotations__ = {"v": pandas.Series, "return": pandas.Series}
+    return pandas_udf(_cell, "int")

@@ -313,7 +313,7 @@ def x1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     res = semantic_dedup(
         e, "vec_id", "embedding", threshold=0.3, n_centroids=16
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False)  # reused by output AND recall branch
 
     s = e.filter(F.col("vec_id") < 200)
     a = s.select(F.col("vec_id").alias("_ia"), F.col("embedding").alias("_va"))

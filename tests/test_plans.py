@@ -42,6 +42,9 @@ ARROW_KERNEL_QUERIES = {
     # 128-aggregate-expression path at sf0.1 (equality-tested)
     "x2_topk_pq",
 }
+# x1_semantic_dedup's Arrow assignment kernel sits below a localCheckpoint
+# barrier (the formatted plan can't show it); its kernel audit lives in
+# test_curation.py::test_semantic_dedup_arrow_node_visible instead.
 # The sanctioned mapInPandas surface (multimodal decode) — the only query
 # allowed a MapInPandas node.
 MAP_IN_PANDAS_QUERIES = {
