@@ -281,6 +281,7 @@ def ivf_topk(
     query_vec: str = "q_vec",
     corpus_id: str = "c_id",
     corpus_vec: str = "c_vec",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) index.
 
@@ -331,11 +332,22 @@ def ivf_topk(
     )
     qn = queries.select(F.col(query_id), normalize_expr(query_vec).alias(query_vec))
 
-    indexed = cn.select(
-        F.col(corpus_id),
-        F.col(corpus_vec),
-        F.explode(nearest_cells(corpus_vec, 1)).alias("cell"),
-    )
+    if use_arrow:
+        # corpus assignment via the Arrow matmul kernel (same argmax +
+        # tie-break as the native comparator, equality-tested); the query
+        # side stays native — nprobe>1 needs the sorted cell ARRAY, and
+        # the query set is tiny
+        from ..functions.vectors import nearest_cell_batch_udf
+
+        indexed = cn.withColumn(
+            "cell", nearest_cell_batch_udf(centroids)(F.col(corpus_vec))
+        )
+    else:
+        indexed = cn.select(
+            F.col(corpus_id),
+            F.col(corpus_vec),
+            F.explode(nearest_cells(corpus_vec, 1)).alias("cell"),
+        )
     probed = qn.select(
         F.col(query_id),
         F.col(query_vec),

@@ -2,7 +2,9 @@
 (blocked fuzzy matching of dirty records against a master table),
 end-to-end duplicate-cluster RESOLUTION (pairs → components → one survivor
 per group by an explicit keep-policy), SemDeDup-style semantic dedup over
-embeddings, and Z-order multi-dimensional layout clustering.
+embeddings, Z-order multi-dimensional layout clustering, CCNet-style LM
+perplexity quality filtering, real PNG decode (closed-form oracle), and
+incremental materialized-view maintenance (recompute oracle).
 
 Same contract as queries_catalog: QUERIES[name] = (spark, sf_dir) -> DF,
 ORACLE_SQL[name] = the DuckDB twin, column names aligned on both sides.

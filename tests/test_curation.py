@@ -192,3 +192,24 @@ def test_semantic_dedup_arrow_node_visible(spark, sf_small):
     plan = _plan_of(df)
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_ivf_arrow_assignment_matches_native(spark, sf_small):
+    """ivf_topk with the Arrow corpus-assignment kernel returns exactly
+    the native path's results (same cells -> same candidates -> same
+    top-k)."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_small, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+
+    def run(arrow):
+        return {
+            (r["q_id"], r["rank"]): (r["c_id"], round(r["sim"], 9))
+            for r in ivf_topk(q, c, k=10, use_arrow=arrow).collect()
+        }
+
+    assert run(True) == run(False)

@@ -41,6 +41,9 @@ ARROW_KERNEL_QUERIES = {
     # PQ encode: the Arrow argmin kernel measured >2x the native
     # 128-aggregate-expression path at sf0.1 (equality-tested)
     "x2_topk_pq",
+    # IVF corpus assignment: Arrow matmul kernel (equality-tested in
+    # test_curation); the query-side probe stays native
+    "x2_topk_ivf",
 }
 # x1_semantic_dedup's Arrow assignment kernel sits below a localCheckpoint
 # barrier (the formatted plan can't show it); its kernel audit lives in
