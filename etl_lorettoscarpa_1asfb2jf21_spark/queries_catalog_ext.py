@@ -1566,13 +1566,55 @@ def x2_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x4_decode_features")  # mapInPandas decode — deterministic stub, rows-only
+def _x4_oracle_sql() -> str:
+    """DuckDB twin of the fake decoder (multimodal/decode.py:_fake_decode):
+    sha256 is available in both engines, byte extraction is hex-string
+    parsing, and the float pipeline (byte/255.0 → float32 → double,
+    left-to-right squared-sum fold, sqrt, divide) is IEEE-deterministic, so
+    the twin is BIT-exact — repr()-level float equality verified at
+    sf0.001/sf0.01."""
+    hexv = "(strpos('0123456789abcdef', {c}) - 1)"
+
+    def byte_expr(i: int) -> str:  # 0-based byte of the sha256 hex digest h
+        c1 = hexv.format(c=f"substr(h, {2 * i + 1}, 1)")
+        c2 = hexv.format(c=f"substr(h, {2 * i + 2}, 1)")
+        return f"({c1} * 16 + {c2})"
+
+    feats = [
+        f"CAST(CAST({byte_expr(i)} / 255.0 AS FLOAT) AS DOUBLE)" for i in range(2, 10)
+    ]
+    sq = "0.0"
+    for i in range(8):  # same fold order as functions/vectors.l2_norm_expr
+        sq = f"({sq} + f{i} * f{i})"
+    norm = f"sqrt({sq})"
+    return f"""
+    WITH hashes AS (
+      SELECT doc_id, lower(sha256(text)) AS h FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             1 + {byte_expr(0)} % 64 AS width,
+             1 + {byte_expr(1)} % 64 AS height,
+             {", ".join(f"{e} AS f{i}" for i, e in enumerate(feats))}
+      FROM hashes
+    )
+    SELECT doc_id,
+           CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS n_channels,
+           {", ".join(f"CASE WHEN {norm} > 0 THEN f{i} / {norm} ELSE f{i} END AS feat_{i}" for i in range(4))}
+    FROM feats
+    """
+
+
+@query("x4_decode_features", _x4_oracle_sql())
 def x4_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 decode path end-to-end: binary payloads → Arrow-batched
     mapInPandas decode (deterministic fake decoder — the container ships no
     media libs; the real decoder drops into the same batch loop) → native
     feature normalization. The one sanctioned mapInPandas surface, exposed
     as a catalog entry so its plan shape is part of the gate.
+
+    Full DuckDB oracle (not rows-only): the fake decoder is sha256-derived,
+    which DuckDB can mirror bit-exactly — see _x4_oracle_sql.
 
     Scale: decode cost is per-byte, so batches are bounded by
     maxRecordsPerBatch and the stage parallelizes per input split; feature
