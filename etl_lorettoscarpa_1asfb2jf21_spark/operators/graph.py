@@ -256,3 +256,70 @@ def connected_components_star(
     return roots.union(singles).select(
         F.col("_u").alias(id_col), F.col("_lbl").alias("component")
     )
+
+
+def pagerank_scaled(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Fixed-iteration PageRank in SCALED INTEGER arithmetic.
+
+    Ranks are int64 multiples of ``1/scale``; the per-edge contribution is
+    ``rank div out_degree`` and the update is
+    ``(scale·(100-d) + d·Σcontrib) div 100`` — floor division throughout,
+    so every engine that runs the same recurrence produces BIT-identical
+    ranks (float PageRank is summation-order-dependent and cannot be
+    oracle-checked across engines). Dangling-node mass is dropped, the
+    standard simplification; ranks therefore sum to slightly under
+    ``n·scale``.
+
+    Scale design: each iteration is one hash join edges⋈ranks on the src
+    key plus one sum-aggregate on dst — the same shuffle pair as
+    connected_components, partial-aggregated map-side; edges and degrees
+    are computed once and cached. ``scale`` trades precision headroom for
+    overflow headroom: int64 holds n_nodes·scale·damping_pct, so 1e9 is
+    safe beyond 1e8 nodes. Iterations are a Python loop over lazy plans;
+    localCheckpoint every iteration truncates lineage growth.
+    """
+    e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    e.cache()
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    nodes.cache()
+    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    base = scale * (100 - damping_pct) // 100
+    ranks = nodes.select("node", F.lit(int(scale)).cast("long").alias("rank"))
+    for i in range(n_iter):
+        # ranks/deg are node-sized (≪ edges); broadcasting them keeps each
+        # iteration at ONE shuffle (the per-dst sum) instead of three —
+        # edges never move. On a graph too big to broadcast its node table,
+        # drop the hints and AQE falls back to co-partitioned hash joins.
+        contrib = (
+            e.join(F.broadcast(ranks), e["_src"] == ranks["node"])
+            .join(F.broadcast(deg), "_src")
+            .select(
+                F.col("_dst").alias("node"),
+                F.expr("rank div _deg").alias("_c"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(F.sum("_c").alias("_s"))
+        ranks = (
+            nodes.join(F.broadcast(sums), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(int(base))
+                    + F.expr(f"({damping_pct} * coalesce(_s, 0L)) div 100")
+                ).cast("long").alias("rank"),
+            )
+        )
+        if i < n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

@@ -640,3 +640,68 @@ def ts2_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# =====================================================================
+# GR1 — iterative graph analytics beyond connected components: PageRank
+# =====================================================================
+
+def _gr1_oracle_sql(n_iter: int = 5, damping_pct: int = 85, scale: int = 10**9) -> str:
+    """Unrolled-CTE DuckDB twin of pagerank_scaled: one CTE layer per
+    iteration (aggregates are not allowed in a recursive CTE's recursive
+    term, and unrolling a FIXED iteration count is the honest equivalent).
+    Integer floor division throughout makes it bit-identical to the Spark
+    loop; DuckDB's BIGINT SUM widens to HUGEINT, so each layer casts back."""
+    base = scale * (100 - damping_pct) // 100
+    layers = [
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM n)"
+    ]
+    for i in range(1, n_iter + 1):
+        layers.append(
+            f"""r{i} AS (
+      SELECT n.node,
+             CAST({base} + ({damping_pct} * COALESCE(t.s, 0)) // 100 AS BIGINT) AS rank
+      FROM n LEFT JOIN (
+        SELECT e.dst AS node, CAST(SUM(r{i-1}.rank // deg.d) AS BIGINT) AS s
+        FROM e JOIN r{i-1} ON e.src = r{i-1}.node JOIN deg ON e.src = deg.src
+        GROUP BY e.dst
+      ) t ON n.node = t.node
+    )"""
+        )
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+    ),
+    n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+    {", ".join(layers)}
+    SELECT node, rank FROM r{n_iter}
+    """
+
+
+@query("gr1_pagerank", _gr1_oracle_sql())
+def gr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR1: PageRank over the co-purchase graph (edges = consecutive line
+    items of one order, src part → next part), 5 fixed iterations in scaled
+    integer arithmetic — iterative graph analytics with a FULL cross-engine
+    oracle (operators/graph.py pagerank_scaled; float PageRank could only
+    ever get a rows-only check)."""
+    from .operators.graph import pagerank_scaled
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("_ok"),
+        F.col("l_partkey").alias("src"),
+        F.col("l_linenumber").alias("_ln"),
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("_ok"),
+        F.col("l_partkey").alias("dst"),
+        (F.col("l_linenumber") - 1).alias("_ln"),
+    )
+    edges = a.join(b, ["_ok", "_ln"]).select("src", "dst").distinct()
+    return pagerank_scaled(edges, n_iter=5)

@@ -27,7 +27,26 @@ TPCH_TABLES = [
 ]
 
 
+# (applicationId, sf_dir, name) -> DataFrame. A parquet read() costs
+# ~100-200 ms of driver-side file listing + footer/schema decode before any
+# job runs; a 150-query catalog re-reading ~10 immutable tables pays that
+# ~225× per bench run (~30 s of pure plan-time overhead). DataFrames are
+# immutable logical plans, so reusing one across queries is safe; keying by
+# applicationId drops entries from stopped sessions automatically.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = _read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanos-as-long → microsecond timestamp (see _read_parquet).

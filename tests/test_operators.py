@@ -563,3 +563,34 @@ def test_pq_arrow_encoder_matches_native(spark):
     arrow = {(r["q_id"], r["c_id"], r["rank"])
              for r in pq_topk(queries, corpus, use_arrow=True, **kw).collect()}
     assert arrow == native
+
+
+def test_pagerank_scaled_matches_reference_recurrence(spark):
+    """pagerank_scaled reproduces the exact integer recurrence on a small
+    directed graph (computed here in plain Python), including a dangling
+    node (3 has no out-edges) and a node with no in-edges (1)."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.graph import pagerank_scaled
+
+    edge_list = [(1, 2), (1, 3), (2, 3), (4, 2), (4, 1)]
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+
+    scale, d, n_iter = 10**9, 85, 5
+    nodes = sorted({u for e in edge_list for u in e})
+    out = {}
+    for s, _ in edge_list:
+        out[s] = out.get(s, 0) + 1
+    rank = {v: scale for v in nodes}
+    base = scale * (100 - d) // 100
+    for _ in range(n_iter):
+        s = {v: 0 for v in nodes}
+        for u, v in edge_list:
+            s[v] += rank[u] // out[u]
+        rank = {v: base + (d * s[v]) // 100 for v in nodes}
+
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_scaled(edges, n_iter=n_iter, scale=scale).collect()
+    }
+    assert got == rank
+    # dropped dangling mass: totals strictly below n*scale but positive
+    assert 0 < sum(got.values()) < len(nodes) * scale
