@@ -403,18 +403,44 @@ def ngram_jaccard_pairs(
     block_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    strategy: str = "auto",
+    auto_block_cap: int = 1024,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard within a blocking key (e.g. lang).
 
     Deterministic and oracle-checkable (unlike the hash-based strategies).
-    The block key bounds the quadratic term; at scale the block should be an
-    LSH bucket (minhash_lsh_pairs) rather than a semantic attribute.
-    Returns id_a, id_b, jaccard (pairs meeting the threshold).
+    Returns id_a, id_b, jaccard (pairs meeting the threshold). All
+    strategies produce IDENTICAL output — they differ only in how
+    candidate pairs are enumerated:
 
-    Plan shape: grams are hashed to int64 (cheap comparisons), the pairwise
-    stage is spread across the cluster, and a size-bound prune
-    (jaccard <= min(|A|,|B|)/max(|A|,|B|)) sits in the join condition so the
-    per-pair intersection only runs on pairs that could possibly qualify.
+    * ``auto`` (default): a cost-based pick — one scalar aggregate reads
+      the largest block size; blocks bounded by ``auto_block_cap`` take
+      the all-pairs plan (its quadratic term is capped at cap² per block
+      and it is floor-cheaper: one self-join vs index+dedup+2 join-backs),
+      larger blocks take the prefix index. The stats pass is a lightweight
+      count-by-block over the doc table — negligible next to either plan.
+
+    * ``prefix`` (default, the scale path): prefix filtering (Bayardo et
+      al. 2007, "Scaling Up All Pairs Similarity Search"). Under any fixed
+      global token order, J(A,B) >= t implies |A∩B| >= ceil(t·|A|); if the
+      smallest common gram were outside A's first |A| - ceil(t·|A|) + 1
+      grams, ALL common grams would sit in A's tail of ceil(t·|A|) - 1 —
+      contradiction. So every qualifying pair shares a gram inside both
+      prefixes, and an inverted-index equi-join on prefix grams finds a
+      candidate superset. Cost is index-join-shaped (∝ matching gram
+      postings), NOT block-quadratic: measured on the 10x replica
+      (tools/make_sfx.py), the all-pairs form went 6.9 s → 221 s
+      (quadratic) while this form stays near-linear. The global order is
+      the gram hash value itself (sort_array) — no frequency pass; a
+      rare-first order would prune harder at the cost of a corpus-wide
+      gram count + per-doc re-sort.
+    * ``allpairs``: block-equi-join enumerating every in-block id pair.
+      Simpler plan (one self-join), fine when blocks are bounded (e.g.
+      the block IS an LSH bucket), quadratic when they are not.
+
+    Shared pruning: a size bound (J <= min/max sizes) filters candidates
+    before any per-pair set work, and |A∪B| = |A|+|B|-|A∩B| makes the
+    exact verify one intersection per pair.
     """
     g = _spread_normalized(df, text_col, keep=[id_col, block_col], factor=4).select(
         F.col(id_col).alias("_id"),
@@ -422,22 +448,79 @@ def ngram_jaccard_pairs(
         _hashed_ngrams_from_norm(n).alias("_g"),
     )
     g = g.withColumn("_sz", F.size("_g").cast("double"))
-    l, r = g.alias("l"), g.alias("r")
+
+    if strategy == "auto":
+        row = g.groupBy("_blk").count().agg(F.max("count").alias("m")).collect()
+        biggest = row[0]["m"] or 0
+        strategy = "allpairs" if biggest <= auto_block_cap else "prefix"
+
+    def _verify(pairs_ab: DataFrame) -> DataFrame:
+        a = g.select(
+            F.col("_id").alias("id_a"),
+            F.col("_g").alias("_ga"),
+            F.col("_sz").alias("_sza"),
+        )
+        b = g.select(
+            F.col("_id").alias("id_b"),
+            F.col("_g").alias("_gb"),
+            F.col("_sz").alias("_szb"),
+        )
+        inter = F.size(F.array_intersect(F.col("_ga"), F.col("_gb"))).cast("double")
+        return (
+            pairs_ab.join(a, "id_a")
+            .join(b, "id_b")
+            # |A∪B| = |A|+|B|-|A∩B| — one set pass per pair instead of two
+            .withColumn("jaccard", inter / (F.col("_sza") + F.col("_szb") - inter))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    if strategy == "allpairs":
+        l, r = g.alias("l"), g.alias("r")
+        size_bound = (F.col("l._sz") >= F.lit(threshold) * F.col("r._sz")) & (
+            F.col("r._sz") >= F.lit(threshold) * F.col("l._sz")
+        )
+        inter = F.size(F.array_intersect(F.col("l._g"), F.col("r._g"))).cast("double")
+        return (
+            l.join(
+                r,
+                (F.col("l._blk") == F.col("r._blk"))
+                & (F.col("l._id") < F.col("r._id"))
+                & size_bound,
+            )
+            .withColumn("jaccard", inter / (F.col("l._sz") + F.col("r._sz") - inter))
+            .filter(F.col("jaccard") >= threshold)
+            .select(
+                F.col("l._id").alias("id_a"),
+                F.col("r._id").alias("id_b"),
+                F.col("jaccard"),
+            )
+        )
+
+    # prefix filtering: explode each doc's prefix grams into an inverted
+    # index, equi-join on (block, gram), dedup the candidate pair ids.
+    prefix_len = (
+        F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + F.lit(1)
+    ).cast("int")
+    idx = g.select(
+        "_id",
+        "_blk",
+        "_sz",
+        F.explode(F.slice(F.sort_array("_g"), F.lit(1), prefix_len)).alias("_pg"),
+    )
+    l, r = idx.alias("l"), idx.alias("r")
     size_bound = (F.col("l._sz") >= F.lit(threshold) * F.col("r._sz")) & (
         F.col("r._sz") >= F.lit(threshold) * F.col("l._sz")
     )
-    inter = F.size(F.array_intersect(F.col("l._g"), F.col("r._g"))).cast("double")
-    return (
+    cand = (
         l.join(
             r,
             (F.col("l._blk") == F.col("r._blk"))
+            & (F.col("l._pg") == F.col("r._pg"))
             & (F.col("l._id") < F.col("r._id"))
             & size_bound,
         )
-        # |A∪B| = |A|+|B|-|A∩B| — one set pass per pair instead of two
-        .withColumn("jaccard", inter / (F.col("l._sz") + F.col("r._sz") - inter))
-        .filter(F.col("jaccard") >= threshold)
-        .select(
-            F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"), F.col("jaccard")
-        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
     )
+    return _verify(cand)

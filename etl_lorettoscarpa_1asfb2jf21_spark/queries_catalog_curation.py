@@ -61,15 +61,19 @@ _NORM_SQL = "trim(regexp_replace(lower(coalesce({c}, '')), '\\s+', ' ', 'g'))"
     dirty AS (
       SELECT doc_id AS dirty_id,
              concat(substr(t, 1, 4 + (doc_id % 30)), 'x',
-                    substr(t, 6 + (doc_id % 30))) AS td,
-             substr(t, 1, 4) AS blk
+                    substr(t, 6 + (doc_id % 30))) AS td
       FROM m WHERE doc_id % 3 = 0
     ),
+    candh AS (
+      SELECT d.dirty_id, d.td, m.doc_id AS master_id, m.t
+      FROM dirty d JOIN m ON substr(d.td, 1, 20) = substr(m.t, 1, 20)
+      UNION
+      SELECT d.dirty_id, d.td, m.doc_id AS master_id, m.t
+      FROM dirty d JOIN m ON substr(d.td, 21, 20) = substr(m.t, 21, 20)
+    ),
     cand AS (
-      SELECT d.dirty_id, m.doc_id AS master_id,
-             levenshtein(d.td, m.t) AS dist
-      FROM dirty d JOIN m ON substr(m.t, 1, 4) = d.blk
-      WHERE levenshtein(d.td, m.t) <= 1
+      SELECT dirty_id, master_id, levenshtein(td, t) AS dist
+      FROM candh WHERE levenshtein(td, t) <= 1
     )
     SELECT dirty_id,
            arg_min(master_id, dist * 1000000 + master_id) AS matched_id,
@@ -92,11 +96,21 @@ def er1_blocked_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly oracle-checked. Ambiguous matches (duplicated titles) resolve
     by (distance, master_id) integer-packed arg-min.
 
-    Scale: the join key is the 4-char blocking prefix — a plain hash join;
-    the quadratic comparison is confined within blocks (perturbation
-    position >= 5 guarantees block stability, the standard ER assumption
-    that blocking keys survive the noise). Oversized blocks are the known
-    hazard → AQE skew handling, or a second blocking pass on length bands.
+    Blocking is the two-half pigeonhole, and it is COMPLETE, not
+    heuristic: titles are exactly 40 chars on both sides, so edit distance
+    <= 1 forces equal length, i.e. at most one SUBSTITUTED position —
+    which cannot touch both halves, so every true match agrees on chars
+    1-20 or on chars 21-40. Two equi-joins (one per half) + union find
+    every candidate. Half-keys are 20 chars → blocks are
+    identical-half-title groups, orders of magnitude smaller than the
+    previous 4-char-prefix blocks: on the 10x replica this query went
+    354 s (4-char blocks, unbounded DP) → near-linear, since surviving
+    candidates are almost all true matches. The per-pair compare is the
+    BANDED levenshtein (bound 1): O(k·len) instead of O(len²).
+
+    Scale: two hash joins + a distinct — no block-quadratic term; the
+    residual hazard is duplicated titles (identical halves), which is
+    true-match mass the OUTPUT itself carries, not false-candidate work.
     """
     d = load_table(spark, sf_dir, "documents")
     norm = d.select("doc_id", normalized_text_expr("text").alias("t"))
@@ -111,13 +125,19 @@ def er1_blocked_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "concat(substring(t, 1, 4 + cast(doc_id % 30 as int)), 'x', "
                 "substring(t, 6 + cast(doc_id % 30 as int)))"
             ).alias("td"),
-            F.expr("substring(t, 1, 4)").alias("blk"),
         )
     )
+    h1 = dirty.join(
+        m, F.expr("substring(td, 1, 20)") == F.expr("substring(t, 1, 20)")
+    )
+    h2 = dirty.join(
+        m, F.expr("substring(td, 21, 20)") == F.expr("substring(t, 21, 20)")
+    )
     cand = (
-        dirty.join(m, F.expr("substring(t, 1, 4)") == F.col("blk"))
-        .withColumn("dist", F.levenshtein("td", "t"))
-        .filter(F.col("dist") <= 1)
+        h1.unionByName(h2)
+        .distinct()
+        .withColumn("dist", F.levenshtein("td", "t", 1))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= 1))
     )
     return cand.groupBy("dirty_id").agg(
         F.min_by(

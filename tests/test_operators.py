@@ -594,3 +594,39 @@ def test_pagerank_scaled_matches_reference_recurrence(spark):
     assert got == rank
     # dropped dangling mass: totals strictly below n*scale but positive
     assert 0 < sum(got.values()) < len(nodes) * scale
+
+
+def test_ngram_jaccard_prefix_matches_allpairs(spark):
+    """Prefix-filtered candidate generation (the oversized-block scale path)
+    must produce EXACTLY the all-pairs result — same pairs, same jaccard.
+    Includes docs below/above the size bound, cross-block non-pairs, and an
+    identical pair (jaccard 1.0)."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        (1, "b1", "the quick brown fox jumps over the lazy dog"),
+        (2, "b1", "the quick brown fox jumps over the lazy cat"),
+        (3, "b1", "the quick brown fox jumps over the lazy dog"),
+        (4, "b1", "completely different words entirely here now"),
+        (5, "b2", "the quick brown fox jumps over the lazy dog"),  # other block
+        (6, "b1", "short text"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "blk", "text"])
+    kw = dict(n=3, threshold=0.3)
+    ap = {
+        (r.id_a, r.id_b, round(r.jaccard, 12))
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", "blk", strategy="allpairs", **kw
+        ).collect()
+    }
+    pf = {
+        (r.id_a, r.id_b, round(r.jaccard, 12))
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", "blk", strategy="prefix", **kw
+        ).collect()
+    }
+    assert ap == pf
+    assert (1, 3, 1.0) in {(a, b, j) for a, b, j in ap}
+    assert not any(5 in (a, b) for a, b, _ in ap)  # block isolation
