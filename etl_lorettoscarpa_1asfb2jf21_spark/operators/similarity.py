@@ -141,17 +141,29 @@ def lsh_topk(
     query_vec: str = "q_vec",
     corpus_id: str = "c_id",
     corpus_vec: str = "c_vec",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH buckets.
 
     Join is on (band, bucket) — linear candidate generation; exact cosine
     re-rank on candidates only. May return <k rows per query (recall<1).
+
+    ``use_arrow=False`` computes signatures with the native left-fold dot
+    (the PORTABLE form: a SQL engine folding the same literal hyperplanes
+    left-to-right reproduces the sign bits bit-exactly, so the whole
+    query becomes oracle-checkable); the Arrow matmul kernel remains the
+    production default (~10x on signature throughput, same buckets up to
+    float-summation-order sign flips at exact zero crossings).
     """
     hps = _hyperplanes(dim, planes, seed)
 
     def bucketize(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
         return _explode_band_buckets(
-            df.select(F.col(id_col), F.col(vec_col)), vec_col, hps, bands
+            df.select(F.col(id_col), F.col(vec_col)),
+            vec_col,
+            hps,
+            bands,
+            use_arrow=use_arrow,
         ).select(
             F.col(id_col),
             F.col(vec_col),
@@ -187,8 +199,15 @@ def embedding_neardup_pairs(
     planes: int = 16,
     bands: int = 4,
     seed: int = 42,
+    use_arrow: bool = True,
 ) -> DataFrame:
-    """(id_a, id_b, sim) pairs with cosine >= threshold, LSH-blocked."""
+    """(id_a, id_b, sim) pairs with cosine >= threshold, LSH-blocked.
+
+    ``use_arrow=False`` is the PORTABLE form: native left-fold dots for
+    both the signature bits and the verify, reproducible bit-exactly by a
+    SQL engine folding the same literal hyperplanes (oracle-checkable).
+    The Arrow kernels remain the production default for throughput.
+    """
     from .dedup import bucket_pairs
 
     hps = _hyperplanes(dim, planes, seed)
@@ -211,18 +230,23 @@ def embedding_neardup_pairs(
         "_v",
         hps,
         bands,
+        use_arrow=use_arrow,
     ).select("_id", F.col("_band").alias("band"), F.col("_bucket").alias("bucket"))
     cand = bucket_pairs(b, "_id", ["band", "bucket"])
-    # Verify with the Arrow batch kernel, not dot_expr: at low thresholds
-    # the candidate set is millions of pairs and the higher-order-function
-    # dot evaluates interpreted per element (~100ns x 64 dims x pairs);
-    # one einsum per record batch is ~10x. (Vectors are unit-normalized,
-    # so cosine == dot; the kernel's norm recompute is a no-op pass.)
-    from ..functions.vectors import cosine_batch_udf
+    # Verify with the Arrow batch kernel by default, not dot_expr: at low
+    # thresholds the candidate set is millions of pairs and the
+    # higher-order-function dot evaluates interpreted per element (~100ns
+    # x 64 dims x pairs); one einsum per record batch is ~10x. (Vectors
+    # are unit-normalized, so cosine == dot; the kernel's norm recompute
+    # is a no-op pass.) The portable path folds the same dot natively.
+    if use_arrow:
+        from ..functions.vectors import cosine_batch_udf
 
-    cos = cosine_batch_udf()
+        sim_col = cosine_batch_udf()(F.col("id_a.v"), F.col("id_b.v"))
+    else:
+        sim_col = dot_expr(F.col("id_a.v"), F.col("id_b.v"))
     return (
-        cand.withColumn("sim", cos(F.col("id_a.v"), F.col("id_b.v")))
+        cand.withColumn("sim", sim_col)
         .filter(F.col("sim") >= threshold)
         .select(
             F.col("id_a.id").alias("id_a"), F.col("id_b.id").alias("id_b"), "sim"

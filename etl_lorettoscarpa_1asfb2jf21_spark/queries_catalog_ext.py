@@ -296,26 +296,130 @@ def x1_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, "text", "doc_id", "source", n=3, threshold=0.2)
 
 
-@query("x1_embedding_neardup")  # LSH-bucketed — rows-only check
+def _hp_band_sql(dim: int = 64, planes: int = 16, bands: int = 4):
+    """Shared SQL generators for the hyperplane-LSH oracles: the seeded
+    hyperplanes are inlined as literal double lists (repr round-trips
+    exactly), sign bits come from the same left-fold dot products
+    (list_dot_product matches Spark's aggregate fold bit-exactly — the
+    already-green x2_topk_cosine oracle is the standing proof on this
+    data), and band buckets pack the bits into an int (any injective
+    labeling partitions identically)."""
+    from .operators.similarity import _hyperplanes
+
+    hps = _hyperplanes(dim, planes)
+    per_band = planes // bands
+
+    def hp_lit(hp: list[float]) -> str:
+        return "[" + ",".join(repr(float(x)) for x in hp) + "]"
+
+    def bucket_expr(b: int) -> str:
+        bits = [
+            f"(CASE WHEN list_dot_product(v, {hp_lit(hps[b * per_band + i])}) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i in range(per_band)
+        ]
+        return "(" + " + ".join(bits) + ")"
+
+    def band_union(src: str, id_col: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {id_col}, v, {b} AS band, {bucket_expr(b)} AS bucket FROM {src}"
+            for b in range(bands)
+        )
+
+    return band_union
+
+
+
+def _neardup_oracle_sql(dim: int = 64, planes: int = 16, bands: int = 4) -> str:
+    """DuckDB twin of the PORTABLE embedding_neardup_pairs + its in-output
+    recall gate: fold-normalized vectors, literal-hyperplane sign bits,
+    within-bucket pairing, fold-dot verify — every float op in the same
+    association order as the Spark expressions (see _hp_band_sql)."""
+    band_union = _hp_band_sql(dim, planes, bands)
+    cos_raw = (
+        "list_dot_product(a.vd, b.vd) / "
+        "(sqrt(list_dot_product(a.vd, a.vd)) * sqrt(list_dot_product(b.vd, b.vd)))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
+    n AS (
+      SELECT id,
+             CASE WHEN sqrt(list_dot_product(vd, vd)) > 0
+                  THEN list_transform(vd, x -> x / sqrt(list_dot_product(vd, vd)))
+                  ELSE vd END AS v
+      FROM e
+    ),
+    nb AS ({band_union('n', 'id')}),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM nb a JOIN nb b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    sims AS (
+      SELECT p.id_a, p.id_b, list_dot_product(x.v, y.v) AS sim
+      FROM pairs p JOIN n x ON p.id_a = x.id JOIN n y ON p.id_b = y.id
+      WHERE list_dot_product(x.v, y.v) >= 0.3
+    ),
+    s AS (SELECT * FROM n WHERE id < 200),
+    sb AS ({band_union('s', 'id')}),
+    spairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM sb a JOIN sb b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    ssims AS (
+      SELECT p.id_a, p.id_b
+      FROM spairs p JOIN n x ON p.id_a = x.id JOIN n y ON p.id_b = y.id
+      WHERE list_dot_product(x.v, y.v) >= 0.3
+    ),
+    exact AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM e a JOIN e b ON a.id < b.id AND a.id < 200 AND b.id < 200
+      WHERE {cos_raw} >= 0.3
+    ),
+    found AS (
+      SELECT * FROM exact
+      WHERE EXISTS (
+        SELECT 1 FROM ssims
+        WHERE ssims.id_a = exact.id_a AND ssims.id_b = exact.id_b
+      )
+    ),
+    quality AS (
+      SELECT (SELECT COUNT(*) FROM exact) AS n_exact_sample,
+             CASE WHEN (SELECT COUNT(*) FROM exact) > 0
+                  THEN CAST((SELECT COUNT(*) FROM found) AS DOUBLE)
+                       / (SELECT COUNT(*) FROM exact)
+                  ELSE 1.0 END AS sample_recall
+    )
+    SELECT sims.id_a, sims.id_b, sims.sim, q.n_exact_sample, q.sample_recall
+    FROM sims CROSS JOIN quality q
+    """
+
+
+@query("x1_embedding_neardup", _neardup_oracle_sql())
 def x1_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1 embedding near-dup: high-cosine pairs via random-hyperplane LSH.
+    """X1 embedding near-dup: high-cosine pairs via random-hyperplane LSH —
+    now with a FULL DuckDB oracle: the catalog runs the PORTABLE path
+    (native fold dots for signatures AND verify), reproducible bit-exactly
+    from the same literal hyperplanes (_neardup_oracle_sql); the Arrow
+    matmul kernels stay the production default inside
+    embedding_neardup_pairs (use_arrow=True).
 
     Threshold 0.3 — the synthetic embeddings are i.i.d. (max pairwise cosine
     ~0.51), so a production-style 0.95 bar would always return zero rows; 0.3
     exercises bucketing + verification on real output. Recall is tunable via
     (planes, bands); production dedup would use 0.9+ on clustered data.
 
-    No SQL twin CAN exist: bucket membership hinges on the sign of float
-    hyperplane dot products computed by a numpy matmul kernel — a different
-    summation order than any SQL fold, so boundary signs (and hence the
-    candidate set) are engine-specific. Instead the quality gate rides in
-    the output: ``sample_recall`` = fraction of ground-truth pairs (exact
-    all-pairs cosine over the vec_id<200 sample) that the LSH path found,
-    and ``n_exact_sample`` sizes that ground truth. Precision is 1.0 by
+    The in-output quality gate is kept (and now itself oracle-checked):
+    ``sample_recall`` = fraction of ground-truth pairs (exact all-pairs
+    cosine over the vec_id<200 sample) that the LSH path found, and
+    ``n_exact_sample`` sizes that ground truth. Precision is 1.0 by
     construction (every emitted pair is exact-cosine-verified).
     """
     e = load_table(spark, sf_dir, "embeddings")
-    pairs = embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.3)
+    pairs = embedding_neardup_pairs(
+        e, "vec_id", "embedding", threshold=0.3, use_arrow=False
+    )
 
     from .functions.vectors import cosine_similarity_expr
 
@@ -325,7 +429,9 @@ def x1_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same buckets whether or not the rest of the corpus is present;
     # the restricted run finds exactly the full run's in-sample pairs).
     s = e.filter(F.col("vec_id") < 200)
-    sample_pairs = embedding_neardup_pairs(s, "vec_id", "embedding", threshold=0.3)
+    sample_pairs = embedding_neardup_pairs(
+        s, "vec_id", "embedding", threshold=0.3, use_arrow=False
+    )
     a = s.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
     b = s.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
     exact = (
@@ -405,13 +511,61 @@ def _with_exact_rank(approx: DataFrame, queries: DataFrame, corpus: DataFrame) -
     return approx.join(F.broadcast(exact), ["q_id", "c_id"], "left")
 
 
-@query("x2_topk_lsh")  # approximate — rows-only check
-def x2_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 scale path: random-hyperplane LSH-bucketed approximate top-10.
+def _lsh_oracle_sql(k: int = 10, dim: int = 64, planes: int = 16, bands: int = 4) -> str:
+    """DuckDB twin of the PORTABLE lsh_topk (see _hp_band_sql)."""
+    band_union = _hp_band_sql(dim, planes, bands)
 
-    No SQL twin: bucket ids come from a numpy matmul sign kernel, so the
-    candidate set is engine-specific (float summation order). The quality
-    gate rides in the output instead: ``exact_rank`` marks each returned
+    cos = (
+        "list_dot_product(q.v, c.v) / "
+        "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))"
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qb AS ({band_union('q', 'q_id')}),
+    cb AS ({band_union('c', 'c_id')}),
+    cand AS (
+      SELECT DISTINCT qb.q_id, cb.c_id
+      FROM qb JOIN cb ON qb.band = cb.band AND qb.bucket = cb.bucket
+    ),
+    approx AS (
+      SELECT q_id, c_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+      FROM (
+        SELECT cand.q_id, cand.c_id, {cos} AS sim
+        FROM cand JOIN q ON cand.q_id = q.q_id JOIN c ON cand.c_id = c.c_id
+      )
+    ),
+    exact AS (
+      SELECT q_id, c_id, rank AS exact_rank FROM (
+        SELECT q.q_id, c.c_id,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY {cos} DESC, c.c_id)
+                 AS rank
+        FROM q, c
+      ) WHERE rank <= {k}
+    )
+    SELECT a.q_id, a.c_id, a.sim, CAST(a.rank AS BIGINT) AS rank,
+           CAST(e.exact_rank AS BIGINT) AS exact_rank
+    FROM approx a LEFT JOIN exact e ON a.q_id = e.q_id AND a.c_id = e.c_id
+    WHERE a.rank <= {k}
+    """
+
+
+@query("x2_topk_lsh", _lsh_oracle_sql())
+def x2_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 scale path: random-hyperplane LSH-bucketed approximate top-10 —
+    now with a FULL DuckDB oracle: the catalog runs the PORTABLE signature
+    path (native left-fold dots), whose sign bits any engine folding the
+    same literal hyperplanes reproduces bit-exactly (see _lsh_oracle_sql).
+    The Arrow matmul kernel stays the production default inside lsh_topk
+    (use_arrow=True) — same algorithm, ~10x signature throughput, buckets
+    equal up to sign flips at exact zero crossings numpy's pairwise
+    summation could round differently.
+
+    The per-row quality gate is kept: ``exact_rank`` marks each returned
     row's position in the true top-10 (NULL = false positive); recall@10 =
     non-null fraction. The aggregate twin of this check is x2_recall_report.
     """
@@ -420,7 +574,9 @@ def x2_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    approx = lsh_topk(queries, corpus, k=10, dim=64, planes=16, bands=4)
+    approx = lsh_topk(
+        queries, corpus, k=10, dim=64, planes=16, bands=4, use_arrow=False
+    ).withColumn("rank", F.col("rank").cast("long"))
     return _with_exact_rank(approx, queries, corpus)
 
 

@@ -34,9 +34,11 @@ ALL_QUERIES = {**CORE_QUERIES, **EXT_QUERIES}
 # kernel (vectors.band_buckets_batch_udf — dense matmul, measured ~10x the
 # native higher-order path). Everything else stays JVM-side, and
 # row-at-a-time Python (BatchEvalPython) is banned outright.
+# x1_embedding_neardup / x2_topk_lsh run the PORTABLE fold path in the
+# catalog (fully JVM-side, full DuckDB oracle); their Arrow kernels remain
+# the operator-level production default and are exercised via
+# x2_recall_report (which runs lsh_topk with use_arrow=True).
 ARROW_KERNEL_QUERIES = {
-    "x1_embedding_neardup",
-    "x2_topk_lsh",
     "x2_recall_report",
     # PQ encode: the Arrow argmin kernel measured >2x the native
     # 128-aggregate-expression path at sf0.1 (equality-tested)
