@@ -808,6 +808,54 @@ def s6_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s8_partitioned_gold_roundtrip",
+    """
+    SELECT EXTRACT(YEAR FROM o_orderdate) AS ano,
+           EXTRACT(MONTH FROM o_orderdate) AS mes,
+           o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+    GROUP BY 1, 2, 3
+    """,
+)
+def s8_partitioned_gold_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 at gold-layout fidelity, driver-checkable: write a fact rollup
+    PARTITIONED BY (ano, mes) — the reference's dim_tempo-grained fact
+    layout (initdb/01_schema.sql:54-59) as a physical layout — then read
+    it back with a partition-key filter. The year filter prunes to 12 of
+    ~84 month directories on read (PartitionFilters; the same mechanism
+    tests/test_star_pipeline.py asserts for the real gold fact), so the
+    oracle-checked result ALSO proves the partitioned round-trip preserved
+    values exactly.
+
+    Scale: one shuffle for the rollup; the write fans out one file per
+    (ano, mes) directory; a month-scoped consumer reads one directory of a
+    100 TB fact, never the table.
+    """
+    out = _scratch_dir("s8_gold")
+    o = load_table(spark, sf_dir, "orders")
+    rollup = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("ano"),
+        F.month("o_orderdate").cast("long").alias("mes"),
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
+    )
+    rollup.write.mode("overwrite").partitionBy("ano", "mes").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("ano") == 1995)
+    return back.select(
+        F.col("ano").cast("long"),
+        F.col("mes").cast("long"),
+        "o_orderpriority",
+        "n_orders",
+        "total",
+    )
+
+
+@query(
     "s7_csv_quarantine",
     """
     SELECT CAST(3 AS BIGINT) AS n_good, CAST(2 AS BIGINT) AS n_quarantined

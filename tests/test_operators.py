@@ -630,3 +630,31 @@ def test_ngram_jaccard_prefix_matches_allpairs(spark):
     assert ap == pf
     assert (1, 3, 1.0) in {(a, b, j) for a, b, j in ap}
     assert not any(5 in (a, b) for a, b, _ in ap)  # block isolation
+
+
+def test_lsh_portable_matches_arrow_kernel(spark, sf_small):
+    """The portable fold path (catalog/oracle form) and the Arrow matmul
+    kernel (production default) must bucket identically on the fixed
+    testdata — the only divergence mechanism is a sign flip at an exact
+    zero crossing of a hyperplane dot, which this data does not produce.
+    Pinning equality here turns that observation into a regression gate."""
+    from pyspark.sql import functions as F
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.similarity import lsh_topk
+    from etl_lorettoscarpa_1asfb2jf21_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_small, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    kw = dict(k=10, dim=64, planes=16, bands=4)
+    arrow = {
+        (r.q_id, r.c_id, r.rank)
+        for r in lsh_topk(queries, corpus, use_arrow=True, **kw).collect()
+    }
+    portable = {
+        (r.q_id, r.c_id, r.rank)
+        for r in lsh_topk(queries, corpus, use_arrow=False, **kw).collect()
+    }
+    assert arrow == portable
