@@ -705,3 +705,156 @@ def gr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = a.join(b, ["_ok", "_ln"]).select("src", "dst").distinct()
     return pagerank_scaled(edges, n_iter=5)
+
+
+# =====================================================================
+# dq3: distribution-drift detection (Population Stability Index)
+# =====================================================================
+
+
+@query(
+    "dq3_drift_psi",
+    """
+    WITH b AS (
+      SELECT LEAST(CAST(FLOOR(CAST(o_totalprice AS DOUBLE) / 50000) AS BIGINT), 9)
+               AS bin_id,
+             EXTRACT(YEAR FROM o_orderdate) AS yr
+      FROM orders
+      WHERE EXTRACT(YEAR FROM o_orderdate) IN (1994, 1995)
+    ),
+    spine AS (SELECT unnest(range(10)) AS bin_id),
+    c AS (
+      SELECT s.bin_id,
+             COALESCE(SUM(CASE WHEN yr = 1994 THEN 1 END), 0) AS n_base,
+             COALESCE(SUM(CASE WHEN yr = 1995 THEN 1 END), 0) AS n_curr
+      FROM spine s LEFT JOIN b ON s.bin_id = b.bin_id
+      GROUP BY s.bin_id
+    ),
+    t AS (SELECT SUM(n_base) AS tb, SUM(n_curr) AS tc FROM c),
+    p AS (
+      SELECT c.bin_id, CAST(c.n_base AS BIGINT) AS n_base,
+             CAST(c.n_curr AS BIGINT) AS n_curr,
+             (c.n_base + 1.0) / (t.tb + 10.0) AS pb,
+             (c.n_curr + 1.0) / (t.tc + 10.0) AS pc
+      FROM c CROSS JOIN t
+    )
+    SELECT bin_id, n_base, n_curr,
+           ROUND((pc - pb) * ln(pc / pb), 6) AS psi_contrib,
+           ROUND(SUM((pc - pb) * ln(pc / pb)) OVER (), 6) AS psi_total
+    FROM p
+    """,
+)
+def dq3_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dq3: Population Stability Index between two order-year snapshots of
+    the o_totalprice distribution — the standard drift monitor a feature
+    pipeline runs between training and serving windows. Fixed equal-width
+    bins (10 × 50k, top bin open) make the binning engine-independent;
+    Laplace-smoothed proportions keep empty bins finite; ROUND(6) absorbs
+    the ~1e-16 float-summation wobble per dtype policy (ln itself is
+    bitwise libm-dependent, so contributions are rounded, not raw).
+
+    Scale: two aggregations over one scan (bin counts, then totals) and a
+    10-row spine — no shuffle of the fact beyond the count-by-bin.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1994, 1995)
+    )
+    b = o.select(
+        F.least(
+            F.floor(F.col("o_totalprice").cast("double") / 50000).cast("long"),
+            F.lit(9),
+        ).alias("bin_id"),
+        F.year("o_orderdate").alias("yr"),
+    )
+    spine = spark.range(10).select(F.col("id").alias("bin_id"))
+    c = (
+        spine.join(b, "bin_id", "left")
+        .groupBy("bin_id")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("yr") == 1994, 1)), F.lit(0)).alias("n_base"),
+            F.coalesce(F.sum(F.when(F.col("yr") == 1995, 1)), F.lit(0)).alias("n_curr"),
+        )
+    )
+    t = c.agg(F.sum("n_base").alias("tb"), F.sum("n_curr").alias("tc"))
+    p = c.crossJoin(F.broadcast(t)).select(
+        "bin_id",
+        F.col("n_base").cast("long"),
+        F.col("n_curr").cast("long"),
+        ((F.col("n_base") + F.lit(1.0)) / (F.col("tb") + F.lit(10.0))).alias("pb"),
+        ((F.col("n_curr") + F.lit(1.0)) / (F.col("tc") + F.lit(10.0))).alias("pc"),
+    )
+    contrib = (F.col("pc") - F.col("pb")) * F.log(F.col("pc") / F.col("pb"))
+    from pyspark.sql import Window as W
+
+    return p.select(
+        "bin_id",
+        "n_base",
+        "n_curr",
+        F.round(contrib, 6).alias("psi_contrib"),
+        F.round(F.sum(contrib).over(W.partitionBy()), 6).alias("psi_total"),
+    )
+
+
+# =====================================================================
+# ml2: per-group OLS linear fit (closed form from one aggregation)
+# =====================================================================
+
+
+@query(
+    "ml2_linear_fit",
+    """
+    WITH d AS (
+      SELECT o_orderpriority,
+             CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS DOUBLE) AS x,
+             CAST(o_totalprice AS DOUBLE) AS y
+      FROM orders
+    ),
+    s AS (
+      SELECT o_orderpriority, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM d GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+             AS intercept
+    FROM s
+    """,
+)
+def ml2_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml2: per-group ordinary-least-squares fit (price vs order date) from
+    the closed-form normal equations — ONE aggregation pass producing the
+    five sufficient statistics, no iterative solver, no collect. The
+    feature-engineering primitive behind trend features and residual-based
+    anomaly scores. ROUND absorbs partial-aggregation-order wobble in the
+    double sums (dtype policy).
+
+    Scale: a single groupBy over the fact; state per group is five
+    doubles — the same shape at 100 TB.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderpriority",
+        F.datediff("o_orderdate", F.lit("1992-01-01").cast("date"))
+        .cast("double")
+        .alias("x"),
+        F.col("o_totalprice").cast("double").alias("y"),
+    )
+    s = d.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "o_orderpriority",
+        F.col("n").cast("long"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "intercept"
+        ),
+    )
