@@ -644,3 +644,132 @@ def semantic_dedup(
             "pruned_by",
         )
     )
+
+
+def quantize_expr(vec_col, scale: int = 10**6):
+    """float array → scaled int64 array (round-half-away, matching SQL
+    ROUND): the fixed-point form under which k-means becomes EXACT integer
+    arithmetic, reproducible bit-for-bit by any engine."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(
+        c, lambda x: F.round(x.cast("double") * F.lit(float(scale))).cast("long")
+    )
+
+
+def ivf_topk_quantized(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_iter: int = 3,
+    scale: int = 10**6,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    corpus_id: str = "c_id",
+    corpus_vec: str = "c_vec",
+) -> DataFrame:
+    """IVF top-k with a DISTRIBUTED, INTEGER-EXACT k-means coarse quantizer.
+
+    Vectors are fixed-point-quantized (``scale``), centroids are integer
+    vectors, distances are exact int64 sums of squared differences, and
+    centroid updates are truncating integer means — so a fixed number of
+    Lloyd iterations is a pure integer recurrence that any engine
+    reproduces bit-identically (the same trick as pagerank_scaled; float
+    k-means can never be oracle-checked). Init = the ``n_centroids``
+    lowest-id corpus vectors; argmin ties break toward the lower cell via
+    the ``dist*n_centroids + cell`` integer packing; empty cells keep
+    their previous centroid. The final re-rank is exact double cosine on
+    the ORIGINAL float vectors over probed cells only.
+
+    Scale design: k-means here trains DISTRIBUTED on the full corpus (vs
+    train_unit_centroids' bounded-sample driver Lloyd) — per iteration one
+    broadcast-join assignment pass (centroids are n_centroids rows) plus
+    one posexplode/groupBy for the per-dim means (|corpus|·dim rows,
+    hash-aggregated); no corpus collect at any point. Probing reads
+    nprobe/n_centroids of the corpus per query.
+    """
+    corpq = corpus.select(
+        F.col(corpus_id), quantize_expr(corpus_vec, scale).alias("_qv")
+    )
+    corpq = corpq.localCheckpoint(eager=False)
+
+    w_init = Window.orderBy(corpus_id)
+    cents = (
+        corpq.orderBy(corpus_id)
+        .limit(n_centroids)
+        .select(
+            (F.row_number().over(w_init) - 1).alias("_cell"),
+            F.col("_qv").alias("_cvec"),
+        )
+    )
+
+    def dist_expr(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    def assign(cc: DataFrame) -> DataFrame:
+        d = corpq.crossJoin(F.broadcast(cc))
+        packed = dist_expr("_qv", "_cvec") * n_centroids + F.col("_cell")
+        return (
+            d.select(F.col(corpus_id), packed.alias("_p"))
+            .groupBy(corpus_id)
+            .agg(F.min("_p").alias("_mp"))
+            .select(F.col(corpus_id), (F.col("_mp") % n_centroids).alias("_cell"))
+        )
+
+    for _ in range(n_iter):
+        assigned = assign(cents)
+        pos = assigned.join(corpq, corpus_id).select(
+            "_cell", F.posexplode("_qv").alias("_k", "_val")
+        )
+        means = (
+            pos.groupBy("_cell", "_k")
+            .agg(F.sum("_val").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .select("_cell", "_k", F.expr("_s div _n").alias("_m"))
+        )
+        newc = (
+            means.groupBy("_cell")
+            .agg(F.array_sort(F.collect_list(F.struct("_k", "_m"))).alias("_ps"))
+            .select("_cell", F.expr("transform(_ps, x -> x._m)").alias("_nv"))
+        )
+        cents = (
+            cents.join(newc, "_cell", "left")
+            .select("_cell", F.coalesce("_nv", "_cvec").alias("_cvec"))
+            .localCheckpoint(eager=False)
+        )
+
+    final_assign = assign(cents)
+
+    qq = queries.select(F.col(query_id), quantize_expr(query_vec, scale).alias("_qv"))
+    probes = (
+        qq.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(query_id),
+            F.col("_cell"),
+            dist_expr("_qv", "_cvec").alias("_d"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(query_id).orderBy("_d", "_cell")
+            ),
+        )
+        .filter(F.col("_rn") <= nprobe)
+        .select(query_id, "_cell")
+    )
+    cand = probes.join(final_assign, "_cell").select(query_id, corpus_id)
+    sim = (
+        cand.join(F.broadcast(queries), query_id)
+        .join(corpus, corpus_id)
+        .withColumn("sim", cosine_similarity_expr(query_vec, corpus_vec))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "sim", "rank")
+    )

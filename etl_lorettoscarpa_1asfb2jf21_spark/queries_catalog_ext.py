@@ -2057,3 +2057,139 @@ def x4_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, sample_rate long, n_channels long, n_samples long, "
         "sum_abs long, max_amp long",
     )
+
+
+def _ivfq_oracle_sql(
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_iter: int = 3,
+    scale: int = 10**6,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of ivf_topk_quantized: the fixed-point Lloyd recurrence
+    unrolled one CTE layer per iteration (same construction as
+    gr1_pagerank's). All k-means arithmetic is int64 (squared-diff sums,
+    truncating integer means — the CASE reproduces Spark's toward-zero
+    `div` for negative sums), so centroids, assignments, and probes are
+    bit-identical; the final re-rank is the proven fold-exact double
+    cosine."""
+    nc = n_centroids
+    q8 = f"list_transform(vd, x -> CAST(round(x * {float(scale)!r}) AS BIGINT))"
+    sqdist = (
+        "list_sum(list_transform(range({d}), j -> "
+        "({a}[j + 1] - {b}[j + 1]) * ({a}[j + 1] - {b}[j + 1])))"
+    )
+    layers = [
+        f"""c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_id) - 1 AS BIGINT) AS cell,
+             qv AS cvec
+      FROM (SELECT c_id, qv FROM corpq ORDER BY c_id LIMIT {nc})
+    )"""
+    ]
+    for i in range(1, n_iter + 1):
+        d = sqdist.format(d=dim, a="q.qv", b="c.cvec")
+        layers.append(
+            f"""a{i} AS (
+      SELECT c_id, CAST(mp % {nc} AS BIGINT) AS cell FROM (
+        SELECT q.c_id, MIN({d} * {nc} + c.cell) AS mp
+        FROM corpq q CROSS JOIN c{i - 1} c GROUP BY q.c_id
+      )
+    ), m{i} AS (
+      SELECT a.cell, r.j,
+             CASE WHEN SUM(q.qv[r.j + 1]) >= 0
+                  THEN CAST(SUM(q.qv[r.j + 1]) // COUNT(*) AS BIGINT)
+                  ELSE -CAST((-SUM(q.qv[r.j + 1])) // COUNT(*) AS BIGINT)
+             END AS m
+      FROM a{i} a JOIN corpq q USING (c_id) CROSS JOIN range({dim}) AS r(j)
+      GROUP BY a.cell, r.j
+    ), c{i} AS (
+      SELECT p.cell, COALESCE(n.cvec, p.cvec) AS cvec
+      FROM c{i - 1} p LEFT JOIN (
+        SELECT cell, list(m ORDER BY j) AS cvec FROM m{i} GROUP BY cell
+      ) n USING (cell)
+    )"""
+        )
+    df = sqdist.format(d=dim, a="q.qv", b="c.cvec")
+    cos = (
+        "list_dot_product(qs.vd, corp.vd) / "
+        "(sqrt(list_dot_product(qs.vd, qs.vd)) * sqrt(list_dot_product(corp.vd, corp.vd)))"
+    )
+    return f"""
+    WITH corp AS (
+      SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings
+    ),
+    corpq AS (SELECT c_id, {q8} AS qv FROM corp),
+    {", ".join(layers)},
+    af AS (
+      SELECT c_id, CAST(mp % {nc} AS BIGINT) AS cell FROM (
+        SELECT q.c_id, MIN({df} * {nc} + c.cell) AS mp
+        FROM corpq q CROSS JOIN c{n_iter} c GROUP BY q.c_id
+      )
+    ),
+    qs AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS vd
+      FROM embeddings WHERE vec_id < 5
+    ),
+    qq AS (SELECT q_id, {q8} AS qv FROM qs),
+    probes AS (
+      SELECT q_id, cell FROM (
+        SELECT q.q_id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {sqdist.format(d=dim, a='q.qv', b='c.cvec')}, c.cell
+               ) AS rn
+        FROM qq q CROSS JOIN c{n_iter} c
+      ) WHERE rn <= {nprobe}
+    ),
+    cand AS (
+      SELECT p.q_id, af.c_id FROM probes p JOIN af USING (cell)
+    ),
+    approx AS (
+      SELECT q_id, c_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+      FROM (
+        SELECT cand.q_id, cand.c_id, {cos} AS sim
+        FROM cand JOIN qs ON cand.q_id = qs.q_id JOIN corp ON cand.c_id = corp.c_id
+      )
+    ),
+    exact AS (
+      SELECT q_id, c_id, rank AS exact_rank FROM (
+        SELECT qs.q_id, corp.c_id,
+               ROW_NUMBER() OVER (PARTITION BY qs.q_id ORDER BY {cos} DESC, corp.c_id)
+                 AS rank
+        FROM qs, corp
+      ) WHERE rank <= {k}
+    )
+    SELECT a.q_id, a.c_id, a.sim, CAST(a.rank AS BIGINT) AS rank,
+           CAST(e.exact_rank AS BIGINT) AS exact_rank
+    FROM approx a LEFT JOIN exact e ON a.q_id = e.q_id AND a.c_id = e.c_id
+    WHERE a.rank <= {k}
+    """
+
+
+@query("x2_topk_ivfq", _ivfq_oracle_sql())
+def x2_topk_ivfq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 scale path #4: IVF over a DISTRIBUTED fixed-point k-means coarse
+    quantizer — the oracle-checkable sibling of x2_topk_ivf. Quantizing
+    vectors to scaled int64 makes the full Lloyd recurrence exact integer
+    arithmetic, so index build + probing + re-rank all verify bit-exactly
+    against the unrolled-CTE DuckDB twin (operators/similarity.py:
+    ivf_topk_quantized) — iterative float k-means can never be
+    oracle-checked, quantized k-means can. x2_topk_ivf (driver-trained
+    float Lloyd on a bounded sample, Arrow assignment kernel) remains the
+    throughput path; this one demonstrates the index TRAINS distributed:
+    per iteration one broadcast-join assignment + one hash-aggregated
+    per-dim mean, no corpus collect anywhere.
+    """
+    from .operators.similarity import ivf_topk_quantized
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    approx = ivf_topk_quantized(
+        queries, corpus, k=10, n_centroids=16, nprobe=4, n_iter=3
+    ).withColumn("rank", F.col("rank").cast("long"))
+    return _with_exact_rank(approx, queries, corpus)
