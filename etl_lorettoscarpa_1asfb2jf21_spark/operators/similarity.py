@@ -656,6 +656,83 @@ def quantize_expr(vec_col, scale: int = 10**6):
     )
 
 
+def _int_sqdist_expr(a: str, b: str):
+    """Exact int64 squared distance between two scaled-integer arrays."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_kmeans_cells(
+    corpus: DataFrame,
+    corpus_id: str = "c_id",
+    corpus_vec: str = "c_vec",
+    n_centroids: int = 16,
+    n_iter: int = 3,
+    scale: int = 10**6,
+) -> tuple[DataFrame, DataFrame]:
+    """DISTRIBUTED fixed-point Lloyd: returns (centroids(_cell,_cvec),
+    assignment(corpus_id,_cell)) after ``n_iter`` exact-integer rounds.
+
+    Init = the n_centroids lowest-id vectors; argmin ties break toward the
+    lower cell via ``dist*n_centroids + cell`` packing; centroid update is
+    the truncating integer mean per dimension; empty cells keep their
+    previous centroid. Every step is int64 arithmetic, so the trained
+    index is bit-identical on any engine (see ivf_topk_quantized /
+    semantic_dedup_quantized for the oracle twins). Per iteration: one
+    broadcast-join assignment pass + one posexplode hash-aggregate — the
+    corpus is never collected.
+    """
+    corpq = corpus.select(
+        F.col(corpus_id), quantize_expr(corpus_vec, scale).alias("_qv")
+    ).localCheckpoint(eager=False)
+
+    w_init = Window.orderBy(corpus_id)
+    cents = (
+        corpq.orderBy(corpus_id)
+        .limit(n_centroids)
+        .select(
+            (F.row_number().over(w_init) - 1).alias("_cell"),
+            F.col("_qv").alias("_cvec"),
+        )
+    )
+
+    def assign(cc: DataFrame) -> DataFrame:
+        d = corpq.crossJoin(F.broadcast(cc))
+        packed = _int_sqdist_expr("_qv", "_cvec") * n_centroids + F.col("_cell")
+        return (
+            d.select(F.col(corpus_id), packed.alias("_p"))
+            .groupBy(corpus_id)
+            .agg(F.min("_p").alias("_mp"))
+            .select(F.col(corpus_id), (F.col("_mp") % n_centroids).alias("_cell"))
+        )
+
+    for _ in range(n_iter):
+        assigned = assign(cents)
+        pos = assigned.join(corpq, corpus_id).select(
+            "_cell", F.posexplode("_qv").alias("_k", "_val")
+        )
+        means = (
+            pos.groupBy("_cell", "_k")
+            .agg(F.sum("_val").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .select("_cell", "_k", F.expr("_s div _n").alias("_m"))
+        )
+        newc = (
+            means.groupBy("_cell")
+            .agg(F.array_sort(F.collect_list(F.struct("_k", "_m"))).alias("_ps"))
+            .select("_cell", F.expr("transform(_ps, x -> x._m)").alias("_nv"))
+        )
+        cents = (
+            cents.join(newc, "_cell", "left")
+            .select("_cell", F.coalesce("_nv", "_cvec").alias("_cvec"))
+            .localCheckpoint(eager=False)
+        )
+
+    return cents, assign(cents)
+
+
 def ivf_topk_quantized(
     queries: DataFrame,
     corpus: DataFrame,
@@ -689,60 +766,9 @@ def ivf_topk_quantized(
     hash-aggregated); no corpus collect at any point. Probing reads
     nprobe/n_centroids of the corpus per query.
     """
-    corpq = corpus.select(
-        F.col(corpus_id), quantize_expr(corpus_vec, scale).alias("_qv")
+    cents, final_assign = quantized_kmeans_cells(
+        corpus, corpus_id, corpus_vec, n_centroids, n_iter, scale
     )
-    corpq = corpq.localCheckpoint(eager=False)
-
-    w_init = Window.orderBy(corpus_id)
-    cents = (
-        corpq.orderBy(corpus_id)
-        .limit(n_centroids)
-        .select(
-            (F.row_number().over(w_init) - 1).alias("_cell"),
-            F.col("_qv").alias("_cvec"),
-        )
-    )
-
-    def dist_expr(a: str, b: str):
-        return F.aggregate(
-            F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
-    def assign(cc: DataFrame) -> DataFrame:
-        d = corpq.crossJoin(F.broadcast(cc))
-        packed = dist_expr("_qv", "_cvec") * n_centroids + F.col("_cell")
-        return (
-            d.select(F.col(corpus_id), packed.alias("_p"))
-            .groupBy(corpus_id)
-            .agg(F.min("_p").alias("_mp"))
-            .select(F.col(corpus_id), (F.col("_mp") % n_centroids).alias("_cell"))
-        )
-
-    for _ in range(n_iter):
-        assigned = assign(cents)
-        pos = assigned.join(corpq, corpus_id).select(
-            "_cell", F.posexplode("_qv").alias("_k", "_val")
-        )
-        means = (
-            pos.groupBy("_cell", "_k")
-            .agg(F.sum("_val").alias("_s"), F.count(F.lit(1)).alias("_n"))
-            .select("_cell", "_k", F.expr("_s div _n").alias("_m"))
-        )
-        newc = (
-            means.groupBy("_cell")
-            .agg(F.array_sort(F.collect_list(F.struct("_k", "_m"))).alias("_ps"))
-            .select("_cell", F.expr("transform(_ps, x -> x._m)").alias("_nv"))
-        )
-        cents = (
-            cents.join(newc, "_cell", "left")
-            .select("_cell", F.coalesce("_nv", "_cvec").alias("_cvec"))
-            .localCheckpoint(eager=False)
-        )
-
-    final_assign = assign(cents)
 
     qq = queries.select(F.col(query_id), quantize_expr(query_vec, scale).alias("_qv"))
     probes = (
@@ -750,7 +776,7 @@ def ivf_topk_quantized(
         .select(
             F.col(query_id),
             F.col("_cell"),
-            dist_expr("_qv", "_cvec").alias("_d"),
+            _int_sqdist_expr("_qv", "_cvec").alias("_d"),
         )
         .withColumn(
             "_rn",
@@ -772,4 +798,55 @@ def ivf_topk_quantized(
         sim.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "sim", "rank")
+    )
+
+
+def semantic_dedup_quantized(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    n_centroids: int = 16,
+    n_iter: int = 3,
+    scale: int = 10**6,
+) -> DataFrame:
+    """SemDeDup over the DISTRIBUTED fixed-point k-means cells — the
+    oracle-checkable sibling of semantic_dedup: cell assignment is the
+    exact integer Lloyd recurrence (quantized_kmeans_cells), and the
+    within-cell prune compares RAW vectors with the fold-exact double
+    cosine, so (cell, is_kept, pruned_by) verify bit-identically across
+    engines. Same keep-lowest-id policy and audit columns as
+    semantic_dedup; cross-cell duplicates are missed by design (the
+    SemDeDup bargain).
+
+    Scale: assignment as in quantized_kmeans_cells; the prune is one
+    hash self-join on the cell id with a min-aggregate — O(cell²) work
+    confined to bounded cells, linear candidate generation overall.
+    """
+    src = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    _, af = quantized_kmeans_cells(
+        src, "_id", "_v", n_centroids=n_centroids, n_iter=n_iter, scale=scale
+    )
+    cellv = src.join(af, "_id").select("_id", "_cell", "_v")
+    a = cellv.select(
+        F.col("_id").alias("_ia"), F.col("_cell").alias("_ca"), F.col("_v").alias("_va")
+    )
+    b = cellv.select(
+        F.col("_id").alias("_ib"), F.col("_cell").alias("_cb"), F.col("_v").alias("_vb")
+    )
+    dom = (
+        a.join(b, (F.col("_ca") == F.col("_cb")) & (F.col("_ia") < F.col("_ib")))
+        .withColumn("_sim", cosine_similarity_expr("_va", "_vb"))
+        .filter(F.col("_sim") >= threshold)
+        .groupBy("_ib")
+        .agg(F.min("_ia").alias("pruned_by"))
+    )
+    return (
+        cellv.join(dom, cellv["_id"] == dom["_ib"], "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_cell").cast("long").alias("cell"),
+            F.col("pruned_by").isNull().alias("is_kept"),
+            F.col("pruned_by").cast("long"),
+        )
     )

@@ -2059,21 +2059,20 @@ def x4_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfq_oracle_sql(
-    k: int = 10,
+def _qkmeans_sql_prefix(
     n_centroids: int = 16,
-    nprobe: int = 4,
     n_iter: int = 3,
     scale: int = 10**6,
     dim: int = 64,
 ) -> str:
-    """DuckDB twin of ivf_topk_quantized: the fixed-point Lloyd recurrence
-    unrolled one CTE layer per iteration (same construction as
-    gr1_pagerank's). All k-means arithmetic is int64 (squared-diff sums,
-    truncating integer means — the CASE reproduces Spark's toward-zero
-    `div` for negative sums), so centroids, assignments, and probes are
-    bit-identical; the final re-rank is the proven fold-exact double
-    cosine."""
+    """Shared WITH-prefix for the fixed-point-k-means oracles: corp/corpq
+    (double + scaled-int64 views of embeddings), one CTE layer per Lloyd
+    iteration (aggregates cannot sit in a recursive CTE\'s recursive term,
+    so a FIXED iteration count unrolls — same construction as
+    gr1_pagerank), and `af`, the final cell assignment. All arithmetic is
+    int64: squared-diff distances, packed argmin tie-breaks, truncating
+    integer means (the CASE reproduces Spark\'s toward-zero `div` for
+    negative sums)."""
     nc = n_centroids
     q8 = f"list_transform(vd, x -> CAST(round(x * {float(scale)!r}) AS BIGINT))"
     sqdist = (
@@ -2111,10 +2110,6 @@ def _ivfq_oracle_sql(
     )"""
         )
     df = sqdist.format(d=dim, a="q.qv", b="c.cvec")
-    cos = (
-        "list_dot_product(qs.vd, corp.vd) / "
-        "(sqrt(list_dot_product(qs.vd, qs.vd)) * sqrt(list_dot_product(corp.vd, corp.vd)))"
-    )
     return f"""
     WITH corp AS (
       SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings
@@ -2126,7 +2121,30 @@ def _ivfq_oracle_sql(
         SELECT q.c_id, MIN({df} * {nc} + c.cell) AS mp
         FROM corpq q CROSS JOIN c{n_iter} c GROUP BY q.c_id
       )
-    ),
+    )"""
+
+
+def _ivfq_oracle_sql(
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_iter: int = 3,
+    scale: int = 10**6,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of ivf_topk_quantized: the shared fixed-point-k-means
+    prefix (_qkmeans_sql_prefix) + quantized-query probing + the proven
+    fold-exact double-cosine re-rank."""
+    q8 = f"list_transform(vd, x -> CAST(round(x * {float(scale)!r}) AS BIGINT))"
+    sqdist = (
+        "list_sum(list_transform(range({d}), j -> "
+        "({a}[j + 1] - {b}[j + 1]) * ({a}[j + 1] - {b}[j + 1])))"
+    )
+    cos = (
+        "list_dot_product(qs.vd, corp.vd) / "
+        "(sqrt(list_dot_product(qs.vd, qs.vd)) * sqrt(list_dot_product(corp.vd, corp.vd)))"
+    )
+    return f"""{_qkmeans_sql_prefix(n_centroids, n_iter, scale, dim)},
     qs AS (
       SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS vd
       FROM embeddings WHERE vec_id < 5
@@ -2193,3 +2211,50 @@ def x2_topk_ivfq(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, corpus, k=10, n_centroids=16, nprobe=4, n_iter=3
     ).withColumn("rank", F.col("rank").cast("long"))
     return _with_exact_rank(approx, queries, corpus)
+
+
+def _semdedup_q_oracle_sql(
+    threshold: float = 0.3,
+    n_centroids: int = 16,
+    n_iter: int = 3,
+    scale: int = 10**6,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of semantic_dedup_quantized: the shared fixed-point
+    k-means prefix + within-cell fold-exact cosine prune + min-dominator
+    audit — every column bit-identical."""
+    cos = (
+        "list_dot_product(x.vd, y.vd) / "
+        "(sqrt(list_dot_product(x.vd, x.vd)) * sqrt(list_dot_product(y.vd, y.vd)))"
+    )
+    return f"""{_qkmeans_sql_prefix(n_centroids, n_iter, scale, dim)},
+    dom AS (
+      SELECT b.c_id AS id_b, MIN(a.c_id) AS pruned_by
+      FROM af a JOIN af b ON a.cell = b.cell AND a.c_id < b.c_id
+      JOIN corp x ON a.c_id = x.c_id
+      JOIN corp y ON b.c_id = y.c_id
+      WHERE {cos} >= {threshold}
+      GROUP BY b.c_id
+    )
+    SELECT af.c_id AS vec_id, af.cell,
+           (d.id_b IS NULL) AS is_kept,
+           CAST(d.pruned_by AS BIGINT) AS pruned_by
+    FROM af LEFT JOIN dom d ON af.c_id = d.id_b
+    """
+
+
+@query("x1_semantic_dedup_q", _semdedup_q_oracle_sql())
+def x1_semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 SemDeDup over the DISTRIBUTED fixed-point k-means cells — the
+    fully oracle-checked sibling of x1_semantic_dedup: quantized-integer
+    Lloyd makes the cell structure bit-reproducible in SQL, and the
+    within-cell prune is the fold-exact double cosine, so cell /
+    is_kept / pruned_by all hash-match the DuckDB twin
+    (operators/similarity.py: semantic_dedup_quantized). Threshold 0.3
+    for the same i.i.d.-embeddings reason as x1_semantic_dedup."""
+    from .operators.similarity import semantic_dedup_quantized
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_quantized(
+        e, "vec_id", "embedding", threshold=0.3, n_centroids=16, n_iter=3
+    )
