@@ -2243,7 +2243,7 @@ def _semdedup_q_oracle_sql(
     """
 
 
-@query("x1_semantic_dedup_q", _semdedup_q_oracle_sql())
+@query("x1_semantic_dedup_q", _semdedup_q_oracle_sql(n_centroids=32))
 def x1_semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 SemDeDup over the DISTRIBUTED fixed-point k-means cells — the
     fully oracle-checked sibling of x1_semantic_dedup: quantized-integer
@@ -2251,10 +2251,13 @@ def x1_semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-cell prune is the fold-exact double cosine, so cell /
     is_kept / pruned_by all hash-match the DuckDB twin
     (operators/similarity.py: semantic_dedup_quantized). Threshold 0.3
-    for the same i.i.d.-embeddings reason as x1_semantic_dedup."""
+    for the same i.i.d.-embeddings reason as x1_semantic_dedup;
+    n_centroids=32 (vs the float sibling's 16) keeps the within-cell
+    quadratic prune bounded — the knob SCALING.md's footnote says to
+    scale with the corpus."""
     from .operators.similarity import semantic_dedup_quantized
 
     e = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup_quantized(
-        e, "vec_id", "embedding", threshold=0.3, n_centroids=16, n_iter=3
+        e, "vec_id", "embedding", threshold=0.3, n_centroids=32, n_iter=3
     )
