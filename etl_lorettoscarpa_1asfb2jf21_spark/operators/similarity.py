@@ -850,3 +850,128 @@ def semantic_dedup_quantized(
             F.col("pruned_by").cast("long"),
         )
     )
+
+
+def pq_topk_quantized(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    n_iter: int = 3,
+    shortlist: int = 50,
+    scale: int = 10**6,
+    dim: int = 64,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    corpus_id: str = "c_id",
+    corpus_vec: str = "c_vec",
+) -> DataFrame:
+    """PQ/ADC top-k with DISTRIBUTED fixed-point per-subspace codebooks —
+    the oracle-checkable sibling of pq_topk. Each subspace's codebook is
+    the exact integer Lloyd recurrence (same construction as
+    quantized_kmeans_cells, keyed by subspace); encoding is the packed
+    integer argmin; the ADC distance is an exact int64 sum of per-subspace
+    code distances; the shortlist re-rank is the fold-exact double cosine
+    on the ORIGINAL vectors. Every stage reproduces bit-identically in SQL
+    (see _pqq_oracle_sql).
+
+    Scale: codebooks are n_subspaces·n_codes rows (broadcast); training
+    touches the corpus long-form (|corpus|·n_subspaces rows) per
+    iteration with one broadcast-join + one hash-aggregate; ADC scan is
+    one broadcast join of the per-query lookup table against the code
+    table — the corpus vectors themselves are only read again for the
+    shortlist re-rank.
+    """
+    sub_dim = dim // n_subspaces
+
+    def to_subs(df: DataFrame, id_c: str, vec_c: str) -> DataFrame:
+        q = quantize_expr(vec_c, scale)
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("_sub"),
+                    F.slice(q, s * sub_dim + 1, sub_dim).alias("_sv"),
+                )
+                for s in range(n_subspaces)
+            ]
+        )
+        return df.select(F.col(id_c), F.explode(entries).alias("_e")).select(
+            F.col(id_c), F.col("_e._sub").alias("_sub"), F.col("_e._sv").alias("_sv")
+        )
+
+    subs = to_subs(corpus, corpus_id, corpus_vec).localCheckpoint(eager=False)
+
+    w_init = Window.partitionBy("_sub").orderBy(corpus_id)
+    cents = (
+        subs.withColumn("_rn", F.row_number().over(w_init))
+        .filter(F.col("_rn") <= n_codes)
+        .select("_sub", (F.col("_rn") - 1).alias("_cell"), F.col("_sv").alias("_cv"))
+    )
+
+    def assign(cc: DataFrame) -> DataFrame:
+        d = subs.join(F.broadcast(cc), "_sub")
+        packed = _int_sqdist_expr("_sv", "_cv") * n_codes + F.col("_cell")
+        return (
+            d.select(F.col(corpus_id), "_sub", packed.alias("_p"))
+            .groupBy(corpus_id, "_sub")
+            .agg(F.min("_p").alias("_mp"))
+            .select(
+                F.col(corpus_id), "_sub", (F.col("_mp") % n_codes).alias("_cell")
+            )
+        )
+
+    for _ in range(n_iter):
+        assigned = assign(cents)
+        pos = assigned.join(subs, [corpus_id, "_sub"]).select(
+            "_sub", "_cell", F.posexplode("_sv").alias("_k", "_val")
+        )
+        means = (
+            pos.groupBy("_sub", "_cell", "_k")
+            .agg(F.sum("_val").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .select("_sub", "_cell", "_k", F.expr("_s div _n").alias("_m"))
+        )
+        newc = (
+            means.groupBy("_sub", "_cell")
+            .agg(F.array_sort(F.collect_list(F.struct("_k", "_m"))).alias("_ps"))
+            .select(
+                "_sub", "_cell", F.expr("transform(_ps, x -> x._m)").alias("_nv")
+            )
+        )
+        cents = (
+            cents.join(newc, ["_sub", "_cell"], "left")
+            .select("_sub", "_cell", F.coalesce("_nv", "_cv").alias("_cv"))
+            .localCheckpoint(eager=False)
+        )
+
+    codes = assign(cents)
+
+    qsubs = to_subs(queries, query_id, query_vec)
+    adc = qsubs.join(F.broadcast(cents), "_sub").select(
+        F.col(query_id),
+        "_sub",
+        "_cell",
+        _int_sqdist_expr("_sv", "_cv").alias("_d"),
+    )
+    approxd = (
+        codes.join(F.broadcast(adc), ["_sub", "_cell"])
+        .groupBy(query_id, corpus_id)
+        .agg(F.sum("_d").alias("_ad"))
+    )
+    w_short = Window.partitionBy(query_id).orderBy("_ad", corpus_id)
+    short = (
+        approxd.withColumn("_rn", F.row_number().over(w_short))
+        .filter(F.col("_rn") <= shortlist)
+        .select(query_id, corpus_id)
+    )
+    sim = (
+        short.join(F.broadcast(queries), query_id)
+        .join(corpus, corpus_id)
+        .withColumn("sim", cosine_similarity_expr(query_vec, corpus_vec))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "sim", "rank")
+    )

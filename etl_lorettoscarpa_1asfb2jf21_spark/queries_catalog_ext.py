@@ -2261,3 +2261,151 @@ def x1_semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_quantized(
         e, "vec_id", "embedding", threshold=0.3, n_centroids=32, n_iter=3
     )
+
+
+def _pqq_oracle_sql(
+    k: int = 10,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    n_iter: int = 3,
+    shortlist: int = 50,
+    scale: int = 10**6,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of pq_topk_quantized: per-subspace fixed-point Lloyd
+    unrolled one CTE layer per iteration (subspace rides as an extra group
+    key through the same construction as _qkmeans_sql_prefix), integer
+    argmin encoding, exact int64 ADC sums, fold-exact cosine re-rank."""
+    sd = dim // n_subspaces
+    nc = n_codes
+    q8 = f"list_transform(vd, x -> CAST(round(x * {float(scale)!r}) AS BIGINT))"
+    d8 = (
+        f"list_sum(list_transform(range({sd}), j -> "
+        "({a}[j + 1] - {b}[j + 1]) * ({a}[j + 1] - {b}[j + 1])))"
+    )
+    layers = [
+        f"""p0 AS (
+      SELECT sub, CAST(ROW_NUMBER() OVER (PARTITION BY sub ORDER BY c_id) - 1
+               AS BIGINT) AS cell, sv AS cv
+      FROM subs
+      WHERE c_id IN (SELECT c_id FROM corpq ORDER BY c_id LIMIT {nc})
+    )"""
+    ]
+    for i in range(1, n_iter + 1):
+        d = d8.format(a="s.sv", b="c.cv")
+        layers.append(
+            f"""pa{i} AS (
+      SELECT c_id, sub, CAST(mp % {nc} AS BIGINT) AS cell FROM (
+        SELECT s.c_id, s.sub, MIN({d} * {nc} + c.cell) AS mp
+        FROM subs s JOIN p{i - 1} c ON s.sub = c.sub GROUP BY s.c_id, s.sub
+      )
+    ), pm{i} AS (
+      SELECT a.sub, a.cell, r.j,
+             CASE WHEN SUM(s.sv[r.j + 1]) >= 0
+                  THEN CAST(SUM(s.sv[r.j + 1]) // COUNT(*) AS BIGINT)
+                  ELSE -CAST((-SUM(s.sv[r.j + 1])) // COUNT(*) AS BIGINT)
+             END AS m
+      FROM pa{i} a JOIN subs s ON a.c_id = s.c_id AND a.sub = s.sub
+      CROSS JOIN range({sd}) AS r(j)
+      GROUP BY a.sub, a.cell, r.j
+    ), p{i} AS (
+      SELECT p.sub, p.cell, COALESCE(n.cv, p.cv) AS cv
+      FROM p{i - 1} p LEFT JOIN (
+        SELECT sub, cell, list(m ORDER BY j) AS cv FROM pm{i} GROUP BY sub, cell
+      ) n ON p.sub = n.sub AND p.cell = n.cell
+    )"""
+        )
+    df = d8.format(a="s.sv", b="c.cv")
+    dq = d8.format(a="q.sv", b="c.cv")
+    cos = (
+        "list_dot_product(qs.vd, corp.vd) / "
+        "(sqrt(list_dot_product(qs.vd, qs.vd)) * sqrt(list_dot_product(corp.vd, corp.vd)))"
+    )
+    return f"""
+    WITH corp AS (
+      SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings
+    ),
+    corpq AS (SELECT c_id, {q8} AS qv FROM corp),
+    subs AS (
+      SELECT c_id, r.sub,
+             list_transform(range({sd}), j -> qv[r.sub * {sd} + j + 1]) AS sv
+      FROM corpq CROSS JOIN range({n_subspaces}) AS r(sub)
+    ),
+    {", ".join(layers)},
+    codes AS (
+      SELECT c_id, sub, CAST(mp % {nc} AS BIGINT) AS cell FROM (
+        SELECT s.c_id, s.sub, MIN({df} * {nc} + c.cell) AS mp
+        FROM subs s JOIN p{n_iter} c ON s.sub = c.sub GROUP BY s.c_id, s.sub
+      )
+    ),
+    qs AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS vd
+      FROM embeddings WHERE vec_id < 5
+    ),
+    qq AS (SELECT q_id, {q8} AS qv FROM qs),
+    qsubs AS (
+      SELECT q_id, r.sub,
+             list_transform(range({sd}), j -> qv[r.sub * {sd} + j + 1]) AS sv
+      FROM qq CROSS JOIN range({n_subspaces}) AS r(sub)
+    ),
+    adc AS (
+      SELECT q.q_id, c.sub, c.cell, {dq} AS d
+      FROM qsubs q JOIN p{n_iter} c ON q.sub = c.sub
+    ),
+    approxd AS (
+      SELECT a.q_id, f.c_id, SUM(a.d) AS ad
+      FROM codes f JOIN adc a ON f.sub = a.sub AND f.cell = a.cell
+      GROUP BY a.q_id, f.c_id
+    ),
+    short AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ad, c_id) AS rn
+        FROM approxd
+      ) WHERE rn <= {shortlist}
+    ),
+    approx AS (
+      SELECT q_id, c_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+      FROM (
+        SELECT short.q_id, short.c_id, {cos} AS sim
+        FROM short JOIN qs ON short.q_id = qs.q_id JOIN corp ON short.c_id = corp.c_id
+      )
+    ),
+    exact AS (
+      SELECT q_id, c_id, rank AS exact_rank FROM (
+        SELECT qs.q_id, corp.c_id,
+               ROW_NUMBER() OVER (PARTITION BY qs.q_id ORDER BY {cos} DESC, corp.c_id)
+                 AS rank
+        FROM qs, corp
+      ) WHERE rank <= {k}
+    )
+    SELECT a.q_id, a.c_id, a.sim, CAST(a.rank AS BIGINT) AS rank,
+           CAST(e.exact_rank AS BIGINT) AS exact_rank
+    FROM approx a LEFT JOIN exact e ON a.q_id = e.q_id AND a.c_id = e.c_id
+    WHERE a.rank <= {k}
+    """
+
+
+@query("x2_topk_pqq", _pqq_oracle_sql())
+def x2_topk_pqq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 scale path #5: PQ/ADC over DISTRIBUTED fixed-point per-subspace
+    codebooks — the oracle-checkable sibling of x2_topk_pq. Quantized
+    integer Lloyd per subspace makes codebooks, codes, and ADC distances
+    bit-reproducible in SQL (operators/similarity.py: pq_topk_quantized);
+    the shortlist re-rank is the proven fold-exact double cosine. With
+    x2_topk_ivfq and x1_semantic_dedup_q, every approximate family (LSH,
+    IVF, PQ, SemDeDup) now has a fully hash-verified member; only the
+    float-centroid production forms remain rows-only.
+    """
+    from .operators.similarity import pq_topk_quantized
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    approx = pq_topk_quantized(
+        queries, corpus, k=10, n_subspaces=8, n_codes=16, n_iter=3, shortlist=50
+    ).withColumn("rank", F.col("rank").cast("long"))
+    return _with_exact_rank(approx, queries, corpus)

@@ -689,3 +689,31 @@ def test_ivf_quantized_recall_and_determinism(spark, sf_small):
     exact = {(r.q_id, r.c_id) for r in brute_force_topk(q, c, k=10).collect()}
     hits = {(a, b) for a, b, _ in run1} & exact
     assert len(hits) / len(exact) >= 0.5
+
+
+def test_pq_quantized_recall_and_determinism(spark, sf_small):
+    """Fixed-point PQ: recall floor through the ADC shortlist + re-rank,
+    and run-to-run determinism (the integer-recurrence guarantee)."""
+    from pyspark.sql import functions as F
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk_quantized,
+    )
+    from etl_lorettoscarpa_1asfb2jf21_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_small, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    run1 = {
+        (r.q_id, r.c_id, r.rank) for r in pq_topk_quantized(q, c, k=10).collect()
+    }
+    run2 = {
+        (r.q_id, r.c_id, r.rank) for r in pq_topk_quantized(q, c, k=10).collect()
+    }
+    assert run1 == run2
+    exact = {(r.q_id, r.c_id) for r in brute_force_topk(q, c, k=10).collect()}
+    hits = {(a, b) for a, b, _ in run1} & exact
+    assert len(hits) / len(exact) >= 0.5
