@@ -1413,3 +1413,76 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )
+
+
+# =====================================================================
+# tp10 — train/val/test split with a near-dup LEAKAGE audit
+# =====================================================================
+
+_SPLIT_SALT = "split1:"
+# exact 65536ths: ~98% train, ~1% val, ~1% test
+_SPLIT_TRAIN, _SPLIT_VAL = 64225, 64880
+
+_SPLIT_SQL = f"""
+      CASE WHEN ('0x' || substr(md5('{_SPLIT_SALT}' || CAST({{id}} AS VARCHAR)), 1, 4))::INT < {_SPLIT_TRAIN} THEN 'train'
+           WHEN ('0x' || substr(md5('{_SPLIT_SALT}' || CAST({{id}} AS VARCHAR)), 1, 4))::INT < {_SPLIT_VAL} THEN 'val'
+           ELSE 'test' END
+"""
+
+
+@query(
+    "tp10_split_leakage",
+    _PAIRS_SQL
+    + f"""
+    , sp AS (
+      SELECT doc_id, {_SPLIT_SQL.format(id='doc_id')} AS split FROM documents
+    )
+    SELECT a.split AS split_a, b.split AS split_b,
+           (a.split <> b.split) AS is_leaky,
+           COUNT(*) AS n_pairs
+    FROM pairs p JOIN sp a ON p.id_a = a.doc_id JOIN sp b ON p.id_b = b.doc_id
+    GROUP BY 1, 2, 3
+    """,
+)
+def tp10_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tp10: deterministic train/val/test assignment (hash split in exact
+    65536ths — reproducible across engines/partitionings/retries, the tp8
+    trick) + the LEAKAGE audit a corpus split must ship with: counts of
+    near-duplicate pairs (the x1_ngram_jaccard pair set) that STRADDLE
+    split boundaries. Cross-split near-dups are evaluation contamination
+    (the within-corpus form of tp7's benchmark decontamination); the audit
+    makes the leak measurable so the split can be re-keyed by cluster id
+    (assign whole x1_dup_clusters components to one split) when it matters.
+
+    Scale: the split is one map-only hash expression; the audit rides the
+    existing candidate-pair pipeline (cost-based prefix/all-pairs) plus a
+    6-row aggregation — nothing new shuffles at scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(_SPLIT_SALT), F.col("doc_id").cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("int")
+    sp = d.select(
+        "doc_id",
+        F.when(h < _SPLIT_TRAIN, "train")
+        .when(h < _SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", "source", n=3, threshold=0.2)
+    a = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    b = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .groupBy(
+            "split_a",
+            "split_b",
+            (F.col("split_a") != F.col("split_b")).alias("is_leaky"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
