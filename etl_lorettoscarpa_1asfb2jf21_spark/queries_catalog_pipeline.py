@@ -1486,3 +1486,57 @@ def tp10_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# =====================================================================
+# st4 — horizon-scoped dedup (the batch twin of streaming retry
+# suppression: dropDuplicatesWithinWatermark semantics on bounded data)
+# =====================================================================
+
+
+@query(
+    "st4_horizon_dedup",
+    """
+    WITH seq AS (
+      SELECT event_id, user_id, event_type, ts,
+             LAG(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    )
+    SELECT event_id, user_id, event_type,
+           CAST(strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS VARCHAR) AS ts_s
+    FROM seq
+    WHERE prev_ts IS NULL OR date_diff('microsecond', prev_ts, ts) > 3600000000
+    """,
+)
+def st4_horizon_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st4: keep an event only if the SAME (user, type) key last fired more
+    than one hour earlier — the bounded-data twin of
+    ``dropDuplicatesWithinWatermark`` retry suppression
+    (streaming/dedup.py): duplicates arriving inside the horizon are
+    dropped, a recurrence after the horizon is a NEW event (which plain
+    dropDuplicates would wrongly swallow). Deterministic (ts, event_id)
+    ordering; integer-microsecond gap compare so both engines make the
+    identical keep/drop call.
+
+    Scale: one hash-partitioned window by key — the same per-key state
+    locality the streaming form keeps bounded with its watermark.
+    """
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    return (
+        e.withColumn("_prev", prev_us)
+        .filter(
+            F.col("_prev").isNull()
+            | (F.unix_micros("ts") - F.col("_prev") > 3_600_000_000)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        )
+    )
