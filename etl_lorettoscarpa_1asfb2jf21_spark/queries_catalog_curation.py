@@ -328,13 +328,20 @@ def x1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuously; ``n_sample_dominated`` sizes that ground truth.
     Precision is 1.0 by construction (every prune is exact-cosine
     verified within its cell).
+
+    n_centroids is DERIVED from the corpus (max(16, ceil(sqrt(n))), same
+    rule as the oracle-checked x1_semantic_dedup_q) — a pinned count makes
+    the within-cell prune quadratic in the corpus (SCALING.md measured
+    142× over 10× data with the old pinned-16 config).
     """
     from .functions.vectors import cosine_similarity_expr
     from .operators.similarity import semantic_dedup
+    from .queries_catalog_ext import _semdedup_n_centroids
 
     e = load_table(spark, sf_dir, "embeddings")
+    nc = _semdedup_n_centroids(e.count())
     res = semantic_dedup(
-        e, "vec_id", "embedding", threshold=0.3, n_centroids=16
+        e, "vec_id", "embedding", threshold=0.3, n_centroids=nc
     ).localCheckpoint(eager=False)  # reused by output AND recall branch
 
     s = e.filter(F.col("vec_id") < 200)

@@ -2067,11 +2067,28 @@ def x4_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Data-derived centroid count for SemDeDup: max(16, ceil(sqrt(n))).
+# sqrt is correctly-rounded IEEE double in both libm (DuckDB) and Python's
+# math.sqrt, and ceil of a double is exact, so the two derivations agree
+# bit-for-bit for any corpus size.
+_SEMDEDUP_NC_SQL = (
+    "GREATEST(16, CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))"
+)
+
+
+def _semdedup_n_centroids(n: int) -> int:
+    """Python twin of _SEMDEDUP_NC_SQL (same IEEE sqrt + ceil)."""
+    import math
+
+    return max(16, math.ceil(math.sqrt(float(n))))
+
+
 def _qkmeans_sql_prefix(
     n_centroids: int = 16,
     n_iter: int = 3,
     scale: int = 10**6,
     dim: int = 64,
+    nc_sql: str | None = None,
 ) -> str:
     """Shared WITH-prefix for the fixed-point-k-means oracles: corp/corpq
     (double + scaled-int64 views of embeddings), one CTE layer per Lloyd
@@ -2080,18 +2097,37 @@ def _qkmeans_sql_prefix(
     gr1_pagerank), and `af`, the final cell assignment. All arithmetic is
     int64: squared-diff distances, packed argmin tie-breaks, truncating
     integer means (the CASE reproduces Spark\'s toward-zero `div` for
-    negative sums)."""
-    nc = n_centroids
+    negative sums).
+
+    ``nc_sql``: optional SQL expression for a DATA-DERIVED centroid count
+    (e.g. ``GREATEST(16, CAST(ceil(sqrt(COUNT(*))) AS BIGINT))`` over the
+    corpus) — emitted as a one-row ``params`` CTE and referenced via a
+    scalar subquery wherever the static path inlines the literal; the
+    Spark side derives the identical value from the same count, so the
+    twin stays bit-exact while the centroid count scales with the corpus
+    (the SemDeDup quadratic-prune fix)."""
+    if nc_sql is None:
+        nc = str(n_centroids)
+        params = ""
+    else:
+        nc = "(SELECT nc FROM params)"
+        params = f"params AS (SELECT {nc_sql} AS nc FROM embeddings),\n    "
     q8 = f"list_transform(vd, x -> CAST(round(x * {float(scale)!r}) AS BIGINT))"
     sqdist = (
         "list_sum(list_transform(range({d}), j -> "
         "({a}[j + 1] - {b}[j + 1]) * ({a}[j + 1] - {b}[j + 1])))"
     )
     layers = [
+        # init = smallest-md5(id) rows: the engine's deterministic
+        # uniform corpus-wide draw (operators/similarity.py:
+        # quantized_kmeans_cells), mirrored bit-exactly
         f"""c0 AS (
-      SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_id) - 1 AS BIGINT) AS cell,
-             qv AS cvec
-      FROM (SELECT c_id, qv FROM corpq ORDER BY c_id LIMIT {nc})
+      SELECT CAST(rn - 1 AS BIGINT) AS cell, qv AS cvec
+      FROM (SELECT qv,
+                   ROW_NUMBER() OVER (
+                     ORDER BY md5(CAST(c_id AS VARCHAR)), c_id) AS rn
+            FROM corpq)
+      WHERE rn <= {nc}
     )"""
     ]
     for i in range(1, n_iter + 1):
@@ -2119,7 +2155,7 @@ def _qkmeans_sql_prefix(
         )
     df = sqdist.format(d=dim, a="q.qv", b="c.cvec")
     return f"""
-    WITH corp AS (
+    WITH {params}corp AS (
       SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings
     ),
     corpq AS (SELECT c_id, {q8} AS qv FROM corp),
@@ -2230,12 +2266,15 @@ def _semdedup_q_oracle_sql(
 ) -> str:
     """DuckDB twin of semantic_dedup_quantized: the shared fixed-point
     k-means prefix + within-cell fold-exact cosine prune + min-dominator
-    audit — every column bit-identical."""
+    audit — every column bit-identical. The centroid count is DATA-DERIVED
+    (``_SEMDEDUP_NC_SQL`` ~ sqrt(corpus)), mirroring the Spark side's
+    identical integer derivation, so the twin scales with the corpus
+    instead of pinning the within-cell quadratic."""
     cos = (
         "list_dot_product(x.vd, y.vd) / "
         "(sqrt(list_dot_product(x.vd, x.vd)) * sqrt(list_dot_product(y.vd, y.vd)))"
     )
-    return f"""{_qkmeans_sql_prefix(n_centroids, n_iter, scale, dim)},
+    return f"""{_qkmeans_sql_prefix(n_centroids, n_iter, scale, dim, nc_sql=_SEMDEDUP_NC_SQL)},
     dom AS (
       SELECT b.c_id AS id_b, MIN(a.c_id) AS pruned_by
       FROM af a JOIN af b ON a.cell = b.cell AND a.c_id < b.c_id
@@ -2251,7 +2290,7 @@ def _semdedup_q_oracle_sql(
     """
 
 
-@query("x1_semantic_dedup_q", _semdedup_q_oracle_sql(n_centroids=32))
+@query("x1_semantic_dedup_q", _semdedup_q_oracle_sql())
 def x1_semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 SemDeDup over the DISTRIBUTED fixed-point k-means cells — the
     fully oracle-checked sibling of x1_semantic_dedup: quantized-integer
@@ -2259,15 +2298,21 @@ def x1_semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-cell prune is the fold-exact double cosine, so cell /
     is_kept / pruned_by all hash-match the DuckDB twin
     (operators/similarity.py: semantic_dedup_quantized). Threshold 0.3
-    for the same i.i.d.-embeddings reason as x1_semantic_dedup;
-    n_centroids=32 (vs the float sibling's 16) keeps the within-cell
-    quadratic prune bounded — the knob SCALING.md's footnote says to
-    scale with the corpus."""
+    for the same i.i.d.-embeddings reason as x1_semantic_dedup.
+
+    n_centroids is DERIVED from the corpus (max(16, ceil(sqrt(n))) — the
+    balance point where assignment cost n·nc and within-cell prune cost
+    n²/nc meet at n^1.5), not pinned: the pinned-16/32 configuration was
+    SCALING.md's measured 142×-over-10×-data quadratic. The oracle twin
+    computes the identical count from COUNT(*) in SQL, so hash parity
+    holds at every sf without per-sf SQL.
+    """
     from .operators.similarity import semantic_dedup_quantized
 
     e = load_table(spark, sf_dir, "embeddings")
+    nc = _semdedup_n_centroids(e.count())
     return semantic_dedup_quantized(
-        e, "vec_id", "embedding", threshold=0.3, n_centroids=32, n_iter=3
+        e, "vec_id", "embedding", threshold=0.3, n_centroids=nc, n_iter=3
     )
 
 

@@ -717,3 +717,30 @@ def test_pq_quantized_recall_and_determinism(spark, sf_small):
     exact = {(r.q_id, r.c_id) for r in brute_force_topk(q, c, k=10).collect()}
     hits = {(a, b) for a, b, _ in run1} & exact
     assert len(hits) / len(exact) >= 0.5
+
+
+def test_centroid_training_sample_covers_sorted_by_domain_frame(spark):
+    """train_unit_centroids must draw its bounded sample corpus-wide, not
+    from the first rows scanned: on a frame laid out by domain (all of
+    cluster A before all of cluster B, far more rows than the sample
+    budget), the trained centroids must cover BOTH clusters. The old
+    `.limit()` fetch read only the head — every sampled row came from
+    cluster A and both centroids landed positive."""
+    import random
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.similarity import (
+        train_unit_centroids,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [1.0 + rng.gauss(0, 0.05) for _ in range(4)]) for i in range(500)]
+    rows += [
+        (500 + i, [-1.0 + rng.gauss(0, 0.05) for _ in range(4)]) for i in range(500)
+    ]
+    # one ordered partition = the worst-case "first files scanned" layout
+    corpus = spark.createDataFrame(rows, ["c_id", "c_vec"]).coalesce(1)
+    cents = train_unit_centroids(corpus, "c_vec", n_centroids=2, sample_per_cell=50)
+    # budget = 100 of 1000 rows; the md5-ordered draw mixes clusters, so
+    # exactly one unit centroid must sit in the negative orthant
+    signs = {c[0] > 0 for _, c in cents}
+    assert signs == {True, False}
