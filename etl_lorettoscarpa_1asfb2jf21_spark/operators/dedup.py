@@ -420,7 +420,7 @@ def ngram_jaccard_pairs(
       larger blocks take the prefix index. The stats pass is a lightweight
       count-by-block over the doc table — negligible next to either plan.
 
-    * ``prefix`` (default, the scale path): prefix filtering (Bayardo et
+    * ``prefix`` (the scale path): prefix filtering (Bayardo et
       al. 2007, "Scaling Up All Pairs Similarity Search"). Under any fixed
       global token order, J(A,B) >= t implies |A∩B| >= ceil(t·|A|); if the
       smallest common gram were outside A's first |A| - ceil(t·|A|) + 1
@@ -448,6 +448,11 @@ def ngram_jaccard_pairs(
         _hashed_ngrams_from_norm(n).alias("_g"),
     )
     g = g.withColumn("_sz", F.size("_g").cast("double"))
+    # The gram pipeline (normalize regex + n-gram + hash) feeds up to five
+    # consumers (auto stats, both index sides, both verify sides); a lazy
+    # localCheckpoint computes it once and truncates the lineage instead
+    # of re-running the string pipeline per branch.
+    g = g.localCheckpoint(eager=False)
 
     if strategy == "auto":
         row = g.groupBy("_blk").count().agg(F.max("count").alias("m")).collect()

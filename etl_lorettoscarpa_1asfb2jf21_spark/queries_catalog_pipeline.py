@@ -1539,8 +1539,9 @@ def tp10_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# st4 — horizon-scoped dedup (the batch twin of streaming retry
-# suppression: dropDuplicatesWithinWatermark semantics on bounded data)
+# st4 — horizon-scoped dedup (sliding-gap retry suppression on bounded
+# data; see the docstring for how this differs from
+# dropDuplicatesWithinWatermark's emit-anchored horizon)
 # =====================================================================
 
 
@@ -1560,14 +1561,20 @@ def tp10_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def st4_horizon_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """st4: keep an event only if the SAME (user, type) key last fired more
-    than one hour earlier — the bounded-data twin of
-    ``dropDuplicatesWithinWatermark`` retry suppression
-    (streaming/dedup.py): duplicates arriving inside the horizon are
-    dropped, a recurrence after the horizon is a NEW event (which plain
-    dropDuplicates would wrongly swallow). Deterministic (ts, event_id)
-    ordering; integer-microsecond gap compare so both engines make the
-    identical keep/drop call.
+    """st4: keep an event only if the SAME (user, type) key last fired
+    more than one hour earlier — SLIDING-GAP suppression: the horizon
+    restarts at every arrival, so a chain of retries each spaced under an
+    hour apart is suppressed for as long as the chain continues
+    (session-gap semantics, the shape ops teams usually want for retry
+    storms). This is deliberately NOT ``dropDuplicatesWithinWatermark``
+    (streaming/dedup.py), whose horizon is anchored at the last EMITTED
+    event — under that contract a continuous retry chain re-emits once
+    per horizon; anchoring at the last emit is inherently sequential per
+    key (each keep decision depends on the previous keep), i.e. an
+    st2-style session accumulation, not a lag window. Unlike plain
+    dropDuplicates, a recurrence after a quiet hour IS a new event here.
+    Deterministic (ts, event_id) ordering; integer-microsecond gap
+    compare so both engines make the identical keep/drop call.
 
     Scale: one hash-partitioned window by key — the same per-key state
     locality the streaming form keeps bounded with its watermark.

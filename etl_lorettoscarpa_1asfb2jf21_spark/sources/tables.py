@@ -31,13 +31,20 @@ TPCH_TABLES = [
 # ~100-200 ms of driver-side file listing + footer/schema decode before any
 # job runs; a 150-query catalog re-reading ~10 immutable tables pays that
 # ~225× per bench run (~30 s of pure plan-time overhead). DataFrames are
-# immutable logical plans, so reusing one across queries is safe; keying by
-# applicationId drops entries from stopped sessions automatically.
+# immutable logical plans, so reusing one across queries is safe. Spark
+# allows exactly one active SparkContext per process, so any cached entry
+# whose applicationId differs from the calling session's is a stopped
+# session's — load_table evicts those on sight (a long-lived process that
+# cycles sessions, e.g. a pytest run, would otherwise accumulate dead
+# DataFrame plans and their JVM references without bound).
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _TABLE_CACHE if k[0] != app]:
+        del _TABLE_CACHE[k]
+    key = (app, os.path.abspath(sf_dir), name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
