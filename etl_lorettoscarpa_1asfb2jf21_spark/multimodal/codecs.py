@@ -1,15 +1,22 @@
 """Real (dependency-free) media codecs for the X4 multimodal path.
 
-Two uncompressed formats are genuinely decodable without any media
-library, so the engine ships REAL parsers for them:
+Four formats are genuinely decodable without any media library, so the
+engine ships REAL parsers for them:
 
 * BMP (24-bit uncompressed, BITMAPINFOHEADER): hand-parsed with ``struct``
   — little-endian headers, BGR byte order, 4-byte row padding, bottom-up
   row storage all handled (and unit-tested with asymmetric images).
 * WAV (PCM16): stdlib ``wave`` + numpy ``frombuffer``.
+* PNG (8-bit RGB/RGBA): chunk CRC walk, zlib inflate, all five scanline
+  filters reconstructed.
+* JPEG (baseline sequential grayscale, ITU-T T.81): canonical-Huffman
+  entropy decode with byte unstuffing, DC prediction + EXTEND, zigzag,
+  dequantization, full 2-D IDCT — see the JPEG section below for the
+  flat-block construction that makes it exactly oracle-checkable.
 
-Compressed formats (PNG/JPEG/MP3/…) still raise NotImplementedError in
-decode.py — those need Pillow/libav, which this container does not ship.
+Formats outside these profiles (progressive/subsampled JPEG, MP3, video
+containers, …) raise in decode.py — those need Pillow/libav, which this
+container does not ship.
 
 The deterministic generators (``make_bmp``/``make_wav``) synthesize valid
 files whose pixel/sample values follow pure integer formulas, which makes
@@ -280,3 +287,356 @@ def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         img[y] = cur.astype(np.uint8)
         prev = cur
     return width, height, channels, img.reshape(height, width, channels)
+
+
+# ----------------------------------------------------------------- JPEG
+#
+# Baseline sequential grayscale JPEG (ITU-T T.81): a REAL dependency-free
+# codec — canonical Huffman entropy coding with 0xFF byte stuffing,
+# DQT/SOF0/DHT/SOS marker parsing, DC prediction + magnitude ("extend")
+# decoding, zigzag, dequantization, and a full orthonormal 2-D IDCT.
+# The generator (make_jpeg) emits images whose 8x8 blocks are each FLAT:
+# a flat block has only a DC coefficient, DC quant step 8 makes
+# round(8*(v-128)/8) = v-128 exact, and the IDCT of a DC-only block is
+# flat at F(0,0)/8 — so the lossy pipeline is exactly invertible for
+# these payloads and the decoded pixels are closed-form oracle-checkable
+# (query x4_jpeg_decode). The AC/run-length/Huffman machinery is fully
+# general and exercised by a textured lossy round-trip unit test
+# (tests/test_multimodal.py).
+
+
+def _jpeg_zigzag() -> list[tuple[int, int]]:
+    """The standard (row, col) zigzag visiting order, generated (not
+    transcribed): odd diagonals walk row-increasing, even ones reversed."""
+    pairs: list[tuple[int, int]] = []
+    for d in range(15):
+        rows = list(range(max(0, d - 7), min(d, 7) + 1))
+        for r in rows if d % 2 == 1 else reversed(rows):
+            pairs.append((r, d - r))
+    return pairs
+
+
+_JPEG_ZZ = _jpeg_zigzag()
+
+# Quant table (zigzag order): DC step 8 (exact for flat blocks), AC 16.
+_JPEG_QTABLE = np.array([8] + [16] * 63, dtype=np.int32)
+
+# Canonical Huffman specs as (bits-per-length list, symbol list). All
+# codes in one length class keeps the tables compact and trivially
+# canonical; the decoder implements general T.81 canonical decoding, so
+# it would read any conformant DHT (e.g. the Annex K tables) unchanged.
+_JPEG_DC_SYMS = list(range(12))  # DC size categories 0..11
+_JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12  # all length 4 (max code 1011)
+_JPEG_AC_SYMS = sorted({0x00, 0xF0} | {(r << 4) | s for r in range(16) for s in range(1, 11)})
+_JPEG_AC_BITS = [0] * 7 + [len(_JPEG_AC_SYMS)] + [0] * 8  # all length 8
+
+
+def _canonical_codes(bits: list[int], syms: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the T.81 canonical construction."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[syms[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_matrix() -> np.ndarray:
+    import math
+
+    A = np.zeros((8, 8))
+    for k in range(8):
+        s = math.sqrt(1 / 8) if k == 0 else math.sqrt(2 / 8)
+        for n in range(8):
+            A[k, n] = s * math.cos((2 * n + 1) * k * math.pi / 16)
+    return A
+
+
+_JPEG_A = _dct_matrix()
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.out.append(self._acc)
+                if self._acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self._acc = 0
+                self._n = 0
+
+    def flush(self) -> None:  # pad with 1-bits per T.81
+        if self._n:
+            self.write((1 << (8 - self._n)) - 1, 8 - self._n)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size category, appended bits) for a DC diff / AC coefficient."""
+    s = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def jpeg_blocks(doc_id: int) -> tuple[int, int]:
+    return 1 + doc_id % 4, 1 + doc_id % 3  # blocks wide in [1,4], high [1,3]
+
+
+def jpeg_block_value(doc_id: int, b: int) -> int:
+    """Flat gray value of block index b — mirrored in the SQL oracle."""
+    return (doc_id * 13 + b * 29) % 256
+
+
+def _qtable_raster(qtable: np.ndarray) -> np.ndarray:
+    """Zigzag-order quant table (as stored in DQT) -> 8x8 raster order."""
+    q = np.zeros((8, 8), dtype=np.float64)
+    for i, (r, c) in enumerate(_JPEG_ZZ):
+        q[r, c] = qtable[i]
+    return q
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def encode_jpeg_gray(img: np.ndarray, qtable: np.ndarray = _JPEG_QTABLE) -> bytes:
+    """Baseline sequential grayscale JPEG encoder. ``img`` is HxW uint8
+    with dims multiples of 8 (the generator's contract; a general front
+    end would edge-pad). Full T.81 pipeline: level shift, FDCT
+    (orthonormal matrix form — same normalization as the spec's
+    (1/4)C(u)C(v) double sum), quantize, zigzag, DC differential +
+    AC run-length (ZRL/EOB), canonical Huffman, 0xFF byte stuffing."""
+    h, w = img.shape
+    if h % 8 or w % 8:
+        raise ValueError("encode_jpeg_gray expects multiple-of-8 dims")
+    dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_SYMS)
+    ac_codes = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_SYMS)
+    qr = _qtable_raster(qtable)
+    bw = _BitWriter()
+    prev_dc = 0
+    f = img.astype(np.float64) - 128.0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blk = f[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            Fq = np.round((_JPEG_A @ blk @ _JPEG_A.T) / qr).astype(np.int64)
+            zzvals = [int(Fq[r, c]) for r, c in _JPEG_ZZ]
+            diff = zzvals[0] - prev_dc
+            prev_dc = zzvals[0]
+            s, extra = _magnitude(diff) if diff else (0, 0)
+            code, ln = dc_codes[s]
+            bw.write(code, ln)
+            if s:
+                bw.write(extra, s)
+            last_nz = max((i for i in range(1, 64) if zzvals[i]), default=0)
+            run = 0
+            for i in range(1, last_nz + 1):
+                v = zzvals[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL: 16 zeros
+                    bw.write(code, ln)
+                    run -= 16
+                s, extra = _magnitude(v)
+                code, ln = ac_codes[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(extra, s)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_codes[0x00]  # EOB
+                bw.write(code, ln)
+    bw.flush()
+    dqt = _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in qtable))
+    sof = _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = _seg(
+        0xC4,
+        bytes([0x00])
+        + bytes(_JPEG_DC_BITS)
+        + bytes(_JPEG_DC_SYMS)
+        + bytes([0x10])
+        + bytes(_JPEG_AC_BITS)
+        + bytes(_JPEG_AC_SYMS),
+    )
+    sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
+
+
+def make_jpeg(doc_id: int) -> bytes:
+    """A valid baseline JPEG whose 8x8 blocks are flat at formula-driven
+    gray values — the exactly-invertible payload (see module comment)."""
+    bwn, bhn = jpeg_blocks(doc_id)
+    img = np.zeros((bhn * 8, bwn * 8), dtype=np.uint8)
+    for b in range(bwn * bhn):
+        by, bx = divmod(b, bwn)
+        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = jpeg_block_value(doc_id, b)
+    return encode_jpeg_gray(img)
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy data")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError("unexpected marker inside entropy data")
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decoder(bits: list[int], syms: list[int]):
+    """General T.81 canonical decoder: per-length (min, max, first-index)."""
+    table: dict[int, tuple[int, int, int]] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        cnt = bits[ln - 1]
+        if cnt:
+            table[ln] = (code, code + cnt - 1, k)
+        code = (code + cnt) << 1
+        k += cnt
+
+    def decode(br: _BitReader) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | br.bit()
+            t = table.get(ln)
+            if t and t[0] <= code <= t[1]:
+                return syms[t[2] + code - t[0]]
+        raise ValueError("invalid huffman code")
+
+    return decode
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 EXTEND: map s appended bits back to a signed coefficient."""
+    return v - ((1 << s) - 1) if v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Parse a baseline sequential grayscale JPEG → (width, height, 1,
+    HxWx1 uint8). Real decode: marker walk (APPn/COM skipped), DQT/DHT
+    table registration, canonical Huffman entropy decode with unstuffing,
+    DC prediction + EXTEND, inverse zigzag, dequantization, orthonormal
+    2-D IDCT, level shift and clamp, crop to the SOF dims. Raises
+    ValueError on progressive/subsampled/multi-component/restart-interval
+    flavors (documented descope: baseline grayscale is the supported
+    profile; the tables/entropy machinery itself is general)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_dec: dict[int, object] = {}
+    ac_dec: dict[int, object] = {}
+    w = h = None
+    comp_tq = 0
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn: bare
+            continue
+        (ln,) = struct.unpack_from(">H", payload, pos)
+        data = payload[pos + 2 : pos + ln]
+        pos += ln
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtables[tq] = np.frombuffer(
+                    data[i + 1 : i + 65], dtype=np.uint8
+                ).astype(np.int32)
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 15
+                bits = list(data[i + 1 : i + 17])
+                cnt = sum(bits)
+                syms = list(data[i + 17 : i + 17 + cnt])
+                (dc_dec if tc == 0 else ac_dec)[th] = _huff_decoder(bits, syms)
+                i += 17 + cnt
+        elif marker == 0xC0:  # SOF0 baseline sequential
+            prec, h, w, nc = struct.unpack_from(">BHHB", data, 0)
+            if prec != 8 or nc != 1:
+                raise ValueError("only 8-bit grayscale baseline supported")
+            if data[7] != 0x11:
+                raise ValueError("subsampling unsupported")
+            comp_tq = data[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xDD:  # DRI
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if w is None:
+                raise ValueError("SOS before SOF")
+            td, ta = data[2] >> 4, data[2] & 15
+            dcd, acd = dc_dec[td], ac_dec[ta]
+            q = _qtable_raster(qtables[comp_tq])
+            bw_n, bh_n = (w + 7) // 8, (h + 7) // 8
+            img = np.zeros((bh_n * 8, bw_n * 8), dtype=np.uint8)
+            br = _BitReader(payload, pos)
+            pred = 0
+            for b in range(bw_n * bh_n):
+                zzvals = [0] * 64
+                s = dcd(br)
+                diff = _extend(br.bits(s), s) if s else 0
+                pred += diff
+                zzvals[0] = pred
+                i = 1
+                while i < 64:
+                    rs = acd(br)
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        i += 16
+                        continue
+                    i += rs >> 4
+                    if i > 63:
+                        raise ValueError("AC run past block end")
+                    zzvals[i] = _extend(br.bits(rs & 15), rs & 15)
+                    i += 1
+                Fd = np.zeros((8, 8), dtype=np.float64)
+                for i, (r, c) in enumerate(_JPEG_ZZ):
+                    Fd[r, c] = zzvals[i] * q[r, c]
+                blk = np.clip(
+                    np.round(_JPEG_A.T @ Fd @ _JPEG_A) + 128, 0, 255
+                ).astype(np.uint8)
+                by, bx = divmod(b, bw_n)
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+            return w, h, 1, img[:h, :w].reshape(h, w, 1)
+    raise ValueError("missing SOS scan")

@@ -1,12 +1,15 @@
 """Multimodal column plumbing (X4): binary payloads + typed metadata,
 decode/feature-extract as Arrow-batched Pandas functions over mapInPandas.
 
-The container ships no image/audio libraries, so the *decode step itself*
-is stubbed: ``decode_image_batch`` raises NotImplementedError unless a
-deterministic fake decoder is requested. Everything around it — schema,
-partition sizing, UDF signatures, Arrow batch shapes — is real and tested
-(tests/test_multimodal.py): swapping in Pillow/torchaudio later touches one
-function body, not the plan.
+The container ships no image/audio libraries, so the codecs are
+implemented dependency-free in multimodal/codecs.py: BMP, PNG (zlib
+inflate + filter reconstruction), baseline sequential JPEG
+(canonical-Huffman entropy decode + dequant + IDCT), and PCM WAV all
+decode for REAL; only formats outside those profiles (progressive JPEG,
+GIF, video containers, ...) raise NotImplementedError. The plumbing —
+schema, partition sizing, UDF signatures, Arrow batch shapes — is tested
+in tests/test_multimodal.py; swapping in Pillow/libav for the exotic
+formats later touches one function body, not the plan.
 
 Scale notes: payloads ride the shuffle as binary; mapInPandas streams Arrow
 record batches so executor memory is bounded by
@@ -103,11 +106,12 @@ def decode_image_batch(
     def decode_one(payload: bytes) -> dict:
         if use_fake_decoder:
             return _fake_decode(payload)
-        # REAL path: uncompressed BMP and zlib-compressed PNG are parsed
-        # for real (multimodal/codecs.py — struct headers, BGR/padding/
-        # bottom-up for BMP; chunk CRC walk + inflate + full filter
-        # reconstruction for PNG). Only entropy/DCT formats (JPEG) still
-        # need an external library.
+        # REAL path: BMP, PNG and baseline JPEG are all parsed for real
+        # (multimodal/codecs.py — struct headers/BGR/padding for BMP;
+        # chunk CRC walk + inflate + five-filter reconstruction for PNG;
+        # canonical-Huffman entropy decode + dequant + 2-D IDCT for
+        # baseline sequential JPEG). Formats outside those profiles
+        # (progressive/subsampled JPEG, GIF, WebP, ...) still raise.
         if bytes(payload[:2]) == b"BM":
             from .codecs import decode_bmp
 
@@ -116,11 +120,15 @@ def decode_image_batch(
             from .codecs import decode_png
 
             w, h, c, img = decode_png(bytes(payload))
+        elif bytes(payload[:2]) == b"\xff\xd8":
+            from .codecs import decode_jpeg
+
+            w, h, c, img = decode_jpeg(bytes(payload))
         else:
             raise NotImplementedError(
-                "JPEG/entropy-coded image decode requires Pillow/libvips — "
-                "not in this container; BMP and PNG decode natively, or "
-                "pass use_fake_decoder=True"
+                "unrecognized media container (supported native codecs: "
+                "BMP, PNG, baseline grayscale JPEG, PCM WAV) — "
+                "pass use_fake_decoder=True for plumbing tests"
             )
         feats = (img.reshape(-1, c).mean(axis=0)[:3] / 255.0).astype(float)
         return {

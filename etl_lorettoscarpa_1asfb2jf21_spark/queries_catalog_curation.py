@@ -508,6 +508,74 @@ def x4_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# X4 — real JPEG decode (canonical Huffman + dequant + IDCT)
+# =====================================================================
+
+@query(
+    "x4_jpeg_decode",
+    """
+    WITH dims AS (
+      SELECT doc_id, CAST(1 + doc_id % 4 AS BIGINT) AS bw,
+             CAST(1 + doc_id % 3 AS BIGINT) AS bh
+      FROM documents
+    ), blk AS (
+      SELECT doc_id, bw, bh, unnest(range(0, bw * bh)) AS b
+      FROM dims
+    )
+    SELECT doc_id, CAST(bw * 8 AS BIGINT) AS width,
+           CAST(bh * 8 AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(SUM((doc_id * 13 + b * 29) % 256) * 64 AS BIGINT) AS sum_px,
+           CAST(MIN((doc_id * 13 + b * 29) % 256) AS BIGINT) AS min_px,
+           CAST(MAX((doc_id * 13 + b * 29) % 256) AS BIGINT) AS max_px
+    FROM blk
+    GROUP BY doc_id, bw, bh
+    """,
+)
+def x4_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 real ENTROPY-CODED image decode: synthesize a valid baseline
+    sequential grayscale JPEG per document and parse it back with the
+    dependency-free real decoder (multimodal/codecs.py: canonical-Huffman
+    entropy decode with 0xFF00 unstuffing, DC prediction + EXTEND,
+    inverse zigzag, dequantization, full 2-D IDCT, level shift) — the
+    format class BMP/PNG could not cover. The generator's 8x8 blocks are
+    each FLAT, so the lossy DCT pipeline is exactly invertible for these
+    payloads (DC quant step 8; a flat block has only a DC coefficient)
+    and the DuckDB twin recomputes the decoded pixel statistics in closed
+    form from the block-value formula without ever seeing the bytes: any
+    Huffman/stuffing/zigzag/dequant/IDCT bug breaks the hash. The
+    general AC/run-length path is exercised by the textured lossy
+    round-trip test in tests/test_multimodal.py. Same Arrow mapInPandas
+    shape as x4_bmp_decode/x4_png_decode."""
+    import pandas as pd
+
+    from .multimodal.codecs import decode_jpeg, make_jpeg
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_decode(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                w, h, c, img = decode_jpeg(make_jpeg(int(i)))
+                px = img.reshape(-1).astype("int64")
+                rows.append(
+                    {
+                        "doc_id": int(i), "width": w, "height": h,
+                        "n_channels": c, "sum_px": int(px.sum()),
+                        "min_px": int(px.min()), "max_px": int(px.max()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        gen_decode,
+        "doc_id long, width long, height long, n_channels long, "
+        "sum_px long, min_px long, max_px long",
+    )
+
+
+# =====================================================================
 # IVM1 — incremental materialized-view maintenance (delta merge)
 # =====================================================================
 

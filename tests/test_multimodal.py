@@ -40,23 +40,25 @@ def test_fake_decode_deterministic(media_df):
     assert out1[1]["features"] != out1[2]["features"]  # payload-dependent
 
 
-def test_real_decode_stubbed_only_for_entropy_formats(spark):
-    """JPEG (entropy-coded) still raises; a malformed PNG-magic payload
-    fails CRC/signature validation rather than silently decoding."""
-    jpeg_df = spark.createDataFrame(
-        [(1, b"\xff\xd8\xff\xe0JFIF-fake")], "doc_id long, payload binary"
+def test_real_decode_raises_on_malformed_or_unknown_payloads(spark):
+    """Unknown containers raise NotImplementedError; a malformed
+    PNG-magic payload fails CRC/signature validation, and a truncated
+    JPEG fails entropy decode rather than silently decoding."""
+    unknown_df = spark.createDataFrame(
+        [(1, b"GIF89a-not-supported")], "doc_id long, payload binary"
     )
     with pytest.raises(Exception) as ei:
-        decode_image_batch(jpeg_df, use_fake_decoder=False).collect()
-    assert "NotImplementedError" in str(ei.value) or "JPEG" in str(ei.value)
+        decode_image_batch(unknown_df, use_fake_decoder=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "unrecognized" in str(ei.value)
 
-    with pytest.raises(Exception):
-        decode_image_batch(
-            spark.createDataFrame(
-                [(1, b"\x89PNG-fake-bytes-aaaa")], "doc_id long, payload binary"
-            ),
-            use_fake_decoder=False,
-        ).collect()
+    for bad in (b"\x89PNG-fake-bytes-aaaa", b"\xff\xd8\xff\xe0JFIF-fake"):
+        with pytest.raises(Exception):
+            decode_image_batch(
+                spark.createDataFrame(
+                    [(1, bad)], "doc_id long, payload binary"
+                ),
+                use_fake_decoder=False,
+            ).collect()
 
 
 def test_real_decode_png_path(spark):
@@ -86,3 +88,79 @@ def test_sample_video_frames(media_df):
     # payloads are 20 and 18 bytes → n_frames = 21, 19 → idx 0,5,10,15,20 / 0,5,10,15
     assert by_doc[1] == [0, 5, 10, 15, 20]
     assert by_doc[2] == [0, 5, 10, 15]
+
+
+def test_real_decode_jpeg_path(spark):
+    """A genuine baseline JPEG payload decodes for real through the
+    Arrow batch (flat blocks → exactly invertible)."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (
+        jpeg_blocks,
+        make_jpeg,
+    )
+
+    df = spark.createDataFrame(
+        [(i, make_jpeg(i)) for i in (3, 10)], "doc_id long, payload binary"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decode_image_batch(df, use_fake_decoder=False).collect()
+    }
+    for i in (3, 10):
+        bw, bh = jpeg_blocks(i)
+        assert (out[i]["width"], out[i]["height"], out[i]["n_channels"]) == (
+            bw * 8, bh * 8, 1,
+        )
+
+
+def test_jpeg_flat_blocks_round_trip_exactly():
+    """Every 8x8-flat generated payload decodes back to the exact formula
+    values for a spread of doc ids (DC-only path, byte stuffing, DC
+    prediction across blocks, multi-block rasters)."""
+    import numpy as np
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (
+        decode_jpeg,
+        jpeg_block_value,
+        jpeg_blocks,
+        make_jpeg,
+    )
+
+    for doc_id in (0, 1, 7, 11, 128, 255, 2767):
+        w, h, c, img = decode_jpeg(make_jpeg(doc_id))
+        bw, bh = jpeg_blocks(doc_id)
+        assert (w, h, c) == (bw * 8, bh * 8, 1)
+        for b in range(bw * bh):
+            by, bx = divmod(b, bw)
+            blk = img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8, 0]
+            assert (blk == jpeg_block_value(doc_id, b)).all()
+
+
+def test_jpeg_textured_lossy_round_trip_within_quant_error():
+    """The general AC path (run lengths, ZRL, EOB, magnitude coding,
+    full IDCT): random and sparse images survive encode→decode within
+    the quantization error budget; a near-lossless table (all-1 AC
+    steps) reconstructs within ±2."""
+    import numpy as np
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (
+        _JPEG_QTABLE,
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(3)
+    noisy = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    w, h, c, out = decode_jpeg(encode_jpeg_gray(noisy))
+    assert (w, h, c) == (24, 16, 1)
+    # default table: AC step 16 → per-coefficient error ≤ 8
+    assert np.abs(out[:, :, 0].astype(int) - noisy.astype(int)).max() <= 3 * 16
+
+    # sparse image: long zero runs force ZRL symbols through the codec
+    sparse = np.full((8, 8), 128, dtype=np.uint8)
+    sparse[7, 7] = 255
+    fine = np.array([8] + [1] * 63, dtype=np.int32)
+    w, h, c, out = decode_jpeg(encode_jpeg_gray(sparse, fine))
+    assert np.abs(out[:, :, 0].astype(int) - sparse.astype(int)).max() <= 2
+
+    fine_noisy = decode_jpeg(encode_jpeg_gray(noisy, fine))[3]
+    assert np.abs(fine_noisy[:, :, 0].astype(int) - noisy.astype(int)).max() <= 2

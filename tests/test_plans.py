@@ -57,6 +57,7 @@ MAP_IN_PANDAS_QUERIES = {
     "x4_bmp_decode",
     "x4_wav_decode",
     "x4_png_decode",
+    "x4_jpeg_decode",
 }
 
 
