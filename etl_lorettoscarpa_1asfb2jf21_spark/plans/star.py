@@ -286,16 +286,99 @@ def write_warehouse(wh: Warehouse, base_path: str) -> None:
     )
 
 
+# ------------------------------------------------- write-audit-publish
+#
+# The reference's ON CONFLICT upserts (app/etl.py:48-51,62-66,77-81,
+# 93-98,112-129) are transactional per statement: a crashed loader never
+# leaves a half-written table, and readers never see one. A bare
+# `write.mode("overwrite")` over parquet has neither property — the old
+# data is deleted before the new data finishes. Without bringing in a
+# table format (Delta/Iceberg), the standard lakehouse answer is
+# WRITE-AUDIT-PUBLISH with an atomic current-version pointer:
+#
+#   1. WRITE  the whole gold layer into a fresh immutable version
+#      directory `{base}/_v/{version}/` — never into the live paths.
+#   2. AUDIT  the written files by reading them back and running checks
+#      (row counts vs the source frames here; extend with FK/null checks
+#      as needed). A failed audit aborts before anything is visible.
+#   3. PUBLISH by atomically replacing the `{base}/_CURRENT` pointer
+#      file. POSIX rename is atomic; on HDFS a rename is atomic too; on
+#      S3 use a conditional PUT (If-Match) on the pointer object.
+#
+# A crash at ANY point before step 3 leaves `_CURRENT` untouched:
+# readers keep resolving the previous complete version (tested in
+# tests/test_star_pipeline.py::test_publish_crash_leaves_readers_on_old_version).
+# The protocol is SINGLE-WRITER by design — same contract as the
+# documented single-writer insert_if_absent (operators/upsert.py):
+# concurrent publishers would race the pointer flip; serialize them (or
+# use the pointer store's compare-and-swap) at the orchestration layer.
+# Old versions accumulate under `_v/` and double as time travel; vacuum
+# by deleting any version directory not referenced by `_CURRENT`.
+
+_CURRENT_POINTER = "_CURRENT"
+
+
+def publish_warehouse(
+    wh: Warehouse, base_path: str, version: str | None = None
+) -> str:
+    """Crash-safe gold publish via write-audit-publish (see block comment
+    above). Returns the published version id. Raises — WITHOUT moving the
+    pointer — if the audit read-back row counts disagree with the source
+    frames."""
+    import os
+    import uuid
+
+    version = version or uuid.uuid4().hex
+    vdir = f"{base_path}/_v/{version}"
+    write_warehouse(wh, vdir)  # WRITE: into the immutable version dir
+
+    # AUDIT: re-read what actually landed on disk and compare counts
+    spark = wh.fato_lancamento.sparkSession
+    back = _read_warehouse_dir(spark, vdir)
+    for name in GOLD_TABLES:
+        expect = getattr(wh, name).count()
+        got = getattr(back, name).count()
+        if expect != got:
+            raise RuntimeError(
+                f"audit failed for {name}: wrote {expect} rows, "
+                f"read back {got}; version {version} NOT published"
+            )
+
+    # PUBLISH: atomic pointer replace
+    os.makedirs(base_path, exist_ok=True)
+    pointer = os.path.join(base_path, _CURRENT_POINTER)
+    tmp = pointer + f".tmp.{version}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(version)
+    os.replace(tmp, pointer)
+    return version
+
+
+def _read_warehouse_dir(spark: SparkSession, vdir: str) -> Warehouse:
+    wh = Warehouse()
+    for name in GOLD_TABLES:
+        setattr(wh, name, spark.read.parquet(f"{vdir}/{name}"))
+    wh.fato_lancamento = wh.fato_lancamento.drop("ano", "mes")
+    return wh
+
+
 def read_warehouse(spark: SparkSession, base_path: str) -> Warehouse:
     """Load a written gold layer back as a Warehouse of DataFrames.
+
+    If the base carries a write-audit-publish `_CURRENT` pointer, resolve
+    it and read that (complete, immutable) version; otherwise read the
+    legacy flat layout written by a bare write_warehouse.
 
     The fact's (ano, mes) partition columns exist on disk purely for
     pruning (write_warehouse denormalizes them); the canonical in-memory
     fact schema omits them, so they are dropped here — month-scoped readers
     that want pruning filter the parquet directly.
     """
-    wh = Warehouse()
-    for name in GOLD_TABLES:
-        setattr(wh, name, spark.read.parquet(f"{base_path}/{name}"))
-    wh.fato_lancamento = wh.fato_lancamento.drop("ano", "mes")
-    return wh
+    import os
+
+    pointer = os.path.join(base_path, _CURRENT_POINTER)
+    if os.path.exists(pointer):
+        with open(pointer, encoding="utf-8") as f:
+            version = f.read().strip()
+        return _read_warehouse_dir(spark, f"{base_path}/_v/{version}")
+    return _read_warehouse_dir(spark, base_path)

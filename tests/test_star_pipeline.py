@@ -158,6 +158,67 @@ def test_gold_write_partition_pruning(spark, staging, tmp_path):
     assert jan.count() == 3
 
 
+def test_publish_crash_leaves_readers_on_old_version(spark, staging, tmp_path):
+    """Write-audit-publish: a writer that dies after writing files but
+    BEFORE the pointer flip must be invisible — readers keep resolving
+    the previous complete version; a later successful publish supersedes
+    it; a failed audit aborts without touching the pointer."""
+    import os
+
+    import pytest
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.plans.star import (
+        publish_warehouse,
+        read_warehouse,
+        run_etl,
+        write_warehouse,
+    )
+
+    valid, _ = staging
+    wh = run_etl(valid)
+    base = str(tmp_path / "gold")
+    v1 = publish_warehouse(wh, base)
+    n1 = read_warehouse(spark, base).fato_lancamento.count()
+    assert n1 == wh.fato_lancamento.count()
+
+    # Simulated crash: a second writer lands a (half-)version on disk but
+    # never reaches the pointer flip. Readers must not see it.
+    crashed = str(tmp_path / "gold/_v/crashed-version")
+    write_warehouse(wh, crashed)
+    os.remove(os.path.join(crashed, "dim_tempo", "_SUCCESS"))
+    with open(os.path.join(base, "_CURRENT"), encoding="utf-8") as f:
+        assert f.read().strip() == v1  # pointer untouched
+    assert read_warehouse(spark, base).fato_lancamento.count() == n1
+
+    # A failed audit must abort WITHOUT moving the pointer.
+    import etl_lorettoscarpa_1asfb2jf21_spark.plans.star as star_mod
+
+    real_write = star_mod.write_warehouse
+
+    def half_write(w, path):
+        # a writer that silently loses fact rows: audit must catch it
+        import copy
+
+        w2 = copy.copy(w)
+        w2.fato_lancamento = w.fato_lancamento.limit(1)
+        real_write(w2, path)
+
+    star_mod.write_warehouse, star_mod_write = half_write, star_mod.write_warehouse
+    try:
+        with pytest.raises(RuntimeError, match="audit failed"):
+            publish_warehouse(wh, base)
+    finally:
+        star_mod.write_warehouse = star_mod_write
+    assert read_warehouse(spark, base).fato_lancamento.count() == n1
+
+    # A successful publish flips the pointer atomically.
+    v2 = publish_warehouse(wh, base)
+    assert v2 != v1
+    with open(os.path.join(base, "_CURRENT"), encoding="utf-8") as f:
+        assert f.read().strip() == v2
+    assert read_warehouse(spark, base).fato_lancamento.count() == n1
+
+
 def test_corrupt_record_quarantine(spark, tmp_path):
     """Physically malformed rows (wrong field count in either direction)
     land in the corrupt-record quarantine with the raw line preserved for
