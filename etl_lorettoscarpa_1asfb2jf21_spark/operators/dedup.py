@@ -405,6 +405,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     strategy: str = "auto",
     auto_block_cap: int = 1024,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard within a blocking key (e.g. lang).
 
@@ -451,8 +452,11 @@ def ngram_jaccard_pairs(
     # The gram pipeline (normalize regex + n-gram + hash) feeds up to five
     # consumers (auto stats, both index sides, both verify sides); a lazy
     # localCheckpoint computes it once and truncates the lineage instead
-    # of re-running the string pipeline per branch.
-    g = g.localCheckpoint(eager=False)
+    # of re-running the string pipeline per branch. The barrier hides the
+    # spread() exchange from downstream formatted plans, so the spread
+    # audit in tests/test_plans.py inspects a checkpoint=False build.
+    if checkpoint:
+        g = g.localCheckpoint(eager=False)
 
     if strategy == "auto":
         row = g.groupBy("_blk").count().agg(F.max("count").alias("m")).collect()

@@ -302,7 +302,19 @@ def train_unit_centroids(
     )
     sample = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
     rng = np.random.default_rng(seed)
-    C = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    # Farthest-point init (deterministic given seed + sample): a uniform
+    # random pick can seat two initial centroids on near-duplicate rows
+    # and leave a real cluster uncovered — Lloyd cannot recover a
+    # direction it never seeded. Greedy max-min-distance traversal covers
+    # every well-separated cluster by construction.
+    k = min(n_centroids, len(sample))
+    chosen = [int(rng.integers(len(sample)))]
+    d2min = ((sample - sample[chosen[0]]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        nxt = int(d2min.argmax())
+        chosen.append(nxt)
+        d2min = np.minimum(d2min, ((sample - sample[nxt]) ** 2).sum(axis=1))
+    C = sample[chosen]
     for _ in range(iters):
         # assign each sample point to its nearest centroid (squared L2)
         d2 = ((sample[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)

@@ -139,10 +139,24 @@ def test_anti_join_stays_equi_hash(spark, sf_medium):
 
 def test_pairwise_dedup_stages_are_spread(spark, sf_medium):
     """The CPU-bound pairwise operators must not run single-partition: the
-    spread() repartition has to survive optimization into the physical plan."""
-    for name in ("x1_ngram_jaccard", "x1_minhash_dedup", "x1_embedding_neardup"):
+    spread() repartition has to survive optimization into the physical
+    plan. ngram_jaccard_pairs' gram pipeline sits behind a localCheckpoint
+    barrier in the catalog (the plan can't show through it), so its spread
+    is audited on a checkpoint=False operator build."""
+    for name in ("x1_minhash_dedup", "x1_embedding_neardup"):
         plan = plan_of(EXT_QUERIES[name](spark, sf_medium))
         assert "RoundRobinPartitioning" in plan, f"{name} lost its spread"
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from etl_lorettoscarpa_1asfb2jf21_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_medium, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "text", "doc_id", "source", n=3, threshold=0.2, checkpoint=False
+    )
+    assert "RoundRobinPartitioning" in plan_of(pairs), "ngram lost its spread"
 
 
 def test_q19_pushes_disjunctive_conjuncts_to_scans(spark, sf_medium):
