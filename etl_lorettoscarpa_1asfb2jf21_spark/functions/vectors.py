@@ -188,3 +188,42 @@ def nearest_cell_batch_udf(centroids):
 
     _cell.__annotations__ = {"v": pandas.Series, "return": pandas.Series}
     return pandas_udf(_cell, "int")
+
+
+def nearest_cell_int_batch_udf(centroids, n_centroids: int):
+    """Arrow-batched EXACT-INTEGER k-means cell assignment for the
+    quantized (fixed-point) index family: scaled-int64 vec -> argmin cell
+    by exact squared L2, ties toward the lower cell id.
+
+    Bit-identical to the native ``min(dist * n_centroids + cell)``
+    expression path (operators/similarity.py:quantized_kmeans_cells) and
+    to the DuckDB oracle twins: every operation is int64 arithmetic —
+    ||x||² - 2x·Cᵀ + ||c||² via numpy integer matmul (no float rounding
+    anywhere; magnitudes bounded by dim·(2·scale)²·n_centroids « 2⁶³) and
+    the same tie-break packing. Equality with the expression path is
+    asserted in tests/test_curation.py. The win is the same as
+    nearest_cell_batch_udf: one dense matmul per record batch instead of
+    n_centroids interpreted zip_with/aggregate folds per row — at
+    sqrt(n)-scaled centroid counts the interpreted path is the scaling
+    bottleneck (n·sqrt(n) folds).
+
+    ``centroids`` is the collected [(cell_id, int_vec)] list (bounded:
+    n_centroids rows — the corpus itself is never collected).
+    """
+    import numpy as np
+    import pandas
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    C = np.asarray([c for _, c in centroids], dtype=np.int64)  # (k, dim)
+    cells = np.asarray([i for i, _ in centroids], dtype=np.int64)
+    c2 = (C * C).sum(axis=1)  # (k,)
+
+    def _cell(v):
+        X = np.asarray(v.tolist(), dtype=np.int64)  # (n, dim)
+        d2 = (X * X).sum(axis=1, keepdims=True) - 2 * (X @ C.T) + c2[None, :]
+        packed = d2 * np.int64(n_centroids) + cells[None, :]
+        return pandas.Series(packed.min(axis=1) % np.int64(n_centroids))
+
+    _cell.__annotations__ = {"v": pandas.Series, "return": pandas.Series}
+    return pandas_udf(_cell, "long")

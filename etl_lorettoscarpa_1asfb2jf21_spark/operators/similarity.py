@@ -714,6 +714,7 @@ def quantized_kmeans_cells(
     n_centroids: int = 16,
     n_iter: int = 3,
     scale: int = 10**6,
+    use_arrow: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """DISTRIBUTED fixed-point Lloyd: returns (centroids(_cell,_cvec),
     assignment(corpus_id,_cell)) after ``n_iter`` exact-integer rounds.
@@ -725,8 +726,20 @@ def quantized_kmeans_cells(
     previous centroid. Every step is int64 arithmetic, so the trained
     index is bit-identical on any engine (see ivf_topk_quantized /
     semantic_dedup_quantized for the oracle twins). Per iteration: one
-    broadcast-join assignment pass + one posexplode hash-aggregate — the
-    corpus is never collected.
+    assignment pass + one posexplode hash-aggregate — the corpus is never
+    collected (only the n_centroids-row centroid table moves to the
+    driver/executors, whether as broadcast literals or kernel constants).
+
+    ``use_arrow=True`` (default) runs each assignment pass through the
+    EXACT-INTEGER Arrow kernel (functions.vectors.
+    nearest_cell_int_batch_udf): pure int64 matmul arithmetic, so the
+    result — and every oracle hash — is bit-identical to the native
+    zip_with/aggregate expression path (equality-tested); the kernel
+    replaces n_centroids interpreted 64-element folds per row with one
+    dense matmul per record batch, which is what keeps assignment from
+    dominating once n_centroids scales ~sqrt(corpus) (SemDeDup). The
+    expression path remains the dependency-light fallback and equality
+    reference.
     """
     corpq = corpus.select(
         F.col(corpus_id), quantize_expr(corpus_vec, scale).alias("_qv")
@@ -751,6 +764,17 @@ def quantized_kmeans_cells(
     )
 
     def assign(cc: DataFrame) -> DataFrame:
+        if use_arrow:
+            from ..functions.vectors import nearest_cell_int_batch_udf
+
+            cents_rows = sorted(
+                (int(r["_cell"]), [int(x) for x in r["_cvec"]])
+                for r in cc.collect()  # n_centroids rows, never the corpus
+            )
+            kern = nearest_cell_int_batch_udf(cents_rows, n_centroids)
+            return corpq.select(
+                F.col(corpus_id), kern(F.col("_qv")).alias("_cell")
+            )
         d = corpq.crossJoin(F.broadcast(cc))
         packed = _int_sqdist_expr("_qv", "_cvec") * n_centroids + F.col("_cell")
         return (
@@ -796,6 +820,7 @@ def ivf_topk_quantized(
     query_vec: str = "q_vec",
     corpus_id: str = "c_id",
     corpus_vec: str = "c_vec",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """IVF top-k with a DISTRIBUTED, INTEGER-EXACT k-means coarse quantizer.
 
@@ -819,7 +844,7 @@ def ivf_topk_quantized(
     nprobe/n_centroids of the corpus per query.
     """
     cents, final_assign = quantized_kmeans_cells(
-        corpus, corpus_id, corpus_vec, n_centroids, n_iter, scale
+        corpus, corpus_id, corpus_vec, n_centroids, n_iter, scale, use_arrow
     )
 
     qq = queries.select(F.col(query_id), quantize_expr(query_vec, scale).alias("_qv"))
@@ -861,6 +886,7 @@ def semantic_dedup_quantized(
     n_centroids: int = 16,
     n_iter: int = 3,
     scale: int = 10**6,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """SemDeDup over the DISTRIBUTED fixed-point k-means cells — the
     oracle-checkable sibling of semantic_dedup: cell assignment is the
@@ -877,7 +903,8 @@ def semantic_dedup_quantized(
     """
     src = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     _, af = quantized_kmeans_cells(
-        src, "_id", "_v", n_centroids=n_centroids, n_iter=n_iter, scale=scale
+        src, "_id", "_v", n_centroids=n_centroids, n_iter=n_iter, scale=scale,
+        use_arrow=use_arrow,
     )
     cellv = src.join(af, "_id").select("_id", "_cell", "_v")
     a = cellv.select(

@@ -213,3 +213,24 @@ def test_ivf_arrow_assignment_matches_native(spark, sf_small):
         }
 
     assert run(True) == run(False)
+
+
+def test_quantized_assignment_arrow_matches_expression(spark, sf_small):
+    """The exact-integer Arrow assignment kernel
+    (nearest_cell_int_batch_udf) is bit-identical to the native
+    min(dist*nc + cell) expression path — both are pure int64 arithmetic,
+    so every cell label (and therefore every quantized-index oracle hash)
+    must agree exactly."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.similarity import (
+        quantized_kmeans_cells,
+    )
+
+    e = load_table(spark, sf_small, "embeddings").select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    _, a_arrow = quantized_kmeans_cells(e, n_centroids=8, n_iter=2, use_arrow=True)
+    _, a_expr = quantized_kmeans_cells(e, n_centroids=8, n_iter=2, use_arrow=False)
+    got_arrow = {r["c_id"]: r["_cell"] for r in a_arrow.collect()}
+    got_expr = {r["c_id"]: r["_cell"] for r in a_expr.collect()}
+    assert got_arrow == got_expr
+    assert len(got_arrow) == e.count()

@@ -46,6 +46,12 @@ ARROW_KERNEL_QUERIES = {
     # IVF corpus assignment: Arrow matmul kernel (equality-tested in
     # test_curation); the query-side probe stays native
     "x2_topk_ivf_float",
+    # quantized-index assignment: the EXACT-INTEGER Arrow kernel
+    # (nearest_cell_int_batch_udf) — bit-identical to the expression
+    # path (equality-tested in test_curation), so these stay fully
+    # oracle-checked
+    "x2_topk_ivf",
+    "x1_semantic_dedup_q",
 }
 # x1_semantic_dedup's Arrow assignment kernel sits below a localCheckpoint
 # barrier (the formatted plan can't show it); its kernel audit lives in
