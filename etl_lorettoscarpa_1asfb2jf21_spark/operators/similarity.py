@@ -899,23 +899,40 @@ def semantic_dedup_quantized(
 
     Scale: assignment as in quantized_kmeans_cells; the prune is one
     hash self-join on the cell id with a min-aggregate — O(cell²) work
-    confined to bounded cells, linear candidate generation overall.
+    confined to bounded cells, linear candidate generation overall. The
+    per-row L2 norm is computed ONCE below the prune's lineage barrier,
+    so each candidate pair pays a single dot fold instead of three
+    (dot + both norms) — the per-pair values are bit-identical to
+    cosine_similarity_expr (the norm is a row-level quantity; only where
+    it is computed moves), so the oracle twin is untouched. Measured at
+    the ~sf1 replica this prune-side fold count is what dominates.
     """
+    from ..functions.vectors import dot_expr, l2_norm_expr
+
     src = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     _, af = quantized_kmeans_cells(
         src, "_id", "_v", n_centroids=n_centroids, n_iter=n_iter, scale=scale,
         use_arrow=use_arrow,
     )
-    cellv = src.join(af, "_id").select("_id", "_cell", "_v")
+    # one compute of (cell, vec, norm) feeding output + both join sides
+    cellv = (
+        src.join(af, "_id")
+        .select("_id", "_cell", "_v", l2_norm_expr("_v").alias("_nrm"))
+        .localCheckpoint(eager=False)
+    )
     a = cellv.select(
-        F.col("_id").alias("_ia"), F.col("_cell").alias("_ca"), F.col("_v").alias("_va")
+        F.col("_id").alias("_ia"), F.col("_cell").alias("_ca"),
+        F.col("_v").alias("_va"), F.col("_nrm").alias("_na"),
     )
     b = cellv.select(
-        F.col("_id").alias("_ib"), F.col("_cell").alias("_cb"), F.col("_v").alias("_vb")
+        F.col("_id").alias("_ib"), F.col("_cell").alias("_cb"),
+        F.col("_v").alias("_vb"), F.col("_nrm").alias("_nb"),
     )
+    denom = F.col("_na") * F.col("_nb")
+    sim = F.when(denom > 0, dot_expr("_va", "_vb") / denom).otherwise(F.lit(0.0))
     dom = (
         a.join(b, (F.col("_ca") == F.col("_cb")) & (F.col("_ia") < F.col("_ib")))
-        .withColumn("_sim", cosine_similarity_expr("_va", "_vb"))
+        .withColumn("_sim", sim)
         .filter(F.col("_sim") >= threshold)
         .groupBy("_ib")
         .agg(F.min("_ia").alias("pruned_by"))

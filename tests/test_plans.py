@@ -49,9 +49,11 @@ ARROW_KERNEL_QUERIES = {
     # quantized-index assignment: the EXACT-INTEGER Arrow kernel
     # (nearest_cell_int_batch_udf) — bit-identical to the expression
     # path (equality-tested in test_curation), so these stay fully
-    # oracle-checked
+    # oracle-checked. x1_semantic_dedup_q uses the same kernel but its
+    # assignment sits below the cellv localCheckpoint barrier (like
+    # x1_semantic_dedup's), so its plan shows no Python node at all;
+    # the kernel audit is the test_curation equality test.
     "x2_topk_ivf",
-    "x1_semantic_dedup_q",
 }
 # x1_semantic_dedup's Arrow assignment kernel sits below a localCheckpoint
 # barrier (the formatted plan can't show it); its kernel audit lives in
