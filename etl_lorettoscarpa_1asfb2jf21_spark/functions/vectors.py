@@ -227,3 +227,55 @@ def nearest_cell_int_batch_udf(centroids, n_centroids: int):
 
     _cell.__annotations__ = {"v": pandas.Series, "return": pandas.Series}
     return pandas_udf(_cell, "long")
+
+
+def pq_codes_int_batch_udf(codebooks, n_codes: int, sub_dim: int):
+    """Arrow-batched EXACT-INTEGER PQ encoding: scaled-int64 vec ->
+    array of per-subspace argmin codes, ties toward the lower code.
+
+    The integer twin of pq_codes_batch_udf, serving the fully
+    oracle-checked pq_topk_quantized path: per subspace s the code is
+    argmin over ||x_s - c||² computed as ||x_s||² - 2·x_s·Cₛᵀ + ||c||²
+    in pure int64 (numpy integer matmul — no float anywhere), with the
+    same ``d²·n_codes + code`` tie-break packing as the native
+    expression path, so codes — and every downstream ADC/oracle hash —
+    are bit-identical (equality-tested in tests/test_operators.py).
+
+    ``codebooks`` is the collected [(sub, code, int_vec)] list
+    (n_subspaces·n_codes rows — the corpus is never collected).
+    """
+    import numpy as np
+    import pandas
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    by_sub: dict[int, list[tuple[int, list[int]]]] = {}
+    for s, cell, vec in codebooks:
+        by_sub.setdefault(int(s), []).append((int(cell), [int(x) for x in vec]))
+    subs = sorted(by_sub)
+    Cs = []
+    cellss = []
+    c2s = []
+    for s in subs:
+        entries = sorted(by_sub[s])
+        C = np.asarray([v for _, v in entries], dtype=np.int64)
+        Cs.append(C)
+        cellss.append(np.asarray([c for c, _ in entries], dtype=np.int64))
+        c2s.append((C * C).sum(axis=1))
+
+    def _codes(v):
+        X = np.asarray(v.tolist(), dtype=np.int64)  # (n, dim)
+        out = np.empty((X.shape[0], len(subs)), dtype=np.int64)
+        for j, s in enumerate(subs):
+            Xs = X[:, s * sub_dim : (s + 1) * sub_dim]
+            d2 = (
+                (Xs * Xs).sum(axis=1, keepdims=True)
+                - 2 * (Xs @ Cs[j].T)
+                + c2s[j][None, :]
+            )
+            packed = d2 * np.int64(n_codes) + cellss[j][None, :]
+            out[:, j] = packed.min(axis=1) % np.int64(n_codes)
+        return pandas.Series(list(out))
+
+    _codes.__annotations__ = {"v": pandas.Series, "return": pandas.Series}
+    return pandas_udf(_codes, "array<long>")

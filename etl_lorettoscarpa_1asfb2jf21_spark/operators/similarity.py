@@ -962,6 +962,7 @@ def pq_topk_quantized(
     query_vec: str = "q_vec",
     corpus_id: str = "c_id",
     corpus_vec: str = "c_vec",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """PQ/ADC top-k with DISTRIBUTED fixed-point per-subspace codebooks —
     the oracle-checkable sibling of pq_topk. Each subspace's codebook is
@@ -978,6 +979,14 @@ def pq_topk_quantized(
     one broadcast join of the per-query lookup table against the code
     table — the corpus vectors themselves are only read again for the
     shortlist re-rank.
+
+    ``use_arrow=True`` (default) runs each corpus-encode pass through the
+    EXACT-INTEGER Arrow kernel (functions.vectors.pq_codes_int_batch_udf)
+    — pure int64 matmul per subspace with the same tie-break packing, so
+    codes and every oracle hash are bit-identical to the expression path
+    (equality-tested); replaces n_subspaces·n_codes interpreted folds per
+    row with dense matmuls per record batch. Only the
+    n_subspaces·n_codes-row codebook is ever collected.
     """
     sub_dim = dim // n_subspaces
 
@@ -997,6 +1006,13 @@ def pq_topk_quantized(
         )
 
     subs = to_subs(corpus, corpus_id, corpus_vec).localCheckpoint(eager=False)
+    corpq = (
+        corpus.select(
+            F.col(corpus_id), quantize_expr(corpus_vec, scale).alias("_qv")
+        ).localCheckpoint(eager=False)
+        if use_arrow
+        else None
+    )
 
     w_init = Window.partitionBy("_sub").orderBy(corpus_id)
     cents = (
@@ -1006,6 +1022,18 @@ def pq_topk_quantized(
     )
 
     def assign(cc: DataFrame) -> DataFrame:
+        if use_arrow:
+            from ..functions.vectors import pq_codes_int_batch_udf
+
+            cb_rows = [
+                (int(r["_sub"]), int(r["_cell"]), [int(x) for x in r["_cv"]])
+                for r in cc.collect()  # n_subspaces*n_codes rows only
+            ]
+            kern = pq_codes_int_batch_udf(cb_rows, n_codes, sub_dim)
+            return corpq.select(
+                F.col(corpus_id),
+                F.posexplode(kern(F.col("_qv"))).alias("_sub", "_cell"),
+            )
         d = subs.join(F.broadcast(cc), "_sub")
         packed = _int_sqdist_expr("_sv", "_cv") * n_codes + F.col("_cell")
         return (

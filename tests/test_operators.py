@@ -744,3 +744,33 @@ def test_centroid_training_sample_covers_sorted_by_domain_frame(spark):
     # exactly one unit centroid must sit in the negative orthant
     signs = {c[0] > 0 for _, c in cents}
     assert signs == {True, False}
+
+
+def test_pq_quantized_int_kernel_matches_expression(spark, sf_small):
+    """The exact-integer PQ encode kernel (pq_codes_int_batch_udf) is
+    bit-identical to the native per-subspace min(d2*n_codes + code)
+    expression path — full result-set equality, so the pqq oracle hash
+    is unaffected by the kernel."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.similarity import (
+        pq_topk_quantized,
+    )
+    from etl_lorettoscarpa_1asfb2jf21_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_small, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    kw = dict(k=5, n_subspaces=8, n_codes=8, n_iter=2, shortlist=20)
+    got_a = sorted(
+        (r["q_id"], r["c_id"], r["rank"], r["sim"])
+        for r in pq_topk_quantized(queries, corpus, use_arrow=True, **kw).collect()
+    )
+    got_e = sorted(
+        (r["q_id"], r["c_id"], r["rank"], r["sim"])
+        for r in pq_topk_quantized(queries, corpus, use_arrow=False, **kw).collect()
+    )
+    assert got_a == got_e
+    assert len(got_a) > 0

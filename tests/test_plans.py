@@ -54,6 +54,9 @@ ARROW_KERNEL_QUERIES = {
     # x1_semantic_dedup's), so its plan shows no Python node at all;
     # the kernel audit is the test_curation equality test.
     "x2_topk_ivf",
+    # PQ quantized encode: exact-int64 per-subspace kernel
+    # (pq_codes_int_batch_udf, equality-tested in test_operators)
+    "x2_topk_pq",
 }
 # x1_semantic_dedup's Arrow assignment kernel sits below a localCheckpoint
 # barrier (the formatted plan can't show it); its kernel audit lives in
