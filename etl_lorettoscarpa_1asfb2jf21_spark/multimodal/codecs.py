@@ -408,23 +408,28 @@ def _seg(marker: int, payload: bytes) -> bytes:
 
 
 def encode_jpeg_gray(img: np.ndarray, qtable: np.ndarray = _JPEG_QTABLE) -> bytes:
-    """Baseline sequential grayscale JPEG encoder. ``img`` is HxW uint8
-    with dims multiples of 8 (the generator's contract; a general front
-    end would edge-pad). Full T.81 pipeline: level shift, FDCT
+    """Baseline sequential grayscale JPEG encoder for ANY HxW uint8
+    image: non-multiple-of-8 dims are edge-replicated out to the MCU
+    grid (the standard encoder treatment — replication avoids ringing at
+    the true boundary) while SOF0 records the TRUE dims, which the
+    decoder crops back to. Full T.81 pipeline: level shift, FDCT
     (orthonormal matrix form — same normalization as the spec's
     (1/4)C(u)C(v) double sum), quantize, zigzag, DC differential +
     AC run-length (ZRL/EOB), canonical Huffman, 0xFF byte stuffing."""
     h, w = img.shape
     if h % 8 or w % 8:
-        raise ValueError("encode_jpeg_gray expects multiple-of-8 dims")
+        img = np.pad(
+            img, ((0, (8 - h % 8) % 8), (0, (8 - w % 8) % 8)), mode="edge"
+        )
+    ph, pw = img.shape  # padded (MCU-grid) dims; (h, w) stay the true ones
     dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_SYMS)
     ac_codes = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_SYMS)
     qr = _qtable_raster(qtable)
     bw = _BitWriter()
     prev_dc = 0
     f = img.astype(np.float64) - 128.0
-    for by in range(h // 8):
-        for bx in range(w // 8):
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
             blk = f[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
             Fq = np.round((_JPEG_A @ blk @ _JPEG_A.T) / qr).astype(np.int64)
             zzvals = [int(Fq[r, c]) for r, c in _JPEG_ZZ]

@@ -164,3 +164,23 @@ def test_jpeg_textured_lossy_round_trip_within_quant_error():
 
     fine_noisy = decode_jpeg(encode_jpeg_gray(noisy, fine))[3]
     assert np.abs(fine_noisy[:, :, 0].astype(int) - noisy.astype(int)).max() <= 2
+
+
+def test_jpeg_arbitrary_dims_pad_and_crop():
+    """Non-multiple-of-8 images: the encoder edge-pads to the MCU grid,
+    SOF0 records the true dims, and the decoder crops back — round trip
+    within the near-lossless budget at several awkward shapes."""
+    import numpy as np
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(5)
+    fine = np.array([8] + [1] * 63, dtype=np.int32)
+    for shape in ((10, 13), (17, 9), (1, 1), (8, 9)):
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        w, h, c, out = decode_jpeg(encode_jpeg_gray(img, fine))
+        assert (h, w, c) == (shape[0], shape[1], 1)
+        assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 2
