@@ -1099,3 +1099,97 @@ def pq_topk_quantized(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "sim", "rank")
     )
+
+
+def semantic_dedup_incremental_quantized(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    n_centroids: int = 16,
+    n_iter: int = 3,
+    scale: int = 10**6,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """INCREMENTAL SemDeDup: judge only a NEW batch of embeddings against
+    an EXISTING corpus — the daily-ingest shape of semantic dedup (the
+    embedding-space twin of the minhash incremental_neardup): the corpus
+    index (fixed-point k-means cells, quantized_kmeans_cells) is built
+    from the corpus alone, each batch vector is assigned to its nearest
+    corpus cell with the same exact-integer argmin, and a batch vector is
+    pruned when any corpus vector in that cell has cosine >= threshold
+    (``pruned_by`` = the smallest such corpus id). Batch rows are judged
+    against the corpus only, not each other — run the batch through the
+    full semantic_dedup_quantized afterwards if intra-batch duplicates
+    also matter (documented asymmetric contract, same as
+    incremental_neardup's new-batch probe).
+
+    Returns (id_col, cell, is_kept, pruned_by) for the BATCH rows.
+    Fully oracle-checkable: every stage is the integer Lloyd recurrence
+    plus the fold-exact double cosine (catalog x1_incremental_semdedup).
+
+    Scale: the index builds ONCE on the corpus (amortized across daily
+    batches); per batch the cost is one map-only assignment over the
+    batch plus a cell-hash join against only the touched cells — the
+    corpus is re-read but never re-indexed, and nothing is recomputed
+    quadratically in corpus size.
+    """
+    src = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    cents, _ = quantized_kmeans_cells(
+        src, "_id", "_v", n_centroids=n_centroids, n_iter=n_iter, scale=scale,
+        use_arrow=use_arrow,
+    )
+
+    def assign_to(df: DataFrame) -> DataFrame:
+        qdf = df.select(
+            F.col("_id"), F.col("_v"), quantize_expr("_v", scale).alias("_qv")
+        )
+        if use_arrow:
+            from ..functions.vectors import nearest_cell_int_batch_udf
+
+            cents_rows = sorted(
+                (int(r["_cell"]), [int(x) for x in r["_cvec"]])
+                for r in cents.collect()
+            )
+            kern = nearest_cell_int_batch_udf(cents_rows, n_centroids)
+            return qdf.select("_id", "_v", kern(F.col("_qv")).alias("_cell"))
+        d = qdf.crossJoin(F.broadcast(cents))
+        packed = _int_sqdist_expr("_qv", "_cvec") * n_centroids + F.col("_cell")
+        return (
+            d.select("_id", "_v", packed.alias("_p"))
+            .groupBy("_id", "_v")
+            .agg(F.min("_p").alias("_mp"))
+            .select("_id", "_v", (F.col("_mp") % n_centroids).alias("_cell"))
+        )
+
+    from ..functions.vectors import dot_expr, l2_norm_expr
+
+    corpus_cells = assign_to(src).select(
+        F.col("_id").alias("_ia"), F.col("_cell").alias("_ca"),
+        F.col("_v").alias("_va"), l2_norm_expr("_v").alias("_na"),
+    ).localCheckpoint(eager=False)
+    batch_cells = assign_to(
+        batch.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    ).select(
+        "_id", "_cell", "_v", l2_norm_expr("_v").alias("_nb")
+    ).localCheckpoint(eager=False)
+
+    denom = F.col("_na") * F.col("_nb")
+    sim = F.when(denom > 0, dot_expr("_va", "_v") / denom).otherwise(F.lit(0.0))
+    dom = (
+        batch_cells.join(corpus_cells, F.col("_cell") == F.col("_ca"))
+        .withColumn("_sim", sim)
+        .filter(F.col("_sim") >= threshold)
+        .groupBy("_id")
+        .agg(F.min("_ia").alias("pruned_by"))
+    )
+    return (
+        batch_cells.join(dom, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_cell").cast("long").alias("cell"),
+            F.col("pruned_by").isNull().alias("is_kept"),
+            F.col("pruned_by").cast("long"),
+        )
+    )

@@ -2089,6 +2089,7 @@ def _qkmeans_sql_prefix(
     scale: int = 10**6,
     dim: int = 64,
     nc_sql: str | None = None,
+    corpus_where: str = "",
 ) -> str:
     """Shared WITH-prefix for the fixed-point-k-means oracles: corp/corpq
     (double + scaled-int64 views of embeddings), one CTE layer per Lloyd
@@ -2106,12 +2107,15 @@ def _qkmeans_sql_prefix(
     Spark side derives the identical value from the same count, so the
     twin stays bit-exact while the centroid count scales with the corpus
     (the SemDeDup quadratic-prune fix)."""
+    where = f" WHERE {corpus_where}" if corpus_where else ""
     if nc_sql is None:
         nc = str(n_centroids)
         params = ""
     else:
         nc = "(SELECT nc FROM params)"
-        params = f"params AS (SELECT {nc_sql} AS nc FROM embeddings),\n    "
+        params = (
+            f"params AS (SELECT {nc_sql} AS nc FROM embeddings{where}),\n    "
+        )
     q8 = f"list_transform(vd, x -> CAST(round(x * {float(scale)!r}) AS BIGINT))"
     sqdist = (
         "list_sum(list_transform(range({d}), j -> "
@@ -2156,7 +2160,8 @@ def _qkmeans_sql_prefix(
     df = sqdist.format(d=dim, a="q.qv", b="c.cvec")
     return f"""
     WITH {params}corp AS (
-      SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings
+      SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS vd
+      FROM embeddings{where}
     ),
     corpq AS (SELECT c_id, {q8} AS qv FROM corp),
     {", ".join(layers)},
@@ -2313,6 +2318,89 @@ def x1_semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc = _semdedup_n_centroids(e.count())
     return semantic_dedup_quantized(
         e, "vec_id", "embedding", threshold=0.3, n_centroids=nc, n_iter=3
+    )
+
+
+_INCR_SEM_CORPUS_WHERE = "vec_id % 10 <> 9"
+_INCR_SEM_BATCH_WHERE = "vec_id % 10 = 9"
+
+
+def _incr_semdedup_oracle_sql(
+    threshold: float = 0.3,
+    n_iter: int = 3,
+    scale: int = 10**6,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of semantic_dedup_incremental_quantized: the shared
+    fixed-point k-means prefix restricted to the CORPUS split, the same
+    exact-integer argmin assignment applied to the BATCH split, then a
+    batch-vs-corpus within-cell fold-exact cosine dominator join."""
+    q8 = f"list_transform(vd, x -> CAST(round(x * {float(scale)!r}) AS BIGINT))"
+    sqdist = (
+        f"list_sum(list_transform(range({dim}), j -> "
+        "(q.qv[j + 1] - c.cvec[j + 1]) * (q.qv[j + 1] - c.cvec[j + 1])))"
+    )
+    cos = (
+        "list_dot_product(x.vd, y.vd) / "
+        "(sqrt(list_dot_product(x.vd, x.vd)) * sqrt(list_dot_product(y.vd, y.vd)))"
+    )
+    nc = "(SELECT nc FROM params)"
+    return f"""{_qkmeans_sql_prefix(
+        n_iter=n_iter, scale=scale, dim=dim,
+        nc_sql=_SEMDEDUP_NC_SQL, corpus_where=_INCR_SEM_CORPUS_WHERE,
+    )},
+    bat AS (
+      SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS vd
+      FROM embeddings WHERE {_INCR_SEM_BATCH_WHERE}
+    ),
+    batq AS (SELECT b_id, {q8} AS qv FROM bat),
+    ba AS (
+      SELECT b_id, CAST(mp % {nc} AS BIGINT) AS cell FROM (
+        SELECT q.b_id, MIN({sqdist} * {nc} + c.cell) AS mp
+        FROM batq q CROSS JOIN c{n_iter} c GROUP BY q.b_id
+      )
+    ),
+    dom AS (
+      SELECT b.b_id, MIN(a.c_id) AS pruned_by
+      FROM ba b JOIN af a ON a.cell = b.cell
+      JOIN corp x ON a.c_id = x.c_id
+      JOIN bat y ON b.b_id = y.b_id
+      WHERE {cos} >= {threshold}
+      GROUP BY b.b_id
+    )
+    SELECT ba.b_id AS vec_id, ba.cell,
+           (d.b_id IS NULL) AS is_kept,
+           CAST(d.pruned_by AS BIGINT) AS pruned_by
+    FROM ba LEFT JOIN dom d ON ba.b_id = d.b_id
+    """
+
+
+@query("x1_incremental_semdedup", _incr_semdedup_oracle_sql())
+def x1_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 INCREMENTAL SemDeDup — the daily-ingest shape of semantic
+    dedup, and the embedding-space twin of x1_incremental_neardup: the
+    quantized k-means index is built from the EXISTING corpus alone
+    (vec_id % 10 != 9 as the deterministic split both engines agree on),
+    the NEW batch (vec_id % 10 == 9) is assigned to corpus cells with
+    the same exact-integer argmin, and a batch vector is pruned when any
+    same-cell corpus vector has cosine >= 0.3 (pruned_by = smallest
+    dominating corpus id). Fully oracle-checked end-to-end
+    (operators/similarity.py: semantic_dedup_incremental_quantized).
+
+    At 100 TB this is the operating mode that matters: the index builds
+    once per corpus version and amortizes across every ingest batch; a
+    batch costs one map-only assignment plus a cell-hash join against
+    only the touched cells — nothing quadratic in corpus size.
+    """
+    from .operators.similarity import semantic_dedup_incremental_quantized
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") % 10 != 9)
+    batch = e.filter(F.col("vec_id") % 10 == 9)
+    nc = _semdedup_n_centroids(corpus.count())
+    return semantic_dedup_incremental_quantized(
+        corpus, batch, "vec_id", "embedding",
+        threshold=0.3, n_centroids=nc, n_iter=3,
     )
 
 

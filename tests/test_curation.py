@@ -234,3 +234,41 @@ def test_quantized_assignment_arrow_matches_expression(spark, sf_small):
     got_expr = {r["c_id"]: r["_cell"] for r in a_expr.collect()}
     assert got_arrow == got_expr
     assert len(got_arrow) == e.count()
+
+
+def test_incremental_semdedup_judges_batch_against_corpus_only(spark):
+    """Asymmetric contract: only batch rows come back; a batch vector
+    near a corpus vector is pruned (pruned_by = that corpus id); a batch
+    vector near only ANOTHER BATCH vector is kept (intra-batch pairs are
+    out of contract); a far-from-everything batch vector is kept."""
+    import math
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.similarity import (
+        semantic_dedup_incremental_quantized,
+    )
+
+    dim = 8
+    axis = lambda j, s=1.0: [s if i == j else 0.0 for i in range(dim)]  # noqa: E731
+    corpus = spark.createDataFrame(
+        [(i, axis(i % 4)) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, axis(0, 0.99)),       # duplicate of corpus direction 0
+            (101, axis(5)),             # near batch-only vector 102
+            (102, axis(5, 0.98)),
+            (103, axis(6)),             # far from everything
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup_incremental_quantized(
+            corpus, batch, threshold=0.9, n_centroids=4, n_iter=2
+        ).collect()
+    }
+    assert set(out) == {100, 101, 102, 103}  # batch rows only
+    assert not out[100]["is_kept"] and out[100]["pruned_by"] == 0
+    assert out[101]["is_kept"] and out[102]["is_kept"]  # intra-batch pair kept
+    assert out[103]["is_kept"]
