@@ -1193,3 +1193,209 @@ def semantic_dedup_incremental_quantized(
             F.col("pruned_by").cast("long"),
         )
     )
+
+
+def ivfpq_topk_quantized(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 4,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    n_iter: int = 3,
+    shortlist: int = 50,
+    scale: int = 10**6,
+    dim: int = 64,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    corpus_id: str = "c_id",
+    corpus_vec: str = "c_vec",
+    use_arrow: bool = True,
+) -> DataFrame:
+    """IVF-PQ / IVFADC (Jégou et al. 2011) — the canonical billion-vector
+    index, composed here entirely in EXACT fixed-point arithmetic so the
+    whole pipeline is oracle-checkable: a coarse quantizer
+    (quantized_kmeans_cells) partitions the corpus into cells, each
+    vector's RESIDUAL against its cell centroid is product-quantized
+    with per-subspace integer Lloyd codebooks, and a query probes its
+    ``nprobe`` nearest cells, builds a per-(query, cell) residual ADC
+    lookup table, scans only the probed cells' 8-byte codes with exact
+    int64 ADC sums, and re-ranks a ``shortlist`` with the fold-exact
+    double cosine on the ORIGINAL vectors.
+
+    Why residuals: within a cell, vectors share the centroid's coarse
+    position, so quantizing (v - centroid) spends the codebook's
+    resolution on the locally-varying part — the standard reason IVFADC
+    beats flat PQ at equal code size. Why this composes at 100 TB: the
+    coarse index bounds the ADC scan to nprobe/n_centroids of the
+    corpus, codes are 32× smaller than vectors (memory residency), and
+    every stage is a map pass or a cell-hash join; the corpus is never
+    collected.
+    """
+    sub_dim = dim // n_subspaces
+
+    # 1. coarse quantizer + cell assignment
+    cents, af = quantized_kmeans_cells(
+        corpus, corpus_id, corpus_vec, n_centroids, n_iter, scale, use_arrow
+    )
+    corpq = corpus.select(
+        F.col(corpus_id), quantize_expr(corpus_vec, scale).alias("_qv")
+    ).localCheckpoint(eager=False)
+
+    # 2. integer residuals against the assigned centroid
+    res = (
+        corpq.join(af, corpus_id)
+        .join(F.broadcast(cents), "_cell")
+        .select(
+            F.col(corpus_id),
+            F.col("_cell"),
+            F.zip_with("_qv", "_cvec", lambda a, b: a - b).alias("_rv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    # 3. per-subspace codebooks trained on the residuals (same integer
+    #    Lloyd construction as pq_topk_quantized, keyed by subspace)
+    def to_subs(df: DataFrame, id_c: str, arr: str) -> DataFrame:
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("_sub"),
+                    F.slice(F.col(arr), s * sub_dim + 1, sub_dim).alias("_sv"),
+                )
+                for s in range(n_subspaces)
+            ]
+        )
+        return df.select(F.col(id_c), F.explode(entries).alias("_e")).select(
+            F.col(id_c), F.col("_e._sub").alias("_sub"), F.col("_e._sv").alias("_sv")
+        )
+
+    subs = to_subs(res, corpus_id, "_rv").localCheckpoint(eager=False)
+    w_init = Window.partitionBy("_sub").orderBy(corpus_id)
+    pcents = (
+        subs.withColumn("_rn", F.row_number().over(w_init))
+        .filter(F.col("_rn") <= n_codes)
+        .select("_sub", (F.col("_rn") - 1).alias("_cell"), F.col("_sv").alias("_cv"))
+    )
+
+    def assign(cc: DataFrame) -> DataFrame:
+        if use_arrow:
+            from ..functions.vectors import pq_codes_int_batch_udf
+
+            cb_rows = [
+                (int(r["_sub"]), int(r["_cell"]), [int(x) for x in r["_cv"]])
+                for r in cc.collect()
+            ]
+            kern = pq_codes_int_batch_udf(cb_rows, n_codes, sub_dim)
+            return res.select(
+                F.col(corpus_id),
+                F.posexplode(kern(F.col("_rv"))).alias("_sub", "_code"),
+            )
+        d = subs.join(F.broadcast(cc), "_sub")
+        packed = _int_sqdist_expr("_sv", "_cv") * n_codes + F.col("_cell")
+        return (
+            d.select(F.col(corpus_id), "_sub", packed.alias("_p"))
+            .groupBy(corpus_id, "_sub")
+            .agg(F.min("_p").alias("_mp"))
+            .select(
+                F.col(corpus_id), "_sub", (F.col("_mp") % n_codes).alias("_code")
+            )
+        )
+
+    for _ in range(n_iter):
+        assigned = assign(pcents).withColumnRenamed("_code", "_cell")
+        pos = assigned.join(subs, [corpus_id, "_sub"]).select(
+            "_sub", "_cell", F.posexplode("_sv").alias("_k", "_val")
+        )
+        means = (
+            pos.groupBy("_sub", "_cell", "_k")
+            .agg(F.sum("_val").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .select("_sub", "_cell", "_k", F.expr("_s div _n").alias("_m"))
+        )
+        newc = (
+            means.groupBy("_sub", "_cell")
+            .agg(F.array_sort(F.collect_list(F.struct("_k", "_m"))).alias("_ps"))
+            .select(
+                "_sub", "_cell", F.expr("transform(_ps, x -> x._m)").alias("_nv")
+            )
+        )
+        pcents = (
+            pcents.join(newc, ["_sub", "_cell"], "left")
+            .select("_sub", "_cell", F.coalesce("_nv", "_cv").alias("_cv"))
+            .localCheckpoint(eager=False)
+        )
+
+    codes = assign(pcents)
+
+    # 4. query side: probe nprobe nearest coarse cells
+    qq = queries.select(F.col(query_id), quantize_expr(query_vec, scale).alias("_qv"))
+    probes = (
+        qq.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(query_id),
+            F.col("_cell"),
+            F.col("_cvec"),
+            _int_sqdist_expr("_qv", "_cvec").alias("_d"),
+            F.col("_qv"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy(query_id).orderBy("_d", "_cell")),
+        )
+        .filter(F.col("_rn") <= nprobe)
+        .select(
+            query_id,
+            "_cell",
+            F.zip_with("_qv", "_cvec", lambda a, b: a - b).alias("_qrv"),
+        )
+    )
+
+    # 5. per-(query, probed cell) residual ADC lookup table
+    qsubs = to_subs(
+        probes.select(
+            F.concat_ws("|", F.col(query_id), F.col("_cell")).alias("_qc"), "_qrv"
+        ),
+        "_qc",
+        "_qrv",
+    ).select(
+        F.split("_qc", "\\|")[0].cast("long").alias(query_id),
+        F.split("_qc", "\\|")[1].cast("long").alias("_cell"),
+        "_sub",
+        "_sv",
+    )
+    adc = qsubs.join(F.broadcast(pcents.withColumnRenamed("_cell", "_code")), "_sub").select(
+        F.col(query_id),
+        F.col("_cell"),
+        "_sub",
+        "_code",
+        _int_sqdist_expr("_sv", "_cv").alias("_d"),
+    )
+
+    # 6. ADC scan over probed cells only, shortlist, exact re-rank
+    approxd = (
+        codes.join(af, corpus_id)
+        .join(
+            F.broadcast(adc),
+            ["_cell", "_sub", "_code"],
+        )
+        .groupBy(query_id, corpus_id)
+        .agg(F.sum("_d").alias("_ad"))
+    )
+    w_short = Window.partitionBy(query_id).orderBy("_ad", corpus_id)
+    short = (
+        approxd.withColumn("_rn", F.row_number().over(w_short))
+        .filter(F.col("_rn") <= shortlist)
+        .select(query_id, corpus_id)
+    )
+    sim = (
+        short.join(F.broadcast(queries), query_id)
+        .join(corpus, corpus_id)
+        .withColumn("sim", cosine_similarity_expr(query_vec, corpus_vec))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "sim", "rank")
+    )

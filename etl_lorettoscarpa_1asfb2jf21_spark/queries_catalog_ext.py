@@ -2404,6 +2404,184 @@ def x1_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpqq_oracle_sql(
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 4,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    n_iter: int = 3,
+    shortlist: int = 50,
+    scale: int = 10**6,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of ivfpq_topk_quantized (IVFADC): the shared coarse
+    fixed-point k-means prefix, integer residuals against the assigned
+    centroid, per-subspace residual codebooks unrolled per Lloyd
+    iteration, nprobe cell probing, per-(query, cell) residual ADC
+    tables, exact int64 ADC sums over probed cells only, fold-exact
+    shortlist re-rank — every stage bit-identical."""
+    sd = dim // n_subspaces
+    ncd = n_codes
+    q8 = f"list_transform(vd, x -> CAST(round(x * {float(scale)!r}) AS BIGINT))"
+    d8 = (
+        f"list_sum(list_transform(range({sd}), j -> "
+        "({a}[j + 1] - {b}[j + 1]) * ({a}[j + 1] - {b}[j + 1])))"
+    )
+    dfull = (
+        f"list_sum(list_transform(range({dim}), j -> "
+        "(q.qv[j + 1] - c.cvec[j + 1]) * (q.qv[j + 1] - c.cvec[j + 1])))"
+    )
+    players = [
+        f"""p0 AS (
+      SELECT sub, CAST(ROW_NUMBER() OVER (PARTITION BY sub ORDER BY c_id) - 1
+               AS BIGINT) AS cell, sv AS cv
+      FROM subs
+      WHERE c_id IN (SELECT c_id FROM corpq ORDER BY c_id LIMIT {ncd})
+    )"""
+    ]
+    for i in range(1, n_iter + 1):
+        d = d8.format(a="s.sv", b="c.cv")
+        players.append(
+            f"""pa{i} AS (
+      SELECT c_id, sub, CAST(mp % {ncd} AS BIGINT) AS cell FROM (
+        SELECT s.c_id, s.sub, MIN({d} * {ncd} + c.cell) AS mp
+        FROM subs s JOIN p{i - 1} c ON s.sub = c.sub GROUP BY s.c_id, s.sub
+      )
+    ), pm{i} AS (
+      SELECT a.sub, a.cell, r.j,
+             CASE WHEN SUM(s.sv[r.j + 1]) >= 0
+                  THEN CAST(SUM(s.sv[r.j + 1]) // COUNT(*) AS BIGINT)
+                  ELSE -CAST((-SUM(s.sv[r.j + 1])) // COUNT(*) AS BIGINT)
+             END AS m
+      FROM pa{i} a JOIN subs s ON a.c_id = s.c_id AND a.sub = s.sub
+      CROSS JOIN range({sd}) AS r(j)
+      GROUP BY a.sub, a.cell, r.j
+    ), p{i} AS (
+      SELECT p.sub, p.cell, COALESCE(n.cv, p.cv) AS cv
+      FROM p{i - 1} p LEFT JOIN (
+        SELECT sub, cell, list(m ORDER BY j) AS cv FROM pm{i} GROUP BY sub, cell
+      ) n ON p.sub = n.sub AND p.cell = n.cell
+    )"""
+        )
+    dcode = d8.format(a="s.sv", b="c.cv")
+    dq = d8.format(a="q.sv", b="c.cv")
+    cos = (
+        "list_dot_product(qs.vd, corp.vd) / "
+        "(sqrt(list_dot_product(qs.vd, qs.vd)) * sqrt(list_dot_product(corp.vd, corp.vd)))"
+    )
+    return f"""{_qkmeans_sql_prefix(n_centroids, n_iter, scale, dim)},
+    res AS (
+      SELECT af.c_id, af.cell,
+             list_transform(range({dim}), j -> corpq.qv[j + 1] - c.cvec[j + 1])
+               AS rv
+      FROM af JOIN corpq USING (c_id) JOIN c{n_iter} c ON af.cell = c.cell
+    ),
+    subs AS (
+      SELECT c_id, r.sub,
+             list_transform(range({sd}), j -> rv[r.sub * {sd} + j + 1]) AS sv
+      FROM res CROSS JOIN range({n_subspaces}) AS r(sub)
+    ),
+    {", ".join(players)},
+    codes AS (
+      SELECT c_id, sub, CAST(mp % {ncd} AS BIGINT) AS code FROM (
+        SELECT s.c_id, s.sub, MIN({dcode} * {ncd} + c.cell) AS mp
+        FROM subs s JOIN p{n_iter} c ON s.sub = c.sub GROUP BY s.c_id, s.sub
+      )
+    ),
+    qs AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS vd
+      FROM embeddings WHERE vec_id < 5
+    ),
+    qq AS (SELECT q_id, {q8} AS qv FROM qs),
+    probes AS (
+      SELECT q_id, cell FROM (
+        SELECT q.q_id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.q_id ORDER BY {dfull}, c.cell
+               ) AS rn
+        FROM qq q CROSS JOIN c{n_iter} c
+      ) WHERE rn <= {nprobe}
+    ),
+    qres AS (
+      SELECT p.q_id, p.cell,
+             list_transform(range({dim}), j -> qq.qv[j + 1] - c.cvec[j + 1])
+               AS rv
+      FROM probes p JOIN qq USING (q_id) JOIN c{n_iter} c USING (cell)
+    ),
+    qsubs AS (
+      SELECT q_id, cell, r.sub,
+             list_transform(range({sd}), j -> rv[r.sub * {sd} + j + 1]) AS sv
+      FROM qres CROSS JOIN range({n_subspaces}) AS r(sub)
+    ),
+    adc AS (
+      SELECT q.q_id, q.cell, c.sub, c.cell AS code, {dq} AS d
+      FROM qsubs q JOIN p{n_iter} c ON q.sub = c.sub
+    ),
+    approxd AS (
+      SELECT a.q_id, f.c_id, SUM(a.d) AS ad
+      FROM codes f JOIN af ON f.c_id = af.c_id
+      JOIN adc a ON af.cell = a.cell AND f.sub = a.sub AND f.code = a.code
+      GROUP BY a.q_id, f.c_id
+    ),
+    short AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ad, c_id) AS rn
+        FROM approxd
+      ) WHERE rn <= {shortlist}
+    ),
+    approx AS (
+      SELECT q_id, c_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+      FROM (
+        SELECT short.q_id, short.c_id, {cos} AS sim
+        FROM short JOIN qs ON short.q_id = qs.q_id JOIN corp ON short.c_id = corp.c_id
+      )
+    ),
+    exact AS (
+      SELECT q_id, c_id, rank AS exact_rank FROM (
+        SELECT qs.q_id, corp.c_id,
+               ROW_NUMBER() OVER (PARTITION BY qs.q_id ORDER BY {cos} DESC, corp.c_id)
+                 AS rank
+        FROM qs, corp
+      ) WHERE rank <= {k}
+    )
+    SELECT a.q_id, a.c_id, a.sim, CAST(a.rank AS BIGINT) AS rank,
+           CAST(e.exact_rank AS BIGINT) AS exact_rank
+    FROM approx a LEFT JOIN exact e ON a.q_id = e.q_id AND a.c_id = e.c_id
+    WHERE a.rank <= {k}
+    """
+
+
+@query("x2_topk_ivfpq", _ivfpqq_oracle_sql())
+def x2_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 scale path #4: IVF-PQ / IVFADC (Jégou et al. 2011) — the
+    canonical billion-vector architecture, fully oracle-checked: coarse
+    fixed-point k-means cells, per-subspace integer codebooks trained on
+    the RESIDUALS against each vector's centroid (codebook resolution
+    spent on the locally-varying part — why IVFADC beats flat PQ at
+    equal code size), nprobe cell probing with per-(query, cell)
+    residual ADC tables, exact int64 ADC over probed cells' 8-byte codes
+    only, fold-exact shortlist re-rank. Completes the ANN family
+    (brute force, LSH, IVF, PQ, IVF-PQ) with every member either fully
+    hash-verified or recall-gated. ``exact_rank`` embeds the per-row
+    quality gate as in the sibling queries.
+    """
+    from .operators.similarity import ivfpq_topk_quantized
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    approx = ivfpq_topk_quantized(
+        queries, corpus, k=10, n_centroids=8, nprobe=4,
+        n_subspaces=8, n_codes=16, n_iter=3, shortlist=50,
+    ).withColumn("rank", F.col("rank").cast("long"))
+    return _with_exact_rank(approx, queries, corpus)
+
+
 def _pqq_oracle_sql(
     k: int = 10,
     n_subspaces: int = 8,

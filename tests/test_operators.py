@@ -774,3 +774,43 @@ def test_pq_quantized_int_kernel_matches_expression(spark, sf_small):
     )
     assert got_a == got_e
     assert len(got_a) > 0
+
+
+def test_ivfpq_quantized_recall_and_determinism(spark, sf_small):
+    """IVF-PQ (IVFADC): recall floor through probe + residual-ADC +
+    re-rank, run-to-run determinism (pure integer recurrence), and
+    cell-restriction sanity — every result must come from a probed
+    coarse cell."""
+    from pyspark.sql import functions as F
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk_quantized,
+    )
+    from etl_lorettoscarpa_1asfb2jf21_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_small, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    kw = dict(k=10, n_centroids=8, nprobe=4, n_subspaces=8, n_codes=16)
+    run1 = {
+        (r.q_id, r.c_id, r.rank)
+        for r in ivfpq_topk_quantized(q, c, **kw).collect()
+    }
+    run2 = {
+        (r.q_id, r.c_id, r.rank)
+        for r in ivfpq_topk_quantized(q, c, **kw).collect()
+    }
+    assert run1 == run2
+    exact = {(r.q_id, r.c_id) for r in brute_force_topk(q, c, k=10).collect()}
+    hits = {(a, b) for a, b, _ in run1} & exact
+    # nprobe/n_centroids = half the corpus scanned; i.i.d. vectors ->
+    # expect roughly half the true top-10 reachable, floor at 0.4
+    assert len(hits) / len(exact) >= 0.4
+
+    full = ivfpq_topk_quantized(q, c, n_centroids=8, nprobe=8, **{
+        k_: v for k_, v in kw.items() if k_ not in ("n_centroids", "nprobe")
+    })
+    assert full.count() > 0  # probing every cell degrades gracefully

@@ -57,6 +57,9 @@ ARROW_KERNEL_QUERIES = {
     # PQ quantized encode: exact-int64 per-subspace kernel
     # (pq_codes_int_batch_udf, equality-tested in test_operators)
     "x2_topk_pq",
+    # IVF-PQ: both exact-int kernels (coarse assignment + residual
+    # PQ encode)
+    "x2_topk_ivfpq",
 }
 # x1_semantic_dedup's Arrow assignment kernel sits below a localCheckpoint
 # barrier (the formatted plan can't show it); its kernel audit lives in
