@@ -1676,10 +1676,11 @@ def sk1_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("x2_recall_report")  # approximate indexes are engine-specific — rows-only
 def x2_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 quality gate as a query: per-query recall@10 of both approximate
-    indexes (LSH, IVF, PQ+re-rank) against the exact brute-force top-10 — the
-    measurement a production ANN deployment runs continuously on a traffic
-    sample to tune (planes, bands) / (n_centroids, nprobe).
+    """X2 quality gate as a query: per-query recall@10 of the approximate
+    indexes (LSH, IVF, PQ+re-rank, IVF-PQ/IVFADC) against the exact
+    brute-force top-10 — the measurement a production ANN deployment runs
+    continuously on a traffic sample to tune (planes, bands) /
+    (n_centroids, nprobe) / (n_subspaces, n_codes).
 
     Scale: the recall join is on (q_id, c_id) pairs — k rows per query —
     negligible next to the searches themselves; the exact search runs on
@@ -1702,16 +1703,20 @@ def x2_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = ivf_topk(queries, corpus, k=10, n_centroids=16, nprobe=4).select(
         "q_id", "c_id"
     )
-    from .operators.similarity import pq_topk
+    from .operators.similarity import ivfpq_topk_quantized, pq_topk
 
     pq = pq_topk(
         queries, corpus, k=10, n_subspaces=8, n_codes=16, use_arrow=True
+    ).select("q_id", "c_id")
+    ivfpq = ivfpq_topk_quantized(
+        queries, corpus, k=10, n_centroids=8, nprobe=4, n_subspaces=8, n_codes=16
     ).select("q_id", "c_id")
 
     tagged = (
         lsh.withColumn("_m", F.lit("lsh"))
         .unionByName(ivf.withColumn("_m", F.lit("ivf")))
         .unionByName(pq.withColumn("_m", F.lit("pq")))
+        .unionByName(ivfpq.withColumn("_m", F.lit("ivfpq")))
     )
     hits = exact.join(tagged, ["q_id", "c_id"], "inner")
     per_q = hits.groupBy("q_id").agg(
@@ -1720,13 +1725,20 @@ def x2_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.when(F.col("_m") == m, 1).otherwise(0)).cast("double")
                 / F.lit(10.0)
             ).alias(f"recall_{m}")
-            for m in ("lsh", "ivf", "pq")
+            for m in ("lsh", "ivf", "pq", "ivfpq")
         ]
     )
     return (
         queries.select("q_id")
         .join(per_q, "q_id", "left")
-        .na.fill({"recall_lsh": 0.0, "recall_ivf": 0.0, "recall_pq": 0.0})
+        .na.fill(
+            {
+                "recall_lsh": 0.0,
+                "recall_ivf": 0.0,
+                "recall_pq": 0.0,
+                "recall_ivfpq": 0.0,
+            }
+        )
     )
 
 
