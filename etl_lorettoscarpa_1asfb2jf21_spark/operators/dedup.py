@@ -533,3 +533,52 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     return _verify(cand)
+
+
+def emit_anchored_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_micros_col: str,
+    order_cols: list[str],
+    horizon_us: int,
+) -> DataFrame:
+    """EMIT-ANCHORED duplicate suppression: within each key, keep an
+    event iff its timestamp is more than ``horizon_us`` after the last
+    KEPT event — the exact ``dropDuplicatesWithinWatermark`` contract
+    (horizon measured from the last emission, so a continuous retry
+    chain re-emits once per horizon), as opposed to st4's sliding-gap
+    form (horizon restarts at every arrival, chains suppressed
+    indefinitely).
+
+    The keep decision depends on the previous keep decision, so the scan
+    is inherently sequential PER KEY — this is the legitimate
+    ``applyInPandas`` case: Spark shuffles each key's rows to one task
+    (hash partition on the key) and a vectorized Arrow batch walks them
+    in order; across keys everything runs in parallel. Per-key cardinality
+    is event-rate × retention — bounded in any real telemetry schema; a
+    pathological single-key firehose would need horizon bucketing first.
+
+    Returns the KEPT rows (all input columns). Deterministic: rows are
+    walked in (``order_cols``) order, which callers make unique (e.g.
+    ts + event_id).
+    """
+    import pandas as pd
+
+    cols = list(df.columns)
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        us = pdf[ts_micros_col].to_numpy()
+        keep = [True] * len(us)
+        if len(us):
+            anchor = us[0]
+            for i in range(1, len(us)):
+                if us[i] - anchor > horizon_us:
+                    anchor = us[i]
+                else:
+                    keep[i] = False
+        return pdf.loc[keep, cols]
+
+    return df.repartition(*key_cols).groupBy(*key_cols).applyInPandas(
+        walk, df.schema
+    )

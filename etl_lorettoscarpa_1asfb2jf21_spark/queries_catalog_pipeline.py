@@ -1597,3 +1597,76 @@ def st4_horizon_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
         )
     )
+
+
+# =====================================================================
+# st5 — EMIT-ANCHORED dedup (the true dropDuplicatesWithinWatermark
+# contract st4's docstring distinguishes: horizon measured from the
+# last KEPT event, so a continuous retry chain re-emits once per
+# horizon — inherently sequential per key)
+# =====================================================================
+
+
+@query(
+    "st5_emit_anchored_dedup",
+    """
+    WITH RECURSIVE seq AS (
+      SELECT event_id, user_id, event_type,
+             epoch_us(ts) AS us,
+             CAST(strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS VARCHAR) AS ts_s,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    walk AS (
+      SELECT user_id, event_type, rn, us, event_id, ts_s,
+             us AS anchor, TRUE AS kept
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_type, s.rn, s.us, s.event_id, s.ts_s,
+             CASE WHEN s.us - w.anchor > 3600000000
+                  THEN s.us ELSE w.anchor END,
+             s.us - w.anchor > 3600000000
+      FROM walk w
+      JOIN seq s ON s.user_id = w.user_id
+                AND s.event_type = w.event_type
+                AND s.rn = w.rn + 1
+    )
+    SELECT event_id, user_id, event_type, ts_s FROM walk WHERE kept
+    """,
+)
+def st5_emit_anchored_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st5: EMIT-ANCHORED retry suppression — keep an event iff it lands
+    more than one hour after the last KEPT event of the same (user,
+    type): the exact ``dropDuplicatesWithinWatermark`` batch contract (a
+    continuous retry chain re-emits once per horizon), completing the
+    pair with st4's sliding-gap form. Each keep decision depends on the
+    PREVIOUS keep decision, so no fixed number of window passes can
+    express it — this is the sanctioned ``applyInPandas`` case
+    (operators/dedup.py: emit_anchored_dedup): one hash shuffle on the
+    key, then a vectorized Arrow walk per key, all keys in parallel.
+    The DuckDB twin steps the same recurrence with a recursive CTE
+    (every key advances one row per recursion round), so the whole
+    sequential contract is still fully hash-checked.
+
+    Scale: per-key cardinality = event rate × retention window, bounded
+    in any real telemetry schema; the shuffle is the only data movement.
+    """
+    from .operators.dedup import emit_anchored_dedup
+
+    e = load_table(spark, sf_dir, "events")
+    prepared = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("_us"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+    )
+    kept = emit_anchored_dedup(
+        prepared,
+        key_cols=["user_id", "event_type"],
+        ts_micros_col="_us",
+        order_cols=["_us", "event_id"],
+        horizon_us=3_600_000_000,
+    )
+    return kept.select("event_id", "user_id", "event_type", "ts_s")

@@ -814,3 +814,30 @@ def test_ivfpq_quantized_recall_and_determinism(spark, sf_small):
         k_: v for k_, v in kw.items() if k_ not in ("n_centroids", "nprobe")
     })
     assert full.count() > 0  # probing every cell degrades gracefully
+
+
+def test_emit_anchored_dedup_reemits_once_per_horizon(spark):
+    """Emit-anchored contract: a chain of events each 40min apart under a
+    60min horizon re-emits once per horizon (t0 kept, t0+40 and t0+80-40
+    ... suppressed relative to the ANCHOR, next keep at the first event
+    >60min after the last keep) — unlike sliding-gap, which keeps only
+    the chain head."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.dedup import (
+        emit_anchored_dedup,
+    )
+
+    minute = 60_000_000
+    rows = [(i, 1, "click", i * 40 * minute) for i in range(5)]  # 0,40,80,120,160
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, _us long"
+    )
+    kept = sorted(
+        r["event_id"]
+        for r in emit_anchored_dedup(
+            df, ["user_id", "event_type"], "_us", ["_us", "event_id"],
+            horizon_us=60 * minute,
+        ).collect()
+    )
+    # anchors: 0 -> keep; 40 (gap 40) drop; 80 (gap 80 > 60) keep;
+    # 120 (gap 40) drop; 160 (gap 80) keep
+    assert kept == [0, 2, 4]

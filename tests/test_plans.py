@@ -73,6 +73,12 @@ MAP_IN_PANDAS_QUERIES = {
     "x4_png_decode",
     "x4_jpeg_decode",
 }
+# The sanctioned applyInPandas surface: per-key sequential recurrences
+# that no fixed number of window passes can express (each keep decision
+# depends on the previous one). Everything else stays off grouped-pandas.
+GROUPED_PANDAS_QUERIES = {
+    "st5_emit_anchored_dedup",
+}
 
 
 @pytest.mark.parametrize("name", sorted(ALL_QUERIES))
@@ -81,7 +87,15 @@ def test_no_python_udf_in_any_catalog_plan(spark, sf_medium, name):
     allowed = ("ArrowEvalPython", "PythonUDF") if name in ARROW_KERNEL_QUERIES else ()
     if name in MAP_IN_PANDAS_QUERIES:
         allowed = ("MapInPandas", "PythonUDF")
-    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"):
+    if name in GROUPED_PANDAS_QUERIES:
+        allowed = ("FlatMapGroupsInPandas", "PythonUDF")
+    for marker in (
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "PythonUDF",
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+    ):
         if marker in allowed:
             continue
         assert marker not in plan, f"{name} fell off the JVM fast path: {marker}"
