@@ -916,3 +916,16 @@ QUERIES.update(_extras.QUERIES)
 ORACLE_SQL.update(_extras.ORACLE_SQL)
 QUERIES.update(_cur.QUERIES)
 ORACLE_SQL.update(_cur.ORACLE_SQL)
+
+# ---------------------------------------------------------------------
+# Registration-order invariant: every fully-oracle-checked query precedes
+# every rows-only one.  The driver samples the FIRST 50 entries of
+# ``queries()`` for CORRECTNESS_r{N}.json; keeping rows-only entries
+# (hash-based approximate ops whose exact values are engine-specific) at
+# the tail guarantees the sampled window carries a DuckDB oracle twin for
+# each query.  Relative order within each group is preserved.
+# tests/test_catalog.py asserts this structurally.
+QUERIES = {
+    **{k: v for k, v in QUERIES.items() if k in ORACLE_SQL},
+    **{k: v for k, v in QUERIES.items() if k not in ORACLE_SQL},
+}
