@@ -541,7 +541,7 @@ def emit_anchored_dedup(
     ts_micros_col: str,
     order_cols: list[str],
     horizon_us: int,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """EMIT-ANCHORED duplicate suppression: within each key, keep an
     event iff its timestamp is more than ``horizon_us`` after the last
@@ -558,10 +558,24 @@ def emit_anchored_dedup(
     key-major, anchor reset at key boundaries), so the per-group Python
     overhead is paid ``n_buckets`` times instead of once per key —
     measured ~7x at sf0.1 (8.2 s → 1.2 s) where the (user, type) keyspace is ~10³ —
-    while results are identical. ``n_buckets`` bounds task count; at
-    cluster scale set it ~active cores. Per-key cardinality is
-    event-rate × retention — bounded in any real telemetry schema; a
-    pathological single-key firehose would need horizon bucketing first.
+    while results are identical.
+
+    ``n_buckets`` defaults to ``max(64, 4 × defaultParallelism)`` so the
+    per-task pandas frame is bounded by the BUCKET, not the key:
+    ~``n_rows / n_buckets`` rows per task, shrinking as the cluster
+    grows. Pass it explicitly to pin task count. A pathological
+    single-key firehose (one key ≫ a bucket) would need horizon
+    bucketing + overlap stitching first — out of contract here.
+
+    The walk itself is numpy-vectorized: when timestamps are
+    nondecreasing in walk order (the normal case — callers lead
+    ``order_cols`` with the timestamp), any row whose gap from its
+    PREDECESSOR already exceeds the horizon is kept regardless of where
+    the anchor sits (anchor ≤ predecessor ts), so those rows plus key
+    starts split the bucket into residual chains and the Python
+    recurrence runs one ``searchsorted`` jump per KEPT row instead of
+    one branch per input row. Non-monotone inputs fall back to a per-row
+    scan over precomputed boundary masks.
 
     Returns the KEPT rows (all input columns). Deterministic: keys are
     walked in (``order_cols``) order, which callers make unique (e.g.
@@ -571,23 +585,53 @@ def emit_anchored_dedup(
     import pandas as pd
 
     cols = list(df.columns)
+    if n_buckets is None:
+        n_buckets = max(64, 4 * df.sparkSession.sparkContext.defaultParallelism)
 
     def walk(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(key_cols + order_cols, kind="mergesort").reset_index(
             drop=True
         )
-        us = pdf[ts_micros_col].to_numpy()
-        kvs = [pdf[k].to_numpy() for k in key_cols]
         n = len(pdf)
+        if n == 0:
+            return pdf.loc[[], cols]
+        us = pdf[ts_micros_col].to_numpy(dtype=np.int64)
+        # key-boundary mask, one vectorized compare per key column
+        new_key = np.zeros(n, dtype=bool)
+        new_key[0] = True
+        for k in key_cols:
+            kv = pdf[k].to_numpy()
+            new_key[1:] |= kv[1:] != kv[:-1]
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = us[1:] - us[:-1]
         keep = np.ones(n, dtype=bool)
-        anchor = 0
-        for i in range(n):
-            if i == 0 or any(kv[i] != kv[i - 1] for kv in kvs):
-                anchor = us[i]  # first row of a key: always kept
-            elif us[i] - anchor > horizon_us:
-                anchor = us[i]
-            else:
-                keep[i] = False
+        if n > 1 and not np.all(gap[~new_key] >= 0):
+            # non-monotone ts in walk order: general per-row recurrence
+            anchor = us[0]
+            for i in range(1, n):
+                if new_key[i] or us[i] - anchor > horizon_us:
+                    anchor = us[i]
+                else:
+                    keep[i] = False
+            return pdf.loc[keep, cols]
+        # monotone fast path: certain keeps anchor residual chains
+        certain = new_key | (gap > horizon_us)
+        starts = np.flatnonzero(certain)
+        ends = np.append(starts[1:], n)
+        # python loop only over chains that actually have follower rows
+        real = ends - starts > 1
+        for s, e in zip(starts[real].tolist(), ends[real].tolist()):
+            a = us[s]
+            i = s + 1
+            while i < e:
+                # first chain row strictly beyond anchor + horizon
+                j = i + int(np.searchsorted(us[i:e], a + horizon_us, side="right"))
+                keep[i:j] = False
+                if j >= e:
+                    break
+                a = us[j]
+                i = j + 1
         return pdf.loc[keep, cols]
 
     bucket = F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets))
