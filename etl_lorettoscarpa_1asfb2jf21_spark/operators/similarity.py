@@ -1257,7 +1257,8 @@ def ivfpq_topk_quantized(
 
     # 3. per-subspace codebooks trained on the residuals (same integer
     #    Lloyd construction as pq_topk_quantized, keyed by subspace)
-    def to_subs(df: DataFrame, id_c: str, arr: str) -> DataFrame:
+    def to_subs(df: DataFrame, id_cs: list[str], arr: str) -> DataFrame:
+        # id columns ride through as-is (any name/type — no key packing)
         entries = F.array(
             *[
                 F.struct(
@@ -1267,11 +1268,11 @@ def ivfpq_topk_quantized(
                 for s in range(n_subspaces)
             ]
         )
-        return df.select(F.col(id_c), F.explode(entries).alias("_e")).select(
-            F.col(id_c), F.col("_e._sub").alias("_sub"), F.col("_e._sv").alias("_sv")
+        return df.select(*id_cs, F.explode(entries).alias("_e")).select(
+            *id_cs, F.col("_e._sub").alias("_sub"), F.col("_e._sv").alias("_sv")
         )
 
-    subs = to_subs(res, corpus_id, "_rv").localCheckpoint(eager=False)
+    subs = to_subs(res, [corpus_id], "_rv").localCheckpoint(eager=False)
     w_init = Window.partitionBy("_sub").orderBy(corpus_id)
     pcents = (
         subs.withColumn("_rn", F.row_number().over(w_init))
@@ -1351,19 +1352,12 @@ def ivfpq_topk_quantized(
         )
     )
 
-    # 5. per-(query, probed cell) residual ADC lookup table
-    qsubs = to_subs(
-        probes.select(
-            F.concat_ws("|", F.col(query_id), F.col("_cell")).alias("_qc"), "_qrv"
-        ),
-        "_qc",
-        "_qrv",
-    ).select(
-        F.split("_qc", "\\|")[0].cast("long").alias(query_id),
-        F.split("_qc", "\\|")[1].cast("long").alias("_cell"),
-        "_sub",
-        "_sv",
-    )
+    # 5. per-(query, probed cell) residual ADC lookup table — the
+    # (query_id, _cell) key stays as two real columns through the
+    # subspace explode, so arbitrary query_id names/types survive
+    # (string-packing through concat_ws would NULL-cast non-integer ids
+    # and silently drop all of that query's probes).
+    qsubs = to_subs(probes, [query_id, "_cell"], "_qrv")
     adc = qsubs.join(F.broadcast(pcents.withColumnRenamed("_cell", "_code")), "_sub").select(
         F.col(query_id),
         F.col("_cell"),

@@ -816,6 +816,31 @@ def test_ivfpq_quantized_recall_and_determinism(spark, sf_small):
     assert full.count() > 0  # probing every cell degrades gracefully
 
 
+def test_ivfpq_string_query_id(spark, sf_small):
+    """The signature advertises arbitrary id columns: a STRING query_id
+    must flow through the probe/ADC join unharmed (regression for the
+    concat_ws key-packing that NULL-cast non-integer ids and silently
+    returned zero rows)."""
+    from pyspark.sql import functions as F
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.similarity import (
+        ivfpq_topk_quantized,
+    )
+    from etl_lorettoscarpa_1asfb2jf21_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_small, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.concat(F.lit("query-"), F.col("vec_id")).alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    got = ivfpq_topk_quantized(
+        q, c, k=5, n_centroids=4, nprobe=2, n_subspaces=8, n_codes=8
+    ).collect()
+    assert {r.q_id for r in got} == {"query-0", "query-1", "query-2"}
+    assert all(r.rank <= 5 for r in got)
+
+
 def test_emit_anchored_dedup_reemits_once_per_horizon(spark):
     """Emit-anchored contract: a chain of events each 40min apart under a
     60min horizon re-emits once per horizon (t0 kept, t0+40 and t0+80-40
