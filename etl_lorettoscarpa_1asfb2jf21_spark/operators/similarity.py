@@ -785,20 +785,52 @@ def quantized_kmeans_cells(
         )
 
     for _ in range(n_iter):
-        assigned = assign(cents)
-        pos = assigned.join(corpq, corpus_id).select(
-            "_cell", F.posexplode("_qv").alias("_k", "_val")
-        )
-        means = (
-            pos.groupBy("_cell", "_k")
-            .agg(F.sum("_val").alias("_s"), F.count(F.lit(1)).alias("_n"))
-            .select("_cell", "_k", F.expr("_s div _n").alias("_m"))
-        )
-        newc = (
-            means.groupBy("_cell")
-            .agg(F.array_sort(F.collect_list(F.struct("_k", "_m"))).alias("_ps"))
-            .select("_cell", F.expr("transform(_ps, x -> x._m)").alias("_nv"))
-        )
+        if use_arrow:
+            # the kernel maps corpq directly, so the vector rides along —
+            # no shuffle join back to the corpus, no posexplode to
+            # dim× the rows; element-wise integer sums are order-free,
+            # so the means (trunc div) are bit-identical to the old
+            # (_cell, _k) aggregate
+            from ..functions.vectors import nearest_cell_int_batch_udf
+
+            cents_rows = sorted(
+                (int(r["_cell"]), [int(x) for x in r["_cvec"]])
+                for r in cents.collect()
+            )
+            dim_i = len(cents_rows[0][1])
+            kern = nearest_cell_int_batch_udf(cents_rows, n_centroids)
+            pairs = corpq.select(kern(F.col("_qv")).alias("_cell"), "_qv")
+            newc = (
+                pairs.groupBy("_cell")
+                .agg(
+                    *[
+                        F.sum(F.col("_qv")[i]).alias(f"_s{i}")
+                        for i in range(dim_i)
+                    ],
+                    F.count(F.lit(1)).alias("_n"),
+                )
+                .select(
+                    "_cell",
+                    F.array(
+                        *[F.expr(f"_s{i} div _n") for i in range(dim_i)]
+                    ).alias("_nv"),
+                )
+            )
+        else:
+            assigned = assign(cents)
+            pos = assigned.join(corpq, corpus_id).select(
+                "_cell", F.posexplode("_qv").alias("_k", "_val")
+            )
+            means = (
+                pos.groupBy("_cell", "_k")
+                .agg(F.sum("_val").alias("_s"), F.count(F.lit(1)).alias("_n"))
+                .select("_cell", "_k", F.expr("_s div _n").alias("_m"))
+            )
+            newc = (
+                means.groupBy("_cell")
+                .agg(F.array_sort(F.collect_list(F.struct("_k", "_m"))).alias("_ps"))
+                .select("_cell", F.expr("transform(_ps, x -> x._m)").alias("_nv"))
+            )
         cents = (
             cents.join(newc, "_cell", "left")
             .select("_cell", F.coalesce("_nv", "_cvec").alias("_cvec"))
@@ -1304,21 +1336,56 @@ def ivfpq_topk_quantized(
             )
         )
 
+    def assign_with_sv(cc: DataFrame) -> DataFrame:
+        # arrow path: one map pass over res yields (code, subvector) pairs
+        # zipped positionally — no shuffle join back to `subs` needed to
+        # recover the subvectors for the means (same codes, same values)
+        from ..functions.vectors import pq_codes_int_batch_udf
+
+        cb_rows = [
+            (int(r["_sub"]), int(r["_cell"]), [int(x) for x in r["_cv"]])
+            for r in cc.collect()
+        ]
+        kern = pq_codes_int_batch_udf(cb_rows, n_codes, sub_dim)
+        slices = F.array(
+            *[
+                F.slice(F.col("_rv"), s * sub_dim + 1, sub_dim)
+                for s in range(n_subspaces)
+            ]
+        )
+        return res.select(
+            F.posexplode(
+                F.arrays_zip(kern(F.col("_rv")).alias("_c"), slices.alias("_v"))
+            ).alias("_sub", "_z")
+        ).select(
+            "_sub",
+            F.col("_z._c").alias("_cell"),
+            F.col("_z._v").alias("_sv"),
+        )
+
     for _ in range(n_iter):
-        assigned = assign(pcents).withColumnRenamed("_code", "_cell")
-        pos = assigned.join(subs, [corpus_id, "_sub"]).select(
-            "_sub", "_cell", F.posexplode("_sv").alias("_k", "_val")
-        )
-        means = (
-            pos.groupBy("_sub", "_cell", "_k")
-            .agg(F.sum("_val").alias("_s"), F.count(F.lit(1)).alias("_n"))
-            .select("_sub", "_cell", "_k", F.expr("_s div _n").alias("_m"))
-        )
+        if use_arrow:
+            pairs = assign_with_sv(pcents)
+        else:
+            assigned = assign(pcents).withColumnRenamed("_code", "_cell")
+            pairs = assigned.join(subs, [corpus_id, "_sub"]).select(
+                "_sub", "_cell", "_sv"
+            )
+        # element-wise integer sums per position — same values as the
+        # old posexplode + (_sub,_cell,_k) agg (integer addition is
+        # order-free) without materializing sub_dim× the rows
         newc = (
-            means.groupBy("_sub", "_cell")
-            .agg(F.array_sort(F.collect_list(F.struct("_k", "_m"))).alias("_ps"))
+            pairs.groupBy("_sub", "_cell")
+            .agg(
+                *[F.sum(F.col("_sv")[i]).alias(f"_s{i}") for i in range(sub_dim)],
+                F.count(F.lit(1)).alias("_n"),
+            )
             .select(
-                "_sub", "_cell", F.expr("transform(_ps, x -> x._m)").alias("_nv")
+                "_sub",
+                "_cell",
+                F.array(
+                    *[F.expr(f"_s{i} div _n") for i in range(sub_dim)]
+                ).alias("_nv"),
             )
         )
         pcents = (

@@ -1692,10 +1692,20 @@ def x2_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     over exact.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    # The five pipelines (exact + 4 indexes) each scan the corpus several
+    # times (training sample, assignment, search, re-rank) — materialize
+    # it ONCE so every pass reads local blocks instead of re-running the
+    # parquet scan + projection per pipeline. Values are unchanged
+    # (checkpoint is plan-level), so the report hash is identical.
+    queries = (
+        e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+        .localCheckpoint(eager=False)
     )
-    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    corpus = (
+        e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+        .localCheckpoint(eager=False)
+    )
     exact = brute_force_topk(queries, corpus, k=10).select("q_id", "c_id")
     lsh = lsh_topk(queries, corpus, k=10, dim=64, planes=16, bands=4).select(
         "q_id", "c_id"

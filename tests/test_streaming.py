@@ -565,3 +565,68 @@ def test_streaming_ivm_rewrites_only_touched_buckets(spark, tmp_path):
             assert after.get(p) == st, f"untouched file changed: {p}"
     assert any(p.startswith(touched_dir) and after.get(p) != before.get(p)
                for p in set(before) | set(after))
+
+
+def test_streaming_emit_anchored_matches_batch(spark, tmp_path, sf_small):
+    """The stateful streaming emit-anchored dedup must emit EXACTLY the
+    rows the batch operator (st5's contract) keeps on the same data, with
+    the per-key anchor surviving micro-batch boundaries: real events
+    split time-ordered across 3 files, one file per trigger."""
+    from pyspark.sql import functions as F
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.dedup import (
+        emit_anchored_dedup,
+    )
+    from etl_lorettoscarpa_1asfb2jf21_spark.sources.tables import load_table
+    from etl_lorettoscarpa_1asfb2jf21_spark.streaming.dedup import (
+        emit_anchored_dedup_stream,
+    )
+
+    horizon_us = 3_600_000_000
+    events = (
+        load_table(spark, sf_small, "events")
+        .select("event_id", "user_id", "event_type", F.col("ts").cast("timestamp"))
+    )
+    # time-ordered thirds -> micro-batches respect per-key event order
+    n = events.count()
+    ordered = events.orderBy("ts", "event_id").collect()
+    src = tmp_path / "ea_src"
+    src.mkdir()
+    for i, lo in enumerate(range(0, n, (n + 2) // 3)):
+        chunk = ordered[lo : lo + (n + 2) // 3]
+        spark.createDataFrame(chunk, events.schema).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out = emit_anchored_dedup_stream(
+        stream,
+        key_cols=["user_id", "event_type"],
+        ts_col="ts",
+        order_cols=["ts", "event_id"],
+        horizon_us=horizon_us,
+        watermark="2 hours",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ea_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(r["event_id"] for r in spark.table("ea_stream").collect())
+
+    batch = emit_anchored_dedup(
+        events.withColumn("_us", F.unix_micros("ts")),
+        key_cols=["user_id", "event_type"],
+        ts_micros_col="_us",
+        order_cols=["_us", "event_id"],
+        horizon_us=horizon_us,
+    )
+    want = sorted(r["event_id"] for r in batch.collect())
+    assert got == want and len(want) > 0
