@@ -219,14 +219,41 @@ def nearest_cell_int_batch_udf(centroids, n_centroids: int):
     cells = np.asarray([i for i, _ in centroids], dtype=np.int64)
     c2 = (C * C).sum(axis=1)  # (k,)
 
+    c_absmax = int(np.abs(C).max()) if C.size else 0
+    dim = C.shape[1] if C.size else 0
+
     def _cell(v):
         X = np.asarray(v.tolist(), dtype=np.int64)  # (n, dim)
+        _assert_packed_argmin_safe(
+            int(np.abs(X).max()) if X.size else 0, c_absmax, dim, n_centroids
+        )
         d2 = (X * X).sum(axis=1, keepdims=True) - 2 * (X @ C.T) + c2[None, :]
         packed = d2 * np.int64(n_centroids) + cells[None, :]
         return pandas.Series(packed.min(axis=1) % np.int64(n_centroids))
 
     _cell.__annotations__ = {"v": pandas.Series, "return": pandas.Series}
     return pandas_udf(_cell, "long")
+
+
+def _assert_packed_argmin_safe(
+    x_absmax: int, c_absmax: int, dim: int, n_cells: int
+) -> None:
+    """Fail fast instead of silently wrapping int64: the packed argmin
+    ``d² · n_cells + cell`` needs dim·(|x|+|c|)² · n_cells < 2⁶³. With
+    normalized inputs at scale=1e6 this holds by orders of magnitude, but
+    UNNORMALIZED vectors or a data-derived n_cells ~ sqrt(n) at ~1e9 rows
+    can reach within ~12% of the limit — wraparound there would corrupt
+    cell assignments with no error. Checked per Arrow batch from the
+    ACTUAL data magnitudes (one abs().max() per batch — negligible next
+    to the matmul)."""
+    bound = dim * (x_absmax + c_absmax) ** 2 * n_cells + n_cells
+    if bound >= 2**63:
+        raise OverflowError(
+            f"packed argmin would overflow int64: dim={dim}, "
+            f"max|x|={x_absmax}, max|c|={c_absmax}, n_cells={n_cells} "
+            f"gives bound {bound} >= 2^63. Normalize the vectors or "
+            "lower the quantization scale."
+        )
 
 
 def pq_codes_int_batch_udf(codebooks, n_codes: int, sub_dim: int):
@@ -263,8 +290,13 @@ def pq_codes_int_batch_udf(codebooks, n_codes: int, sub_dim: int):
         cellss.append(np.asarray([c for c, _ in entries], dtype=np.int64))
         c2s.append((C * C).sum(axis=1))
 
+    cb_absmax = max((int(np.abs(C).max()) for C in Cs if C.size), default=0)
+
     def _codes(v):
         X = np.asarray(v.tolist(), dtype=np.int64)  # (n, dim)
+        _assert_packed_argmin_safe(
+            int(np.abs(X).max()) if X.size else 0, cb_absmax, sub_dim, n_codes
+        )
         out = np.empty((X.shape[0], len(subs)), dtype=np.int64)
         for j, s in enumerate(subs):
             Xs = X[:, s * sub_dim : (s + 1) * sub_dim]

@@ -1022,6 +1022,10 @@ def pq_topk_quantized(
     """
     sub_dim = dim // n_subspaces
 
+    from ..functions.vectors import _assert_packed_argmin_safe
+
+    _assert_packed_argmin_safe(scale, scale, dim, n_codes)
+
     def to_subs(df: DataFrame, id_c: str, vec_c: str) -> DataFrame:
         q = quantize_expr(vec_c, scale)
         entries = F.array(
@@ -1266,6 +1270,16 @@ def ivfpq_topk_quantized(
     collected.
     """
     sub_dim = dim // n_subspaces
+
+    # fail fast on the theoretical packing bound (residual components are
+    # ≤ 2·scale for normalized inputs, so both sides of every argmin are
+    # bounded by 2·scale); the Arrow kernels re-check per batch from the
+    # ACTUAL magnitudes, which also catches unnormalized vectors
+    from ..functions.vectors import _assert_packed_argmin_safe
+
+    _assert_packed_argmin_safe(
+        2 * scale, 2 * scale, dim, max(n_centroids, n_codes)
+    )
 
     # 1. coarse quantizer + cell assignment
     cents, af = quantized_kmeans_cells(

@@ -214,3 +214,22 @@ def test_blank_to_null_python_whitespace(spark):
     }
     assert out[0] is None and out[2] is None and out[3] is None
     assert out[1] == " x "
+
+
+def test_packed_argmin_overflow_guard():
+    """The int kernels must raise instead of silently wrapping int64 when
+    magnitudes × cell count exceed the packing headroom (unnormalized
+    vectors / oversized scale would otherwise corrupt assignments)."""
+    import numpy as np
+    import pytest
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.functions.vectors import (
+        _assert_packed_argmin_safe,
+    )
+
+    # normal operating point: far under the limit
+    _assert_packed_argmin_safe(10**6, 10**6, 64, 1024)
+    # ~1e9-row SemDeDup point from the advisory: sqrt(n) centroids with
+    # doubled magnitudes crosses 2^63
+    with pytest.raises(OverflowError):
+        _assert_packed_argmin_safe(2 * 10**6, 2 * 10**6, 64, 32768)
