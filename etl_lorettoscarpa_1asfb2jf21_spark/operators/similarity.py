@@ -787,50 +787,36 @@ def quantized_kmeans_cells(
     for _ in range(n_iter):
         if use_arrow:
             # the kernel maps corpq directly, so the vector rides along —
-            # no shuffle join back to the corpus, no posexplode to
-            # dim× the rows; element-wise integer sums are order-free,
-            # so the means (trunc div) are bit-identical to the old
-            # (_cell, _k) aggregate
+            # NO shuffle join of the assignment back to the corpus (the
+            # join was the per-iteration data movement that hurts at
+            # scale; the explode feeds a map-side partial agg, so the
+            # shuffle is n_centroids·dim rows regardless of corpus size)
             from ..functions.vectors import nearest_cell_int_batch_udf
 
             cents_rows = sorted(
                 (int(r["_cell"]), [int(x) for x in r["_cvec"]])
                 for r in cents.collect()
             )
-            dim_i = len(cents_rows[0][1])
             kern = nearest_cell_int_batch_udf(cents_rows, n_centroids)
-            pairs = corpq.select(kern(F.col("_qv")).alias("_cell"), "_qv")
-            newc = (
-                pairs.groupBy("_cell")
-                .agg(
-                    *[
-                        F.sum(F.col("_qv")[i]).alias(f"_s{i}")
-                        for i in range(dim_i)
-                    ],
-                    F.count(F.lit(1)).alias("_n"),
-                )
-                .select(
-                    "_cell",
-                    F.array(
-                        *[F.expr(f"_s{i} div _n") for i in range(dim_i)]
-                    ).alias("_nv"),
-                )
+            pos = corpq.select(
+                kern(F.col("_qv")).alias("_cell"),
+                F.posexplode("_qv").alias("_k", "_val"),
             )
         else:
             assigned = assign(cents)
             pos = assigned.join(corpq, corpus_id).select(
                 "_cell", F.posexplode("_qv").alias("_k", "_val")
             )
-            means = (
-                pos.groupBy("_cell", "_k")
-                .agg(F.sum("_val").alias("_s"), F.count(F.lit(1)).alias("_n"))
-                .select("_cell", "_k", F.expr("_s div _n").alias("_m"))
-            )
-            newc = (
-                means.groupBy("_cell")
-                .agg(F.array_sort(F.collect_list(F.struct("_k", "_m"))).alias("_ps"))
-                .select("_cell", F.expr("transform(_ps, x -> x._m)").alias("_nv"))
-            )
+        means = (
+            pos.groupBy("_cell", "_k")
+            .agg(F.sum("_val").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .select("_cell", "_k", F.expr("_s div _n").alias("_m"))
+        )
+        newc = (
+            means.groupBy("_cell")
+            .agg(F.array_sort(F.collect_list(F.struct("_k", "_m"))).alias("_ps"))
+            .select("_cell", F.expr("transform(_ps, x -> x._m)").alias("_nv"))
+        )
         cents = (
             cents.join(newc, "_cell", "left")
             .select("_cell", F.coalesce("_nv", "_cvec").alias("_cvec"))

@@ -318,6 +318,56 @@ def write_warehouse(wh: Warehouse, base_path: str) -> None:
 _CURRENT_POINTER = "_CURRENT"
 
 
+def _pointer_fs(spark: SparkSession, base_path: str):
+    """(FileSystem, Path) for the pointer — resolved from ``base_path``'s
+    own scheme via the Hadoop FileSystem API, so the protocol works
+    wherever the data files go (file:, hdfs:, s3a:, ...), not just on a
+    driver-local filesystem."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{base_path}/{_CURRENT_POINTER}")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, p
+
+
+def _write_pointer_atomic(spark: SparkSession, base_path: str, version: str) -> None:
+    """Write the version id to a temp object, then atomically rename over
+    `_CURRENT` (FileContext.rename(..., OVERWRITE): atomic on POSIX and
+    HDFS; on S3A the rename degrades to copy+delete — use a conditional
+    PUT on the pointer object there, as the protocol comment notes)."""
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    fs, pointer = _pointer_fs(spark, base_path)
+    tmp = jvm.org.apache.hadoop.fs.Path(str(pointer) + f".tmp.{version}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(version.encode("utf-8")))
+    finally:
+        out.close()
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        pointer.toUri(), spark._jsc.hadoopConfiguration()
+    )
+    rename_cls = jvm.org.apache.hadoop.fs.Options.Rename
+    opts = gw.new_array(rename_cls, 1)
+    opts[0] = rename_cls.OVERWRITE
+    fc.rename(tmp, pointer, opts)
+
+
+def _read_pointer(spark: SparkSession, base_path: str) -> str | None:
+    """Resolve `_CURRENT` through the Hadoop FileSystem of base_path;
+    None if no pointer exists (legacy flat layout)."""
+    jvm = spark._jvm
+    fs, pointer = _pointer_fs(spark, base_path)
+    if not fs.exists(pointer):
+        return None
+    stream = fs.open(pointer)
+    try:
+        return (
+            jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8").strip()
+        )
+    finally:
+        stream.close()
+
+
 def publish_warehouse(
     wh: Warehouse, base_path: str, version: str | None = None
 ) -> str:
@@ -325,32 +375,42 @@ def publish_warehouse(
     above). Returns the published version id. Raises — WITHOUT moving the
     pointer — if the audit read-back row counts disagree with the source
     frames."""
-    import os
     import uuid
+
+    from pyspark import StorageLevel
 
     version = version or uuid.uuid4().hex
     vdir = f"{base_path}/_v/{version}"
-    write_warehouse(wh, vdir)  # WRITE: into the immutable version dir
 
-    # AUDIT: re-read what actually landed on disk and compare counts
-    spark = wh.fato_lancamento.sparkSession
-    back = _read_warehouse_dir(spark, vdir)
+    # persist the source frames FIRST so the write and the audit count
+    # share one computation of each lineage instead of recomputing the
+    # full upstream plan per consumer (spill-safe level — a huge gold
+    # layer must not be pinned to executor memory)
+    cached = Warehouse()
     for name in GOLD_TABLES:
-        expect = getattr(wh, name).count()
-        got = getattr(back, name).count()
-        if expect != got:
-            raise RuntimeError(
-                f"audit failed for {name}: wrote {expect} rows, "
-                f"read back {got}; version {version} NOT published"
-            )
+        setattr(
+            cached, name, getattr(wh, name).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    spark = cached.fato_lancamento.sparkSession
+    try:
+        write_warehouse(cached, vdir)  # WRITE: into the immutable version dir
 
-    # PUBLISH: atomic pointer replace
-    os.makedirs(base_path, exist_ok=True)
-    pointer = os.path.join(base_path, _CURRENT_POINTER)
-    tmp = pointer + f".tmp.{version}"
-    with open(tmp, "w", encoding="utf-8") as f:
-        f.write(version)
-    os.replace(tmp, pointer)
+        # AUDIT: re-read what actually landed on disk and compare counts
+        back = _read_warehouse_dir(spark, vdir)
+        for name in GOLD_TABLES:
+            expect = getattr(cached, name).count()
+            got = getattr(back, name).count()
+            if expect != got:
+                raise RuntimeError(
+                    f"audit failed for {name}: wrote {expect} rows, "
+                    f"read back {got}; version {version} NOT published"
+                )
+    finally:
+        for name in GOLD_TABLES:
+            getattr(cached, name).unpersist()
+
+    # PUBLISH: atomic pointer replace through base_path's own filesystem
+    _write_pointer_atomic(spark, base_path, version)
     return version
 
 
@@ -374,11 +434,7 @@ def read_warehouse(spark: SparkSession, base_path: str) -> Warehouse:
     fact schema omits them, so they are dropped here — month-scoped readers
     that want pruning filter the parquet directly.
     """
-    import os
-
-    pointer = os.path.join(base_path, _CURRENT_POINTER)
-    if os.path.exists(pointer):
-        with open(pointer, encoding="utf-8") as f:
-            version = f.read().strip()
+    version = _read_pointer(spark, base_path)
+    if version is not None:
         return _read_warehouse_dir(spark, f"{base_path}/_v/{version}")
     return _read_warehouse_dir(spark, base_path)
