@@ -295,13 +295,24 @@ def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
 # codec — canonical Huffman entropy coding with 0xFF byte stuffing,
 # DQT/SOF0/DHT/SOS marker parsing, DC prediction + magnitude ("extend")
 # decoding, zigzag, dequantization, and a full orthonormal 2-D IDCT.
-# The generator (make_jpeg) emits images whose 8x8 blocks are each FLAT:
-# a flat block has only a DC coefficient, DC quant step 8 makes
-# round(8*(v-128)/8) = v-128 exact, and the IDCT of a DC-only block is
-# flat at F(0,0)/8 — so the lossy pipeline is exactly invertible for
-# these payloads and the decoded pixels are closed-form oracle-checkable
-# (query x4_jpeg_decode). The AC/run-length/Huffman machinery is fully
-# general and exercised by a textured lossy round-trip unit test
+# The generator (make_jpeg) emits images whose 8x8 blocks are a HORIZONTAL
+# COSINE over a flat base: block b of doc d has pixels
+#     p(x) = round(g + a * c_x),  c_x = 2*sqrt(2)*cos((2x+1)*pi/16),
+# constant down each column. That is exactly the (0,0)+(0,1) DCT pair:
+# rows identical kill every row-frequency coefficient, the antisymmetry
+# c_{7-x} = -c_x makes the DC of the ROUNDED image exact (sum of the
+# per-column roundings cancels pairwise), and the <=0.5/pixel rounding
+# perturbation moves any DCT coefficient by at most sqrt(8)*8*0.5*max|A| ~
+# 5.5 < 8 = half the AC quant step — so FDCT+quantize provably lands on
+# DC = g-128 (step 8, exact) and AC(0,1) = a (step 16, exact), all else 0,
+# for EVERY (g, a) in range. Dequant+IDCT then reproduces g + a*c_x to
+# float precision, and the nearest rounding tie is 0.0377 away over the
+# whole amplitude domain (pinned by a unit test) — so the lossy pipeline
+# is exactly invertible for these payloads and the decoded pixels are
+# closed-form oracle-checkable (query x4_jpeg_decode) while exercising the
+# REAL AC path: run/size Huffman symbols, EXTEND, zigzag, AC dequant and
+# the full 2-D IDCT. Fully general AC machinery (ZRL, long runs, EOB) is
+# additionally covered by the textured lossy round-trip unit test
 # (tests/test_multimodal.py).
 
 
@@ -391,8 +402,28 @@ def jpeg_blocks(doc_id: int) -> tuple[int, int]:
 
 
 def jpeg_block_value(doc_id: int, b: int) -> int:
-    """Flat gray value of block index b — mirrored in the SQL oracle."""
-    return (doc_id * 13 + b * 29) % 256
+    """Base gray g of block index b — mirrored in the SQL oracle. Range
+    [28, 228]: with max cosine amplitude 7*2.78 ~ 19.5 the pixel stays in
+    [8, 248], so the decoder's clamp never fires and the oracle needs no
+    CLAMP term."""
+    return 28 + (doc_id * 13 + b * 29) % 201
+
+
+def jpeg_block_amp(doc_id: int, b: int) -> int:
+    """Signed AC(0,1) amplitude a in [-7, 7] of block index b — mirrored
+    in the SQL oracle. a = 0 blocks keep the DC-only/EOB path covered."""
+    return (doc_id * 7 + b * 11) % 15 - 7
+
+
+def jpeg_ac_basis() -> list[float]:
+    """The 8 per-column cosine weights c_x = 2*sqrt(2)*cos((2x+1)*pi/16):
+    a dequantized unit AC(0,1) coefficient (value 16) contributes exactly
+    a*c_x to every pixel of column x through the orthonormal IDCT
+    (16 * sqrt(1/8) * A[1,x] = 2*sqrt(2)*cos). Embedded as repr() literals
+    in the DuckDB oracle so both engines evaluate the identical doubles."""
+    import math
+
+    return [2.0 * math.sqrt(2.0) * math.cos((2 * x + 1) * math.pi / 16) for x in range(8)]
 
 
 def _qtable_raster(qtable: np.ndarray) -> np.ndarray:
@@ -476,13 +507,18 @@ def encode_jpeg_gray(img: np.ndarray, qtable: np.ndarray = _JPEG_QTABLE) -> byte
 
 
 def make_jpeg(doc_id: int) -> bytes:
-    """A valid baseline JPEG whose 8x8 blocks are flat at formula-driven
-    gray values — the exactly-invertible payload (see module comment)."""
+    """A valid baseline JPEG whose 8x8 blocks carry a formula-driven base
+    gray PLUS one horizontal-cosine AC component — the exactly-invertible
+    textured payload (see module comment for the invertibility proof)."""
     bwn, bhn = jpeg_blocks(doc_id)
+    basis = np.array(jpeg_ac_basis())
     img = np.zeros((bhn * 8, bwn * 8), dtype=np.uint8)
     for b in range(bwn * bhn):
         by, bx = divmod(b, bwn)
-        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = jpeg_block_value(doc_id, b)
+        row = np.round(
+            jpeg_block_value(doc_id, b) + jpeg_block_amp(doc_id, b) * basis
+        ).astype(np.uint8)
+        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = row  # broadcast down rows
     return encode_jpeg_gray(img)
 
 

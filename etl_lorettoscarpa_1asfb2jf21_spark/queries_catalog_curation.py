@@ -511,9 +511,23 @@ def x4_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X4 — real JPEG decode (canonical Huffman + dequant + IDCT)
 # =====================================================================
 
+# The per-column cosine weights of a dequantized unit AC(0,1) coefficient,
+# embedded as repr() literals so DuckDB parses the exact doubles the
+# decoder's IDCT produces (plan-time-constant trick; the nearest rounding
+# tie is 0.0377 away — pinned by tests/test_multimodal.py — so the two
+# engines' ROUND calls cannot disagree).
+def _jpeg_basis_sql() -> str:
+    from .multimodal.codecs import jpeg_ac_basis
+
+    return ", ".join(repr(v) for v in jpeg_ac_basis())
+
+
+_JPEG_BASIS = _jpeg_basis_sql()
+
+
 @query(
     "x4_jpeg_decode",
-    """
+    f"""
     WITH dims AS (
       SELECT doc_id, CAST(1 + doc_id % 4 AS BIGINT) AS bw,
              CAST(1 + doc_id % 3 AS BIGINT) AS bh
@@ -521,14 +535,25 @@ def x4_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), blk AS (
       SELECT doc_id, bw, bh, unnest(range(0, bw * bh)) AS b
       FROM dims
+    ), px AS (
+      SELECT doc_id, bw, bh,
+             28 + (doc_id * 13 + b * 29) % 201 AS g,
+             (doc_id * 7 + b * 11) % 15 - 7 AS a,
+             unnest(range(0, 8)) AS x
+      FROM blk
+    ), vals AS (
+      SELECT doc_id, bw, bh,
+             CAST(ROUND(g + a * list_extract(
+               LIST_VALUE({_JPEG_BASIS}), x + 1)) AS BIGINT) AS p
+      FROM px
     )
     SELECT doc_id, CAST(bw * 8 AS BIGINT) AS width,
            CAST(bh * 8 AS BIGINT) AS height,
            CAST(1 AS BIGINT) AS n_channels,
-           CAST(SUM((doc_id * 13 + b * 29) % 256) * 64 AS BIGINT) AS sum_px,
-           CAST(MIN((doc_id * 13 + b * 29) % 256) AS BIGINT) AS min_px,
-           CAST(MAX((doc_id * 13 + b * 29) % 256) AS BIGINT) AS max_px
-    FROM blk
+           CAST(SUM(p) * 8 AS BIGINT) AS sum_px,
+           CAST(MIN(p) AS BIGINT) AS min_px,
+           CAST(MAX(p) AS BIGINT) AS max_px
+    FROM vals
     GROUP BY doc_id, bw, bh
     """,
 )
@@ -538,15 +563,19 @@ def x4_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     dependency-free real decoder (multimodal/codecs.py: canonical-Huffman
     entropy decode with 0xFF00 unstuffing, DC prediction + EXTEND,
     inverse zigzag, dequantization, full 2-D IDCT, level shift) — the
-    format class BMP/PNG could not cover. The generator's 8x8 blocks are
-    each FLAT, so the lossy DCT pipeline is exactly invertible for these
-    payloads (DC quant step 8; a flat block has only a DC coefficient)
-    and the DuckDB twin recomputes the decoded pixel statistics in closed
-    form from the block-value formula without ever seeing the bytes: any
-    Huffman/stuffing/zigzag/dequant/IDCT bug breaks the hash. The
-    general AC/run-length path is exercised by the textured lossy
-    round-trip test in tests/test_multimodal.py. Same Arrow mapInPandas
-    shape as x4_bmp_decode/x4_png_decode."""
+    format class BMP/PNG could not cover. Each generated 8x8 block is a
+    base gray g PLUS a horizontal cosine of amplitude a: exactly the
+    (DC, AC(0,1)) coefficient pair, both provably exact through
+    FDCT+quantize for every (g, a) in range (see the invertibility proof
+    at codecs.py's JPEG section), so the oracle exercises the REAL AC
+    decode path — run/size Huffman symbols, EXTEND on AC magnitudes, AC
+    dequantization and the cosine terms of the IDCT — and the DuckDB
+    twin recomputes the decoded pixel statistics in closed form (the 8
+    cosine weights embedded as repr() double literals) without ever
+    seeing the bytes: any Huffman/stuffing/zigzag/dequant/IDCT bug
+    breaks the hash. Longer runs/ZRL/EOB interplay is exercised by the
+    textured lossy round-trip test in tests/test_multimodal.py. Same
+    Arrow mapInPandas shape as x4_bmp_decode/x4_png_decode."""
     import pandas as pd
 
     from .multimodal.codecs import decode_jpeg, make_jpeg

@@ -92,7 +92,7 @@ def test_sample_video_frames(media_df):
 
 def test_real_decode_jpeg_path(spark):
     """A genuine baseline JPEG payload decodes for real through the
-    Arrow batch (flat blocks → exactly invertible)."""
+    Arrow batch (textured DC+AC blocks → exactly invertible)."""
     from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (
         jpeg_blocks,
         make_jpeg,
@@ -112,19 +112,25 @@ def test_real_decode_jpeg_path(spark):
         )
 
 
-def test_jpeg_flat_blocks_round_trip_exactly():
-    """Every 8x8-flat generated payload decodes back to the exact formula
-    values for a spread of doc ids (DC-only path, byte stuffing, DC
-    prediction across blocks, multi-block rasters)."""
-    import numpy as np
+def test_jpeg_textured_blocks_round_trip_exactly():
+    """Every generated payload decodes back to the exact closed-form
+    pixel values for a spread of doc ids (DC + AC(0,1) path: byte
+    stuffing, DC prediction across blocks, AC run/size symbols, EXTEND,
+    AC dequant, the cosine IDCT terms, multi-block rasters). The closed
+    form is evaluated the way the DuckDB oracle evaluates it — ROUND
+    half-away on g + a*c_x — so this also pins oracle == decoder."""
+    import math
 
     from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (
         decode_jpeg,
+        jpeg_ac_basis,
+        jpeg_block_amp,
         jpeg_block_value,
         jpeg_blocks,
         make_jpeg,
     )
 
+    basis = jpeg_ac_basis()
     for doc_id in (0, 1, 7, 11, 128, 255, 2767):
         w, h, c, img = decode_jpeg(make_jpeg(doc_id))
         bw, bh = jpeg_blocks(doc_id)
@@ -132,7 +138,45 @@ def test_jpeg_flat_blocks_round_trip_exactly():
         for b in range(bw * bh):
             by, bx = divmod(b, bw)
             blk = img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8, 0]
-            assert (blk == jpeg_block_value(doc_id, b)).all()
+            g, a = jpeg_block_value(doc_id, b), jpeg_block_amp(doc_id, b)
+            expect = [math.floor(g + a * basis[x] + 0.5) for x in range(8)]
+            for x in range(8):
+                assert (blk[:, x] == expect[x]).all(), (doc_id, b, x)
+
+
+def test_jpeg_ac_coefficients_exact_for_all_amplitudes():
+    """The invertibility proof, checked exhaustively: for EVERY amplitude
+    a in [-7, 7] (and boundary base grays), FDCT+quantize of the rounded
+    textured block lands exactly on DC = g-128, AC(0,1) = a, all else 0
+    — i.e. the encoder's lossy pipeline is lossless on the generator's
+    payload class — and the nearest rounding tie across the whole
+    amplitude domain is far beyond IDCT float noise."""
+    import math
+
+    import numpy as np
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (
+        _JPEG_A,
+        _JPEG_QTABLE,
+        _qtable_raster,
+        jpeg_ac_basis,
+    )
+
+    basis = np.array(jpeg_ac_basis())
+    qr = _qtable_raster(_JPEG_QTABLE)
+    # tie margin: |frac(a*c_x) - 0.5| bounded away from 0 for all (a, x)
+    margin = min(
+        abs((a * basis[x]) % 1.0 - 0.5) for a in range(-7, 8) for x in range(8)
+    )
+    assert margin > 1e-3, margin  # measured 0.0377; IDCT noise ~1e-12
+    for a in range(-7, 8):
+        for g in (28, 128, 228):
+            row = np.round(g + a * basis)
+            blk = np.tile(row, (8, 1)) - 128.0
+            Fq = np.round((_JPEG_A @ blk @ _JPEG_A.T) / qr).astype(int)
+            want = np.zeros((8, 8), dtype=int)
+            want[0, 0], want[0, 1] = g - 128, a
+            assert (Fq == want).all(), (g, a)
 
 
 def test_jpeg_textured_lossy_round_trip_within_quant_error():
