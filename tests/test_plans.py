@@ -36,10 +36,12 @@ ALL_QUERIES = {**CORE_QUERIES, **EXT_QUERIES}
 # row-at-a-time Python (BatchEvalPython) is banned outright.
 # x1_embedding_neardup / x2_topk_lsh run the PORTABLE fold path in the
 # catalog (fully JVM-side, full DuckDB oracle); their Arrow kernels remain
-# the operator-level production default and are exercised via
-# x2_recall_report (which runs lsh_topk with use_arrow=True).
+# the operator-level production default and are audited directly in
+# test_lsh_arrow_kernel_node_visible below. x2_recall_report builds its
+# four index pipelines concurrently behind eager localCheckpoints (the
+# formatted final plan can't show their Arrow nodes — the semantic_dedup
+# precedent); each pipeline's kernel audit lives with its x2_topk_* twin.
 ARROW_KERNEL_QUERIES = {
-    "x2_recall_report",
     # PQ encode: the Arrow argmin kernel measured >2x the native
     # 128-aggregate-expression path at sf0.1 (equality-tested)
     "x2_topk_pq_float",
@@ -104,6 +106,26 @@ def test_no_python_udf_in_any_catalog_plan(spark, sf_medium, name):
 @pytest.mark.parametrize("name", sorted(ARROW_KERNEL_QUERIES))
 def test_arrow_kernel_queries_use_one_arrow_node(spark, sf_medium, name):
     plan = plan_of(ALL_QUERIES[name](spark, sf_medium))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_lsh_arrow_kernel_node_visible(spark, sf_medium):
+    """The production LSH path (use_arrow=True) runs its banded-bucket
+    projection through the Arrow matmul kernel — audited here directly
+    because the catalog surfaces it only inside x2_recall_report, whose
+    eager-checkpointed pipelines hide the node from the final plan."""
+    from pyspark.sql import functions as F
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.similarity import lsh_topk
+    from etl_lorettoscarpa_1asfb2jf21_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_medium, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    plan = plan_of(lsh_topk(q, c, k=5, dim=64, planes=16, bands=4, use_arrow=True))
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
 
