@@ -311,3 +311,39 @@ def pq_codes_int_batch_udf(codebooks, n_codes: int, sub_dim: int):
 
     _codes.__annotations__ = {"v": pandas.Series, "return": pandas.Series}
     return pandas_udf(_codes, "array<long>")
+
+
+def int_sqdist_pair_batch_udf():
+    """Arrow-batched EXACT-INTEGER pairwise squared L2 between two
+    scaled-int64 vector columns: sum((a_i - b_i)²) in pure int64 numpy —
+    bit-identical to the native ``_int_sqdist_expr`` fold (integer
+    addition is order-free), so oracle hashes are unaffected by which
+    path runs (equality-tested in tests/test_operators.py).
+
+    The IVF candidate-scoring fast path: ranking the probed cells'
+    candidates with the interpreted zip_with/aggregate fold costs
+    ~|candidates|·dim interpreted lambda steps (the measured wall-time
+    cliff at 200k x 128-d was 322 s); one numpy batch op replaces them.
+    No packing, so the guard bound is just dim·(|a|+|b|)² < 2⁶³ —
+    checked per batch from actual magnitudes."""
+    import numpy as np
+    import pandas
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def _d2(a, b):
+        A = np.asarray(a.tolist(), dtype=np.int64)
+        B = np.asarray(b.tolist(), dtype=np.int64)
+        if A.size:
+            _assert_packed_argmin_safe(
+                int(np.abs(A).max()), int(np.abs(B).max()), A.shape[1], 1
+            )
+        d = A - B
+        return pandas.Series((d * d).sum(axis=1))
+
+    _d2.__annotations__ = {
+        "a": pandas.Series,
+        "b": pandas.Series,
+        "return": pandas.Series,
+    }
+    return pandas_udf(_d2, "long")

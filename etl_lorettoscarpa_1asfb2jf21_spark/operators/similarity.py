@@ -787,36 +787,55 @@ def quantized_kmeans_cells(
     for _ in range(n_iter):
         if use_arrow:
             # the kernel maps corpq directly, so the vector rides along —
-            # NO shuffle join of the assignment back to the corpus (the
-            # join was the per-iteration data movement that hurts at
-            # scale; the explode feeds a map-side partial agg, so the
-            # shuffle is n_centroids·dim rows regardless of corpus size)
+            # NO shuffle join of the assignment back to the corpus, and
+            # NO posexplode above the kernel column: Spark plans Python
+            # eval ABOVE Generate, so exploding next to the kernel output
+            # re-evaluates the kernel on dim× the rows (measured 2.7 s ->
+            # 90 s per iteration at 200k x 128-d). Element-wise sums per
+            # cell keep the kernel at one eval per corpus row and feed a
+            # codegen hash agg whose shuffle is n_centroids rows; integer
+            # sums are order-free, so the truncating means are
+            # bit-identical to the explode form and the oracle twins.
             from ..functions.vectors import nearest_cell_int_batch_udf
 
             cents_rows = sorted(
                 (int(r["_cell"]), [int(x) for x in r["_cvec"]])
                 for r in cents.collect()
             )
+            dim_i = len(cents_rows[0][1])
             kern = nearest_cell_int_batch_udf(cents_rows, n_centroids)
-            pos = corpq.select(
-                kern(F.col("_qv")).alias("_cell"),
-                F.posexplode("_qv").alias("_k", "_val"),
+            pairs = corpq.select(kern(F.col("_qv")).alias("_cell"), "_qv")
+            newc = (
+                pairs.groupBy("_cell")
+                .agg(
+                    *[
+                        F.sum(F.col("_qv")[i]).alias(f"_s{i}")
+                        for i in range(dim_i)
+                    ],
+                    F.count(F.lit(1)).alias("_n"),
+                )
+                .select(
+                    "_cell",
+                    F.array(
+                        *[F.expr(f"_s{i} div _n") for i in range(dim_i)]
+                    ).alias("_nv"),
+                )
             )
         else:
             assigned = assign(cents)
             pos = assigned.join(corpq, corpus_id).select(
                 "_cell", F.posexplode("_qv").alias("_k", "_val")
             )
-        means = (
-            pos.groupBy("_cell", "_k")
-            .agg(F.sum("_val").alias("_s"), F.count(F.lit(1)).alias("_n"))
-            .select("_cell", "_k", F.expr("_s div _n").alias("_m"))
-        )
-        newc = (
-            means.groupBy("_cell")
-            .agg(F.array_sort(F.collect_list(F.struct("_k", "_m"))).alias("_ps"))
-            .select("_cell", F.expr("transform(_ps, x -> x._m)").alias("_nv"))
-        )
+            means = (
+                pos.groupBy("_cell", "_k")
+                .agg(F.sum("_val").alias("_s"), F.count(F.lit(1)).alias("_n"))
+                .select("_cell", "_k", F.expr("_s div _n").alias("_m"))
+            )
+            newc = (
+                means.groupBy("_cell")
+                .agg(F.array_sort(F.collect_list(F.struct("_k", "_m"))).alias("_ps"))
+                .select("_cell", F.expr("transform(_ps, x -> x._m)").alias("_nv"))
+            )
         cents = (
             cents.join(newc, "_cell", "left")
             .select("_cell", F.coalesce("_nv", "_cvec").alias("_cvec"))
@@ -833,6 +852,7 @@ def ivf_topk_quantized(
     n_centroids: int = 16,
     nprobe: int = 4,
     n_iter: int = 3,
+    shortlist: int = 50,
     scale: int = 10**6,
     query_id: str = "q_id",
     query_vec: str = "q_vec",
@@ -851,15 +871,27 @@ def ivf_topk_quantized(
     smallest-md5(id) corpus vectors (a deterministic uniform corpus-wide
     draw); argmin ties break toward the lower cell via
     the ``dist*n_centroids + cell`` integer packing; empty cells keep
-    their previous centroid. The final re-rank is exact double cosine on
-    the ORIGINAL float vectors over probed cells only.
+    their previous centroid.
+
+    Search is the faithful IVFFlat two-stage: candidates in the probed
+    cells are RANKED BY EXACT int64 squared distance on the stored
+    (quantized) vectors — FAISS IVFFlat's scan, here an Arrow int-matmul
+    batch or the equivalent native fold, both bit-identical — and only a
+    ``max(k, shortlist)``-deep shortlist per query pays the fold-exact
+    double cosine on the ORIGINAL float vectors (ties toward the lower
+    corpus id at both stages, so the whole pipeline stays
+    oracle-checkable). Scoring every probed candidate with the
+    interpreted cosine fold instead was the measured wall-time cliff at
+    real vector scale: 322 s -> ~8 s at 200k x 128-d, nprobe/n_centroids
+    = 16/64 (tools/vector_probe.py).
 
     Scale design: k-means here trains DISTRIBUTED on the full corpus (vs
     train_unit_centroids' bounded-sample driver Lloyd) — per iteration one
     broadcast-join assignment pass (centroids are n_centroids rows) plus
     one posexplode/groupBy for the per-dim means (|corpus|·dim rows,
     hash-aggregated); no corpus collect at any point. Probing reads
-    nprobe/n_centroids of the corpus per query.
+    nprobe/n_centroids of the corpus per query; the cosine stage is
+    bounded by shortlist·|queries| rows.
     """
     cents, final_assign = quantized_kmeans_cells(
         corpus, corpus_id, corpus_vec, n_centroids, n_iter, scale, use_arrow
@@ -872,6 +904,7 @@ def ivf_topk_quantized(
             F.col(query_id),
             F.col("_cell"),
             _int_sqdist_expr("_qv", "_cvec").alias("_d"),
+            F.col("_qv"),
         )
         .withColumn(
             "_rn",
@@ -880,11 +913,27 @@ def ivf_topk_quantized(
             ),
         )
         .filter(F.col("_rn") <= nprobe)
-        .select(query_id, "_cell")
+        .select(query_id, "_cell", "_qv")
     )
-    cand = probes.join(final_assign, "_cell").select(query_id, corpus_id)
+    corpq = corpus.select(
+        F.col(corpus_id), quantize_expr(corpus_vec, scale).alias("_cqv")
+    ).join(final_assign, corpus_id)
+    cand = probes.join(corpq, "_cell")
+    if use_arrow:
+        from ..functions.vectors import int_sqdist_pair_batch_udf
+
+        d2 = int_sqdist_pair_batch_udf()(F.col("_qv"), F.col("_cqv"))
+    else:
+        d2 = _int_sqdist_expr("_qv", "_cqv")
+    w_short = Window.partitionBy(query_id).orderBy("_d2", corpus_id)
+    short = (
+        cand.select(query_id, corpus_id, d2.alias("_d2"))
+        .withColumn("_sr", F.row_number().over(w_short))
+        .filter(F.col("_sr") <= max(k, shortlist))
+        .select(query_id, corpus_id)
+    )
     sim = (
-        cand.join(F.broadcast(queries), query_id)
+        short.join(F.broadcast(queries), query_id)
         .join(corpus, corpus_id)
         .withColumn("sim", cosine_similarity_expr(query_vec, corpus_vec))
     )
@@ -1012,29 +1061,29 @@ def pq_topk_quantized(
 
     _assert_packed_argmin_safe(scale, scale, dim, n_codes)
 
-    def to_subs(df: DataFrame, id_c: str, vec_c: str) -> DataFrame:
-        q = quantize_expr(vec_c, scale)
+    def to_subs(dfq: DataFrame, id_c: str) -> DataFrame:
+        # slices read the ALREADY-QUANTIZED "_qv" column: quantize_expr is
+        # an interpreted higher-order transform, and referencing it once
+        # per subspace slice inlines n_subspaces copies into the plan —
+        # 16x the interpreted work per row (measured 78 s just to build
+        # `subs` at 200k x 128-d; ~8 s via this projection boundary).
         entries = F.array(
             *[
                 F.struct(
                     F.lit(s).alias("_sub"),
-                    F.slice(q, s * sub_dim + 1, sub_dim).alias("_sv"),
+                    F.slice(F.col("_qv"), s * sub_dim + 1, sub_dim).alias("_sv"),
                 )
                 for s in range(n_subspaces)
             ]
         )
-        return df.select(F.col(id_c), F.explode(entries).alias("_e")).select(
+        return dfq.select(F.col(id_c), F.explode(entries).alias("_e")).select(
             F.col(id_c), F.col("_e._sub").alias("_sub"), F.col("_e._sv").alias("_sv")
         )
 
-    subs = to_subs(corpus, corpus_id, corpus_vec).localCheckpoint(eager=False)
-    corpq = (
-        corpus.select(
-            F.col(corpus_id), quantize_expr(corpus_vec, scale).alias("_qv")
-        ).localCheckpoint(eager=False)
-        if use_arrow
-        else None
-    )
+    corpq = corpus.select(
+        F.col(corpus_id), quantize_expr(corpus_vec, scale).alias("_qv")
+    ).localCheckpoint(eager=False)
+    subs = to_subs(corpq, corpus_id).localCheckpoint(eager=False)
 
     w_init = Window.partitionBy("_sub").orderBy(corpus_id)
     cents = (
@@ -1068,20 +1117,53 @@ def pq_topk_quantized(
         )
 
     for _ in range(n_iter):
-        assigned = assign(cents)
-        pos = assigned.join(subs, [corpus_id, "_sub"]).select(
-            "_sub", "_cell", F.posexplode("_sv").alias("_k", "_val")
-        )
-        means = (
-            pos.groupBy("_sub", "_cell", "_k")
-            .agg(F.sum("_val").alias("_s"), F.count(F.lit(1)).alias("_n"))
-            .select("_sub", "_cell", "_k", F.expr("_s div _n").alias("_m"))
-        )
+        if use_arrow:
+            # one map pass over corpq yields (code, subvector) pairs
+            # zipped positionally (kernel evaluates BELOW the Generate —
+            # one eval per corpus row) — no shuffle join of the 3.2M-row
+            # assignment back to `subs` to recover subvectors for the
+            # means (the per-iteration data movement that hurts at
+            # scale); element-wise integer sums are order-free, so the
+            # truncating means are bit-identical to the explode form.
+            from ..functions.vectors import pq_codes_int_batch_udf
+
+            cb_rows = [
+                (int(r["_sub"]), int(r["_cell"]), [int(x) for x in r["_cv"]])
+                for r in cents.collect()
+            ]
+            kern = pq_codes_int_batch_udf(cb_rows, n_codes, sub_dim)
+            slices = F.array(
+                *[
+                    F.slice(F.col("_qv"), s * sub_dim + 1, sub_dim)
+                    for s in range(n_subspaces)
+                ]
+            )
+            pairs = corpq.select(
+                F.posexplode(
+                    F.arrays_zip(kern(F.col("_qv")).alias("_c"), slices.alias("_v"))
+                ).alias("_sub", "_z")
+            ).select(
+                "_sub",
+                F.col("_z._c").alias("_cell"),
+                F.col("_z._v").alias("_sv"),
+            )
+        else:
+            assigned = assign(cents)
+            pairs = assigned.join(subs, [corpus_id, "_sub"]).select(
+                "_sub", F.col("_cell"), "_sv"
+            )
         newc = (
-            means.groupBy("_sub", "_cell")
-            .agg(F.array_sort(F.collect_list(F.struct("_k", "_m"))).alias("_ps"))
+            pairs.groupBy("_sub", "_cell")
+            .agg(
+                *[F.sum(F.col("_sv")[i]).alias(f"_s{i}") for i in range(sub_dim)],
+                F.count(F.lit(1)).alias("_n"),
+            )
             .select(
-                "_sub", "_cell", F.expr("transform(_ps, x -> x._m)").alias("_nv")
+                "_sub",
+                "_cell",
+                F.array(
+                    *[F.expr(f"_s{i} div _n") for i in range(sub_dim)]
+                ).alias("_nv"),
             )
         )
         cents = (
@@ -1092,7 +1174,12 @@ def pq_topk_quantized(
 
     codes = assign(cents)
 
-    qsubs = to_subs(queries, query_id, query_vec)
+    qsubs = to_subs(
+        queries.select(
+            F.col(query_id), quantize_expr(query_vec, scale).alias("_qv")
+        ),
+        query_id,
+    )
     adc = qsubs.join(F.broadcast(cents), "_sub").select(
         F.col(query_id),
         "_sub",

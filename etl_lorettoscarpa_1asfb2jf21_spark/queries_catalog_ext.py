@@ -2232,12 +2232,16 @@ def _ivfq_oracle_sql(
     n_centroids: int = 16,
     nprobe: int = 4,
     n_iter: int = 3,
+    shortlist: int = 50,
     scale: int = 10**6,
     dim: int = 64,
 ) -> str:
     """DuckDB twin of ivf_topk_quantized: the shared fixed-point-k-means
-    prefix (_qkmeans_sql_prefix) + quantized-query probing + the proven
-    fold-exact double-cosine re-rank."""
+    prefix (_qkmeans_sql_prefix) + quantized-query probing + the IVFFlat
+    two-stage search — exact-int64 squared-distance shortlist over the
+    probed cells' QUANTIZED vectors (round 5; one integer expression, so
+    still bit-exact), then the proven fold-exact double-cosine re-rank on
+    the shortlist only."""
     q8 = f"list_transform(vd, x -> CAST(round(x * {float(scale)!r}) AS BIGINT))"
     sqdist = (
         "list_sum(list_transform(range({d}), j -> "
@@ -2266,12 +2270,23 @@ def _ivfq_oracle_sql(
     cand AS (
       SELECT p.q_id, af.c_id FROM probes p JOIN af USING (cell)
     ),
+    short AS (
+      SELECT q_id, c_id FROM (
+        SELECT cand.q_id, cand.c_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY cand.q_id
+                 ORDER BY {sqdist.format(d=dim, a='q.qv', b='cq.qv')}, cand.c_id
+               ) AS sr
+        FROM cand JOIN qq q ON cand.q_id = q.q_id
+                  JOIN corpq cq ON cand.c_id = cq.c_id
+      ) WHERE sr <= {max(k, shortlist)}
+    ),
     approx AS (
       SELECT q_id, c_id, sim,
              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
       FROM (
-        SELECT cand.q_id, cand.c_id, {cos} AS sim
-        FROM cand JOIN qs ON cand.q_id = qs.q_id JOIN corp ON cand.c_id = corp.c_id
+        SELECT short.q_id, short.c_id, {cos} AS sim
+        FROM short JOIN qs ON short.q_id = qs.q_id JOIN corp ON short.c_id = corp.c_id
       )
     ),
     exact AS (
