@@ -1547,3 +1547,113 @@ def ivfpq_topk_quantized(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "sim", "rank")
     )
+
+
+def sign_words_expr(vec_col, dim: int, word_bits: int = 32):
+    """Pack per-coordinate sign bits (``v[j] >= 0``) into BIGINT words.
+
+    The 1-bit (binary-quantization) vector code: bit ``j`` of word ``w``
+    is set iff coordinate ``w*word_bits + j`` is non-negative. 32 bits per
+    word keeps every intermediate positive and far from int64 overflow, so
+    the packing is plain integer addition of power-of-two literals — any
+    engine reproduces it bit-exactly (the DuckDB twin uses the identical
+    CASE/shift form). Sign extraction is a float comparison against zero,
+    which is exact under float->double widening, so the code is
+    engine-independent even though the inputs are floats.
+    """
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    n_words = (dim + word_bits - 1) // word_bits
+    words = []
+    for w in range(n_words):
+        word = F.lit(0).cast("long")
+        for j in range(min(word_bits, dim - w * word_bits)):
+            word = word + F.when(
+                c[w * word_bits + j].cast("double") >= 0,
+                F.lit(1 << j).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        words.append(word)
+    return F.array(*words)
+
+
+def hamming_words_expr(a: str, b: str):
+    """Exact Hamming distance between two equal-length BIGINT word arrays."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(a), F.col(b), lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def bq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    shortlist: int = 50,
+    word_bits: int = 32,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    corpus_id: str = "c_id",
+    corpus_vec: str = "c_vec",
+) -> DataFrame:
+    """Binary-quantization top-k: 1-bit sign codes, Hamming scan, cosine
+    re-rank — the modern binary-embedding retrieval baseline.
+
+    Encode packs each vector's coordinate signs into ``dim/word_bits``
+    int64 words (sign_words_expr) — 32x smaller than float32, so a 100 TB
+    float corpus becomes ~3 TB of codes that fit page-cache-resident on a
+    modest cluster. Search is a full scan, but over codes: per (query,
+    vector) pair the cost is ``n_words`` XOR+POPCNT ops
+    (hamming_words_expr), the cheapest candidate filter any index offers
+    and a natural SIMD/codegen shape. A ``max(k, shortlist)``-deep
+    Hamming shortlist per query (ties toward the lower corpus id) then
+    pays the fold-exact double cosine on the ORIGINAL float vectors.
+
+    Unlike lsh_topk (random-hyperplane buckets — probabilistic candidate
+    RECALL), the code here is the deterministic coordinate-sign vector and
+    every corpus vector is scored, so the shortlist can never miss a
+    near-neighbour whose Hamming distance ranks it; the trade is the O(n)
+    scan, which is why production systems layer BQ inside IVF cells — the
+    composition is exactly ivf + this scan and both pieces exist here.
+    Every stage (packing, XOR/POPCNT, ranking) is integer-exact and fully
+    native JVM codegen — no Python anywhere, and the whole pipeline is
+    hash-verified against the DuckDB twin (queries_catalog_ext.x2_topk_bq).
+
+    Scale: queries broadcast (one corpus scan, no shuffle until the
+    k-rows-per-query aggregations); the corpus code table is never
+    collected.
+    """
+    qw = F.broadcast(
+        queries.select(
+            F.col(query_id), sign_words_expr(query_vec, dim, word_bits).alias("_qw")
+        )
+    )
+    cw = spread(
+        corpus.select(
+            F.col(corpus_id), sign_words_expr(corpus_vec, dim, word_bits).alias("_cw")
+        )
+    )
+    ham = cw.crossJoin(qw).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        hamming_words_expr("_qw", "_cw").alias("_ham"),
+    )
+    w_short = Window.partitionBy(query_id).orderBy("_ham", corpus_id)
+    short = (
+        ham.withColumn("_sr", F.row_number().over(w_short))
+        .filter(F.col("_sr") <= max(k, shortlist))
+        .select(query_id, corpus_id)
+    )
+    sim = (
+        short.join(F.broadcast(queries), query_id)
+        .join(corpus, corpus_id)
+        .withColumn("sim", cosine_similarity_expr(query_vec, corpus_vec))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "sim", "rank")
+    )

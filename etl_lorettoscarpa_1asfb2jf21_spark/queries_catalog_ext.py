@@ -1677,10 +1677,10 @@ def sk1_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("x2_recall_report")  # approximate indexes are engine-specific — rows-only
 def x2_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 quality gate as a query: per-query recall@10 of the approximate
-    indexes (LSH, IVF, PQ+re-rank, IVF-PQ/IVFADC) against the exact
-    brute-force top-10 — the measurement a production ANN deployment runs
-    continuously on a traffic sample to tune (planes, bands) /
-    (n_centroids, nprobe) / (n_subspaces, n_codes).
+    indexes (LSH, IVF, PQ+re-rank, IVF-PQ/IVFADC, binary quantization)
+    against the exact brute-force top-10 — the measurement a production ANN
+    deployment runs continuously on a traffic sample to tune (planes,
+    bands) / (n_centroids, nprobe) / (n_subspaces, n_codes) / shortlist.
 
     Scale: the recall join is on (q_id, c_id) pairs — k rows per query —
     negligible next to the searches themselves; the exact search runs on
@@ -1713,7 +1713,7 @@ def x2_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from concurrent.futures import ThreadPoolExecutor
 
-    from .operators.similarity import ivfpq_topk_quantized, pq_topk
+    from .operators.similarity import bq_topk, ivfpq_topk_quantized, pq_topk
 
     exact = brute_force_topk(queries, corpus, k=10).select("q_id", "c_id")
     # The four index pipelines are independent, and each one's cost is a
@@ -1730,7 +1730,7 @@ def x2_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _run(build):
         return build().select("q_id", "c_id").localCheckpoint(eager=True)
 
-    with ThreadPoolExecutor(4) as pool:
+    with ThreadPoolExecutor(5) as pool:
         f_lsh = pool.submit(
             _run, lambda: lsh_topk(queries, corpus, k=10, dim=64, planes=16, bands=4)
         )
@@ -1750,8 +1750,12 @@ def x2_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_subspaces=8, n_codes=16,
             ),
         )
-        lsh, ivf, pq, ivfpq = (
-            f_lsh.result(), f_ivf.result(), f_pq.result(), f_ivfpq.result()
+        f_bq = pool.submit(
+            _run, lambda: bq_topk(queries, corpus, k=10, dim=64, shortlist=50)
+        )
+        lsh, ivf, pq, ivfpq, bq = (
+            f_lsh.result(), f_ivf.result(), f_pq.result(), f_ivfpq.result(),
+            f_bq.result(),
         )
 
     tagged = (
@@ -1759,6 +1763,7 @@ def x2_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ivf.withColumn("_m", F.lit("ivf")))
         .unionByName(pq.withColumn("_m", F.lit("pq")))
         .unionByName(ivfpq.withColumn("_m", F.lit("ivfpq")))
+        .unionByName(bq.withColumn("_m", F.lit("bq")))
     )
     hits = exact.join(tagged, ["q_id", "c_id"], "inner")
     per_q = hits.groupBy("q_id").agg(
@@ -1767,7 +1772,7 @@ def x2_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.when(F.col("_m") == m, 1).otherwise(0)).cast("double")
                 / F.lit(10.0)
             ).alias(f"recall_{m}")
-            for m in ("lsh", "ivf", "pq", "ivfpq")
+            for m in ("lsh", "ivf", "pq", "ivfpq", "bq")
         ]
     )
     return (
@@ -1779,6 +1784,7 @@ def x2_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "recall_ivf": 0.0,
                 "recall_pq": 0.0,
                 "recall_ivfpq": 0.0,
+                "recall_bq": 0.0,
             }
         )
     )
@@ -2797,4 +2803,92 @@ def x2_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = pq_topk_quantized(
         queries, corpus, k=10, n_subspaces=8, n_codes=16, n_iter=3, shortlist=50
     ).withColumn("rank", F.col("rank").cast("long"))
+    return _with_exact_rank(approx, queries, corpus)
+
+
+def _bq_oracle_sql(
+    k: int = 10, dim: int = 64, shortlist: int = 50, word_bits: int = 32
+) -> str:
+    """DuckDB twin of operators/similarity.bq_topk: identical sign-bit
+    packing (CASE + BIGINT shift per coordinate — integer addition, exact),
+    identical XOR/POPCNT Hamming ordering, then the proven fold-exact
+    double-cosine re-rank + exact-rank join used by every X2 oracle."""
+    n_words = (dim + word_bits - 1) // word_bits
+
+    def word(w: int) -> str:
+        return (
+            f"list_sum(list_transform(range({word_bits}), j -> "
+            f"CASE WHEN vd[{w * word_bits} + j + 1] >= 0 "
+            f"THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END))"
+        )
+
+    words = ", ".join(word(w) for w in range(n_words))
+    ham = " + ".join(
+        f"bit_count(xor(q.w[{i + 1}], c.w[{i + 1}]))" for i in range(n_words)
+    )
+    cos = (
+        "list_dot_product(qs.vd, corp.vd) / "
+        "(sqrt(list_dot_product(qs.vd, qs.vd)) * sqrt(list_dot_product(corp.vd, corp.vd)))"
+    )
+    return f"""
+    WITH qs AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS vd
+      FROM embeddings WHERE vec_id < 5
+    ),
+    corp AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
+    qw AS (SELECT q_id, [{words}] AS w FROM qs),
+    cw AS (SELECT c_id, [{words}] AS w FROM corp),
+    short AS (
+      SELECT q_id, c_id FROM (
+        SELECT q.q_id, c.c_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.q_id ORDER BY {ham}, c.c_id
+               ) AS sr
+        FROM qw q CROSS JOIN cw c
+      ) WHERE sr <= {max(k, shortlist)}
+    ),
+    approx AS (
+      SELECT q_id, c_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+      FROM (
+        SELECT short.q_id, short.c_id, {cos} AS sim
+        FROM short JOIN qs ON short.q_id = qs.q_id JOIN corp ON short.c_id = corp.c_id
+      )
+    ),
+    exact AS (
+      SELECT q_id, c_id, rank AS exact_rank FROM (
+        SELECT qs.q_id, corp.c_id,
+               ROW_NUMBER() OVER (PARTITION BY qs.q_id ORDER BY {cos} DESC, corp.c_id)
+                 AS rank
+        FROM qs, corp
+      ) WHERE rank <= {k}
+    )
+    SELECT a.q_id, a.c_id, a.sim, CAST(a.rank AS BIGINT) AS rank,
+           CAST(e.exact_rank AS BIGINT) AS exact_rank
+    FROM approx a LEFT JOIN exact e ON a.q_id = e.q_id AND a.c_id = e.c_id
+    WHERE a.rank <= {k}
+    """
+
+
+@query("x2_topk_bq", _bq_oracle_sql())
+def x2_topk_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 scale path #5: binary quantization — 1-bit sign codes (32x
+    compression), XOR/POPCNT Hamming shortlist, fold-exact cosine re-rank
+    (operators/similarity.py: bq_topk). The only index whose ENTIRE
+    pipeline — encode, scan, rank — is native JVM whole-stage codegen
+    (zero Python, zero training), and every stage is integer-exact, so the
+    full search is hash-verified against the DuckDB twin. Completes the
+    quantization family: LSH (random projection), IVF (coarse cells), PQ
+    (subspace codebooks), IVF-PQ (residual ADC), BQ (sign codes).
+    """
+    from .operators.similarity import bq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    approx = bq_topk(queries, corpus, k=10, dim=64, shortlist=50).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
     return _with_exact_rank(approx, queries, corpus)
