@@ -1670,3 +1670,78 @@ def st5_emit_anchored_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         horizon_us=3_600_000_000,
     )
     return kept.select("event_id", "user_id", "event_type", "ts_s")
+
+
+def _bpe_oracle_sql(n_merges: int = 5) -> str:
+    """DuckDB twin of operators/bpe.py: identical vocab build (zero-width
+    char split), n_merges unrolled (pair-count -> total-order argmax ->
+    padded literal replace) steps, and the same ordered token-stream md5.
+    Lockstep unnest of the two shifted list slices is DuckDB's form of
+    Spark's arrays_zip(slice, slice) adjacent-pair explode."""
+    steps = []
+    for i in range(1, n_merges + 1):
+        prev = f"v{i - 1}"
+        steps.append(
+            f"""
+    p{i} AS (
+      SELECT a, b, SUM(n) AS cnt FROM (
+        SELECT n,
+               unnest(syms[1:len(syms) - 1]) AS a,
+               unnest(syms[2:len(syms)]) AS b
+        FROM (SELECT n, string_split(sym, '  ') AS syms FROM {prev})
+      ) GROUP BY a, b
+    ),
+    b{i} AS (SELECT a AS ba, b AS bb FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
+    v{i} AS (
+      SELECT word, n,
+             trim(replace(' ' || sym || ' ',
+                          ' ' || ba || '  ' || bb || ' ',
+                          ' ' || ba || bb || ' ')) AS sym
+      FROM {prev} CROSS JOIN b{i}
+    )"""
+        )
+    return f"""
+    WITH w AS (
+      SELECT word, COUNT(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),
+    v0 AS (
+      SELECT word, n,
+             array_to_string(regexp_split_to_array(word, ''), '  ') AS sym
+      FROM w
+    ),{",".join(steps)},
+    enc AS (
+      SELECT t.doc_id, t.pos, v.sym
+      FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS word,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        FROM documents
+      ) t JOIN v{n_merges} v USING (word)
+      WHERE t.word <> ''
+    )
+    SELECT doc_id,
+           CAST(SUM(len(string_split(sym, '  '))) AS BIGINT) AS n_tokens,
+           md5(string_agg(sym, '  ' ORDER BY pos)) AS tok_hash
+    FROM enc GROUP BY doc_id
+    """
+
+
+@query("tp11_bpe_tokenize", _bpe_oracle_sql())
+def tp11_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP11: REAL byte-pair encoding — train 5 merges on the corpus
+    word-frequency vocabulary (Sennrich et al. 2016) and encode every
+    document, distributed end-to-end (operators/bpe.py). Training reads
+    the corpus once (word counts) and then iterates on the Zipf-bounded
+    vocab table only; the learned merges, per-word symbol sequences,
+    per-doc token counts, AND the full in-order token stream (witnessed
+    by md5) are hash-verified against the unrolled-CTE DuckDB twin —
+    the tokenizer-construction step of an LLM data pipeline, not a
+    regex approximation of one.
+    """
+    from .operators.bpe import bpe_encode, bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = bpe_train(d, text_col="text", n_merges=5)
+    return bpe_encode(d, vocab, id_col="doc_id", text_col="text")

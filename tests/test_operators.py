@@ -866,3 +866,58 @@ def test_emit_anchored_dedup_reemits_once_per_horizon(spark):
     # anchors: 0 -> keep; 40 (gap 40) drop; 80 (gap 80 > 60) keep;
     # 120 (gap 40) drop; 160 (gap 80) keep
     assert kept == [0, 2, 4]
+
+
+# ---------------------------------------------------------------------
+# BPE train/encode (operators/bpe.py)
+
+
+def test_bpe_train_classic_merges(spark):
+    """Sennrich et al.'s running example: with 'lower' twice and 'low'
+    three times, the first merges must assemble the frequent subwords in
+    frequency order with deterministic tie-breaks."""
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lower newest newest")], ["doc_id", "text"]
+    )
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.bpe import bpe_train
+
+    vocab = {
+        r["word"]: r["sym"] for r in bpe_train(docs, n_merges=3).collect()
+    }
+    # pair counts at step 1: (l,o)=5, (o,w)=5, (w,e)=4(2 lower+2 newest)...
+    # tie (l,o) vs (o,w) breaks to (l,o) by string order; step 2 merges
+    # (lo,w)=5; step 3 merges the next 4-count pair, (e,s)<(w,e) on ties
+    # only if counts tie — here (w,e)=2 after 'low' merged, (e,s)=2,
+    # (e,w)=2, (s,t)=2, (er,..)... count for lower-specific pairs is 2.
+    assert vocab["low"] == "low"
+    assert vocab["lower"].startswith("low")
+
+
+def test_bpe_overlapping_run_merges_leftmost(spark):
+    """Rule (a, a) over 'aaa' must merge leftmost-first: aa + a."""
+    docs = spark.createDataFrame([(1, "aaa aaa")], ["doc_id", "text"])
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.bpe import bpe_train
+
+    vocab = {r["word"]: r["sym"] for r in bpe_train(docs, n_merges=1).collect()}
+    assert vocab["aaa"] == "aa  a"
+
+
+def test_bpe_encode_counts_and_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "ab ab cd"), (2, "cd ab")], ["doc_id", "text"]
+    )
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    vocab = bpe_train(docs, n_merges=1)  # merges (a,b): count 3 > (c,d): 2
+    out = {r["doc_id"]: r for r in bpe_encode(docs, vocab).collect()}
+    assert out[1]["n_tokens"] == 4  # ab, ab, c, d
+    assert out[2]["n_tokens"] == 3  # c, d, ab
+    # order-sensitivity: same multiset of words in different order must
+    # produce different token-stream hashes
+    docs_rev = spark.createDataFrame([(3, "cd ab ab")], ["doc_id", "text"])
+    out3 = bpe_encode(docs_rev, vocab).collect()[0]
+    assert out3["n_tokens"] == 4
+    assert out3["tok_hash"] != out[1]["tok_hash"]
