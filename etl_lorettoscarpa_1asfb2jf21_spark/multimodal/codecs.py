@@ -1,6 +1,6 @@
 """Real (dependency-free) media codecs for the X4 multimodal path.
 
-Four formats are genuinely decodable without any media library, so the
+Five formats are genuinely decodable without any media library, so the
 engine ships REAL parsers for them:
 
 * BMP (24-bit uncompressed, BITMAPINFOHEADER): hand-parsed with ``struct``
@@ -9,6 +9,9 @@ engine ships REAL parsers for them:
 * WAV (PCM16): stdlib ``wave`` + numpy ``frombuffer``.
 * PNG (8-bit RGB/RGBA): chunk CRC walk, zlib inflate, all five scanline
   filters reconstructed.
+* GIF (87a/89a single frame): global/local palettes, extension skipping,
+  sub-block reassembly, and a full spec LZW codec (variable-width codes,
+  CLEAR/EOI, dictionary growth, the KwKwK case) — see the GIF section.
 * JPEG (baseline sequential grayscale, ITU-T T.81): canonical-Huffman
   entropy decode with byte unstuffing, DC prediction + EXTEND, zigzag,
   dequantization, full 2-D IDCT — see the JPEG section below for the
@@ -681,3 +684,233 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                 img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
             return w, h, 1, img[:h, :w].reshape(h, w, 1)
     raise ValueError("missing SOS scan")
+
+
+# ------------------------------------------------------------------ GIF
+#
+# GIF87a/89a with a REAL LZW codec — the whole format is integer
+# machinery (palette lookup + LZW with variable-width codes), so unlike
+# JPEG it is losslessly oracle-checkable with no numeric subtleties.
+# The encoder writes each code at the width a SPEC GIF decoder expects:
+# it simulates the decoder's dictionary counter (which runs one entry
+# behind the encoder's) and bumps the code width when THAT counter hits
+# 2^width — the classic off-by-one that a naive mirror of the encoder's
+# own counter gets wrong (tests pin the canonical published 1x1 GIF
+# byte stream, so the bit order / clear / EOI framing is checked against
+# an external reference, not just our own roundtrip).
+
+
+def gif_dims(doc_id: int) -> tuple[int, int]:
+    return 6 + doc_id % 9, 4 + doc_id % 7  # width [6,14], height [4,10]
+
+
+def gif_palette_bits(doc_id: int) -> int:
+    """Palette size exponent k (2..8): 4..256 colors — small palettes give
+    2..3-bit LZW roots whose code stream crosses several width boundaries,
+    large ones exercise the 8-bit root path."""
+    return 2 + doc_id % 7
+
+
+def gif_palette_value(doc_id: int, i: int, c: int) -> int:
+    """Palette RGB formula (c: 0=R 1=G 2=B) — mirrored in the SQL oracle."""
+    return (i * (7 + 4 * c) + doc_id * (1 + 2 * c)) % 256
+
+
+def gif_index_value(doc_id: int, p: int, size: int) -> int:
+    """Pixel palette index at flattened position p — mirrored in SQL.
+    Stride 5 is coprime to every power-of-two palette size, so small
+    palettes cycle within one image (long LZW matches, KwKwK cases) and
+    large ones stay aperiodic (dictionary-growth-only path)."""
+    return (doc_id * 11 + p * 5) % size
+
+
+def _lzw_encode_gif(indices: list[int], mcs: int) -> bytes:
+    """GIF-flavor LZW: emits CLEAR first, LSB-first bit packing, dict
+    codes assigned sequentially after CLEAR+EOI, code width bumped in
+    lockstep with a decoder's dictionary counter (see module comment)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(1 << mcs)}
+    enc_next = eoi + 1  # encoder's next free code
+    dec_next = eoi + 1  # the decoder's counter: one entry behind
+    width = mcs + 1
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def emitted_data_code() -> None:
+        """Advance the simulated decoder: it adds one entry after every
+        data code except the first since CLEAR, then grows its width."""
+        nonlocal dec_next, width
+        if emitted_data_code.first:
+            emitted_data_code.first = False
+            return
+        dec_next += 1
+        if dec_next == (1 << width) and width < 12:
+            width += 1
+
+    emitted_data_code.first = True
+
+    emit(clear)
+    w: tuple[int, ...] = ()
+    for k in indices:
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        emitted_data_code()
+        if enc_next < 4096:
+            table[wk] = enc_next
+            enc_next += 1
+        w = (k,)
+    if w:
+        emit(table[w])
+        emitted_data_code()
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, mcs: int) -> list[int]:
+    """Spec GIF LZW decode: variable width, CLEAR resets, KwKwK case."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table: list[tuple[int, ...]] = []
+    next_code = 0
+    width = mcs + 1
+
+    def reset() -> None:
+        nonlocal table, next_code, width
+        table = [(i,) for i in range(1 << mcs)] + [(), ()]
+        next_code = eoi + 1
+        width = mcs + 1
+
+    reset()
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated (no EOI)")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code < next_code and code != clear and code != eoi:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"bad LZW code {code} (next={next_code})")
+        out.extend(entry)
+        if prev is not None:
+            if next_code < 4096:
+                table.append(prev + entry[:1])
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+        prev = entry
+
+
+def make_gif(doc_id: int) -> bytes:
+    """A valid GIF89a: global palette + one LZW-compressed image, plus a
+    Graphic Control Extension so the decoder's extension-skip path runs."""
+    width, height = gif_dims(doc_id)
+    k = gif_palette_bits(doc_id)
+    size = 1 << k
+    palette = bytes(
+        gif_palette_value(doc_id, i, c) for i in range(size) for c in range(3)
+    )
+    indices = [gif_index_value(doc_id, p, size) for p in range(width * height)]
+    mcs = max(2, k)
+    lzw = _lzw_encode_gif(indices, mcs)
+
+    out = bytearray(b"GIF89a")
+    # logical screen descriptor: GCT flag set, color resolution 7, GCT size k-1
+    out += struct.pack("<HHBBB", width, height, 0x80 | 0x70 | (k - 1), 0, 0)
+    out += palette
+    # graphic control extension (decoder must skip generic extensions)
+    out += bytes([0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00])
+    out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, width, height) + bytes([0x00])
+    out += bytes([mcs])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += bytes([0x00, 0x3B])
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Parse a single-frame GIF → (width, height, 3, HxWx3 uint8 RGB).
+
+    Real parser: screen descriptor, global/local color tables, extension
+    skipping, sub-block reassembly, full variable-width LZW decode.
+    Interlaced frames are out of profile (ValueError)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = b""
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks until 0 terminator
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _l, _t, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = payload[pos : pos + 3 * n]
+                pos += 3 * n
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF out of profile")
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            indices = _lzw_decode_gif(bytes(data), mcs)
+            if len(indices) != iw * ih:
+                raise ValueError(
+                    f"LZW produced {len(indices)} pixels, expected {iw * ih}"
+                )
+            pal_arr = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+            img = pal_arr[np.asarray(indices, dtype=np.int64)].reshape(ih, iw, 3)
+            return iw, ih, 3, img
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError("no image data in GIF")

@@ -3,10 +3,11 @@ decode/feature-extract as Arrow-batched Pandas functions over mapInPandas.
 
 The container ships no image/audio libraries, so the codecs are
 implemented dependency-free in multimodal/codecs.py: BMP, PNG (zlib
-inflate + filter reconstruction), baseline sequential JPEG
-(canonical-Huffman entropy decode + dequant + IDCT), and PCM WAV all
-decode for REAL; only formats outside those profiles (progressive JPEG,
-GIF, video containers, ...) raise NotImplementedError. The plumbing —
+inflate + filter reconstruction), GIF (palette + variable-width LZW),
+baseline sequential JPEG (canonical-Huffman entropy decode + dequant +
+IDCT), and PCM WAV all decode for REAL; only formats outside those
+profiles (progressive JPEG, video containers, ...) raise
+NotImplementedError. The plumbing —
 schema, partition sizing, UDF signatures, Arrow batch shapes — is tested
 in tests/test_multimodal.py; swapping in Pillow/libav for the exotic
 formats later touches one function body, not the plan.
@@ -106,12 +107,13 @@ def decode_image_batch(
     def decode_one(payload: bytes) -> dict:
         if use_fake_decoder:
             return _fake_decode(payload)
-        # REAL path: BMP, PNG and baseline JPEG are all parsed for real
-        # (multimodal/codecs.py — struct headers/BGR/padding for BMP;
-        # chunk CRC walk + inflate + five-filter reconstruction for PNG;
-        # canonical-Huffman entropy decode + dequant + 2-D IDCT for
-        # baseline sequential JPEG). Formats outside those profiles
-        # (progressive/subsampled JPEG, GIF, WebP, ...) still raise.
+        # REAL path: BMP, PNG, GIF and baseline JPEG are all parsed for
+        # real (multimodal/codecs.py — struct headers/BGR/padding for
+        # BMP; chunk CRC walk + inflate + five-filter reconstruction for
+        # PNG; palette + variable-width LZW for GIF; canonical-Huffman
+        # entropy decode + dequant + 2-D IDCT for baseline sequential
+        # JPEG). Formats outside those profiles (progressive/subsampled
+        # JPEG, WebP, video, ...) still raise.
         if bytes(payload[:2]) == b"BM":
             from .codecs import decode_bmp
 
@@ -124,10 +126,14 @@ def decode_image_batch(
             from .codecs import decode_jpeg
 
             w, h, c, img = decode_jpeg(bytes(payload))
+        elif bytes(payload[:4]) == b"GIF8":
+            from .codecs import decode_gif
+
+            w, h, c, img = decode_gif(bytes(payload))
         else:
             raise NotImplementedError(
                 "unrecognized media container (supported native codecs: "
-                "BMP, PNG, baseline grayscale JPEG, PCM WAV) — "
+                "BMP, PNG, GIF, baseline grayscale JPEG, PCM WAV) — "
                 "pass use_fake_decoder=True for plumbing tests"
             )
         feats = (img.reshape(-1, c).mean(axis=0)[:3] / 255.0).astype(float)

@@ -508,6 +508,76 @@ def x4_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# X4 — real GIF decode (palette + variable-width LZW)
+# =====================================================================
+
+@query(
+    "x4_gif_decode",
+    """
+    WITH dims AS (
+      SELECT doc_id, CAST(6 + doc_id % 9 AS BIGINT) AS width,
+             CAST(4 + doc_id % 7 AS BIGINT) AS height,
+             (CAST(1 AS BIGINT) << (2 + doc_id % 7)) AS psize
+      FROM documents
+    ), px AS (
+      SELECT doc_id, width, height, psize,
+             unnest(range(0, width * height)) AS p
+      FROM dims
+    ), idx AS (
+      SELECT doc_id, width, height, (doc_id * 11 + p * 5) % psize AS i
+      FROM px
+    )
+    SELECT doc_id, width, height, CAST(3 AS BIGINT) AS n_channels,
+           CAST(SUM((i * 7 + doc_id) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((i * 11 + doc_id * 3) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((i * 15 + doc_id * 5) % 256) AS BIGINT) AS sum_b
+    FROM idx
+    GROUP BY doc_id, width, height
+    """,
+)
+def x4_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 real LZW-image decode: synthesize a valid GIF89a per document
+    (4..256-color palette, graphic-control extension, sub-block framing,
+    variable-width LZW image data) and parse it back with the
+    dependency-free real decoder (multimodal/codecs.py: decode_gif —
+    extension skip, sub-block reassembly, spec LZW with width growth and
+    the KwKwK case). The DuckDB twin recomputes the decoded palette-RGB
+    channel sums in closed form from the palette/index formulas without
+    seeing the bytes, so any bit-packing, dictionary, or palette-lookup
+    bug breaks the hash. The encoder's code widths follow a simulated
+    DECODER dictionary counter (the spec off-by-one), pinned externally
+    by the canonical published 1x1 GIF byte stream in
+    tests/test_codecs.py. Same Arrow mapInPandas shape as x4_png_decode.
+    """
+    import pandas as pd
+
+    from .multimodal.codecs import decode_gif, make_gif
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_decode(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                w, h, c, img = decode_gif(make_gif(int(i)))
+                s = img.reshape(-1, 3).astype("int64").sum(axis=0)
+                rows.append(
+                    {
+                        "doc_id": int(i), "width": w, "height": h,
+                        "n_channels": c, "sum_r": int(s[0]),
+                        "sum_g": int(s[1]), "sum_b": int(s[2]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        gen_decode,
+        "doc_id long, width long, height long, n_channels long, "
+        "sum_r long, sum_g long, sum_b long",
+    )
+
+
+# =====================================================================
 # X4 — real JPEG decode (canonical Huffman + dequant + IDCT)
 # =====================================================================
 

@@ -234,3 +234,77 @@ def test_png_rejects_corrupt_crc():
 def test_png_rejects_non_png():
     with pytest.raises(ValueError):
         decode_png(b"GIF89a....")
+
+
+# ------------------------------------------------------------------ GIF
+
+from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (  # noqa: E402
+    _lzw_decode_gif,
+    _lzw_encode_gif,
+    decode_gif,
+    gif_dims,
+    gif_index_value,
+    gif_palette_bits,
+    gif_palette_value,
+    make_gif,
+)
+
+# The canonical published minimal GIF (1x1 black pixel, 2-color palette,
+# LZW min code size 2) — an EXTERNAL reference byte stream, so bit order,
+# CLEAR/EOI framing, and screen-descriptor parsing are checked against
+# the spec, not just our own encoder.
+_CANONICAL_1PX = bytes.fromhex(
+    "47494638396101000100800000000000ffffff"
+    "21f90401000000002c000000000100010000"
+    "02024401003b"
+)
+
+
+def test_gif_canonical_published_bytes():
+    w, h, c, img = decode_gif(_CANONICAL_1PX)
+    assert (w, h, c) == (1, 1, 3)
+    assert img.tolist() == [[[0, 0, 0]]]
+
+
+def test_gif_roundtrip_all_docids_closed_form():
+    for d in range(0, 500, 7):
+        w, h, c, img = decode_gif(make_gif(d))
+        width, height = gif_dims(d)
+        size = 1 << gif_palette_bits(d)
+        assert (w, h, c) == (width, height, 3)
+        exp = np.array(
+            [
+                [
+                    gif_palette_value(d, gif_index_value(d, p, size), ch)
+                    for ch in range(3)
+                ]
+                for p in range(width * height)
+            ],
+            dtype=np.uint8,
+        ).reshape(height, width, 3)
+        assert (img == exp).all()
+
+
+def test_gif_lzw_kwkwk_case():
+    # 'abababab...' forces the decoder's code==next_code branch
+    indices = [0, 1] * 20
+    assert _lzw_decode_gif(_lzw_encode_gif(indices, 2), 2) == indices
+    runs = [1] * 50  # aaa... also exercises it via run-length growth
+    assert _lzw_decode_gif(_lzw_encode_gif(runs, 2), 2) == runs
+
+
+def test_gif_lzw_width_growth_boundaries():
+    # long low-entropy stream with mcs=2 crosses 3->4->...->9-bit widths
+    indices = [(i * i + i // 3) % 4 for i in range(3000)]
+    assert _lzw_decode_gif(_lzw_encode_gif(indices, 2), 2) == indices
+    # mcs=8 (256-color root) crossing into 9/10-bit codes
+    indices8 = [(i * 7 + (i * i) % 13) % 256 for i in range(2000)]
+    assert _lzw_decode_gif(_lzw_encode_gif(indices8, 8), 8) == indices8
+
+
+def test_gif_rejects_non_gif_and_truncated_stream():
+    with pytest.raises(ValueError):
+        decode_gif(b"BM......")
+    with pytest.raises(ValueError):
+        # EOI stripped: sub-block holds a truncated LZW stream
+        _lzw_decode_gif(_lzw_encode_gif([0, 1, 2], 2)[:1], 2)
