@@ -441,6 +441,46 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
 
 
+def _encode_block(
+    bw: "_BitWriter",
+    blk: np.ndarray,
+    prev_dc: int,
+    dc_codes: dict,
+    ac_codes: dict,
+    qr: np.ndarray,
+) -> int:
+    """FDCT + quantize + zigzag + DC-diff/AC-RLE Huffman for one level-
+    shifted 8x8 float block; returns the new DC predictor."""
+    Fq = np.round((_JPEG_A @ blk @ _JPEG_A.T) / qr).astype(np.int64)
+    zzvals = [int(Fq[r, c]) for r, c in _JPEG_ZZ]
+    diff = zzvals[0] - prev_dc
+    s, extra = _magnitude(diff) if diff else (0, 0)
+    code, ln = dc_codes[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(extra, s)
+    last_nz = max((i for i in range(1, 64) if zzvals[i]), default=0)
+    run = 0
+    for i in range(1, last_nz + 1):
+        v = zzvals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL: 16 zeros
+            bw.write(code, ln)
+            run -= 16
+        s, extra = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(extra, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return zzvals[0]
+
+
 def encode_jpeg_gray(img: np.ndarray, qtable: np.ndarray = _JPEG_QTABLE) -> bytes:
     """Baseline sequential grayscale JPEG encoder for ANY HxW uint8
     image: non-multiple-of-8 dims are edge-replicated out to the MCU
@@ -465,34 +505,7 @@ def encode_jpeg_gray(img: np.ndarray, qtable: np.ndarray = _JPEG_QTABLE) -> byte
     for by in range(ph // 8):
         for bx in range(pw // 8):
             blk = f[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            Fq = np.round((_JPEG_A @ blk @ _JPEG_A.T) / qr).astype(np.int64)
-            zzvals = [int(Fq[r, c]) for r, c in _JPEG_ZZ]
-            diff = zzvals[0] - prev_dc
-            prev_dc = zzvals[0]
-            s, extra = _magnitude(diff) if diff else (0, 0)
-            code, ln = dc_codes[s]
-            bw.write(code, ln)
-            if s:
-                bw.write(extra, s)
-            last_nz = max((i for i in range(1, 64) if zzvals[i]), default=0)
-            run = 0
-            for i in range(1, last_nz + 1):
-                v = zzvals[i]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]  # ZRL: 16 zeros
-                    bw.write(code, ln)
-                    run -= 16
-                s, extra = _magnitude(v)
-                code, ln = ac_codes[(run << 4) | s]
-                bw.write(code, ln)
-                bw.write(extra, s)
-                run = 0
-            if last_nz < 63:
-                code, ln = ac_codes[0x00]  # EOB
-                bw.write(code, ln)
+            prev_dc = _encode_block(bw, blk, prev_dc, dc_codes, ac_codes, qr)
     bw.flush()
     dqt = _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in qtable))
     sof = _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
@@ -523,6 +536,124 @@ def make_jpeg(doc_id: int) -> bytes:
         ).astype(np.uint8)
         img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = row  # broadcast down rows
     return encode_jpeg_gray(img)
+
+
+def encode_jpeg_ycbcr420(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    qtable: np.ndarray = _JPEG_QTABLE,
+    subsample: bool = True,
+) -> bytes:
+    """Baseline sequential YCbCr JPEG encoder: full-resolution planes in;
+    4:2:0 by default (2x2 box-averaged chroma, MCU-interleaved entropy
+    coding — 4 Y + 1 Cb + 1 Cr blocks per 16x16 MCU), or 4:4:4 with
+    ``subsample=False`` (one block per component per 8x8 MCU).
+    Per-component DC predictors, luma quant table 0 / chroma table 1
+    (same values here), shared Huffman tables (legal per T.81).
+    Off-grid dims are edge-replicated to the MCU grid; SOF0 records the
+    true dims."""
+    h, w = y.shape
+    mcu = 16 if subsample else 8
+    pad_r, pad_c = (mcu - h % mcu) % mcu, (mcu - w % mcu) % mcu
+    if pad_r or pad_c:
+        y, cb, cr = (
+            np.pad(a, ((0, pad_r), (0, pad_c)), mode="edge") for a in (y, cb, cr)
+        )
+    ph, pw = y.shape
+
+    def sub(a: np.ndarray) -> np.ndarray:  # 2x2 box average, rounded
+        m = a.astype(np.float64).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        return np.round(m).astype(np.uint8)
+
+    fy = y.astype(np.float64) - 128.0
+    fcb = (sub(cb) if subsample else cb).astype(np.float64) - 128.0
+    fcr = (sub(cr) if subsample else cr).astype(np.float64) - 128.0
+    dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_SYMS)
+    ac_codes = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_SYMS)
+    qr = _qtable_raster(qtable)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    yfac = 2 if subsample else 1
+    for my in range(ph // mcu):
+        for mx in range(pw // mcu):
+            for vy in range(yfac):
+                for vx in range(yfac):
+                    r0, c0 = my * mcu + vy * 8, mx * mcu + vx * 8
+                    preds[0] = _encode_block(
+                        bw, fy[r0 : r0 + 8, c0 : c0 + 8],
+                        preds[0], dc_codes, ac_codes, qr,
+                    )
+            r0, c0 = my * 8, mx * 8
+            preds[1] = _encode_block(
+                bw, fcb[r0 : r0 + 8, c0 : c0 + 8], preds[1], dc_codes, ac_codes, qr
+            )
+            preds[2] = _encode_block(
+                bw, fcr[r0 : r0 + 8, c0 : c0 + 8], preds[2], dc_codes, ac_codes, qr
+            )
+    bw.flush()
+    dqt = _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in qtable)) + _seg(
+        0xDB, bytes([0x01]) + bytes(int(x) for x in qtable)
+    )
+    yhv = 0x22 if subsample else 0x11
+    sof = _seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, yhv, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    dht = _seg(
+        0xC4,
+        bytes([0x00])
+        + bytes(_JPEG_DC_BITS)
+        + bytes(_JPEG_DC_SYMS)
+        + bytes([0x10])
+        + bytes(_JPEG_AC_BITS)
+        + bytes(_JPEG_AC_SYMS),
+    )
+    sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
+
+
+def jpeg420_mcus(doc_id: int) -> tuple[int, int]:
+    return 1 + doc_id % 3, 1 + doc_id % 2  # MCUs wide in [1,3], high [1,2]
+
+
+def jpeg420_chroma(doc_id: int, m: int, c: int) -> int:
+    """Flat chroma value of MCU index m (c: 0=Cb 1=Cr) — mirrored in the
+    SQL oracle. Range [64,191]: offsets in [-64,63], so the RGB clamps
+    genuinely fire on some pixels (exercised, and mirrored as
+    LEAST/GREATEST)."""
+    return 64 + (doc_id * (17 + 6 * c) + m * (37 + 4 * c)) % 128
+
+
+def make_jpeg420(doc_id: int) -> bytes:
+    """A valid 4:2:0 color JPEG in the exactly-invertible payload class:
+    Y blocks carry the proven textured DC+AC(0,1) construction (same
+    formulas as the grayscale generator), chroma is FLAT per 16x16 MCU —
+    so 2x2 box subsampling, flat-block DCT (DC step 8), replication
+    upsampling and the IDCT are all exact, and the decoded RGB is a
+    closed-form function of the formulas (query x4_jpeg420_decode)."""
+    mw, mh = jpeg420_mcus(doc_id)
+    bwn, bhn = 2 * mw, 2 * mh
+    basis = np.array(jpeg_ac_basis())
+    y = np.zeros((bhn * 8, bwn * 8), dtype=np.uint8)
+    for b in range(bwn * bhn):
+        by, bx = divmod(b, bwn)
+        row = np.round(
+            jpeg_block_value(doc_id, b) + jpeg_block_amp(doc_id, b) * basis
+        ).astype(np.uint8)
+        y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = row
+    cb = np.zeros_like(y)
+    cr = np.zeros_like(y)
+    for m in range(mw * mh):
+        my, mx = divmod(m, mw)
+        cb[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = jpeg420_chroma(
+            doc_id, m, 0
+        )
+        cr[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = jpeg420_chroma(
+            doc_id, m, 1
+        )
+    return encode_jpeg_ycbcr420(y, cb, cr)
 
 
 class _BitReader:
@@ -587,14 +718,17 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Parse a baseline sequential grayscale JPEG → (width, height, 1,
-    HxWx1 uint8). Real decode: marker walk (APPn/COM skipped), DQT/DHT
-    table registration, canonical Huffman entropy decode with unstuffing,
-    DC prediction + EXTEND, inverse zigzag, dequantization, orthonormal
-    2-D IDCT, level shift and clamp, crop to the SOF dims. Raises
-    ValueError on progressive/subsampled/multi-component/restart-interval
-    flavors (documented descope: baseline grayscale is the supported
-    profile; the tables/entropy machinery itself is general)."""
+    """Parse a baseline sequential JPEG → (width, height, channels, HxWxC
+    uint8) — grayscale (1 component), YCbCr 4:4:4, or YCbCr 4:2:0
+    (2x2-subsampled chroma). Real decode: marker walk (APPn/COM skipped),
+    DQT/DHT table registration, canonical Huffman entropy decode with
+    unstuffing, per-component DC prediction + EXTEND, inverse zigzag,
+    per-component dequantization, orthonormal 2-D IDCT,
+    MCU-interleaved scan walk (4 Y + Cb + Cr blocks per MCU at 4:2:0),
+    replication chroma upsampling, JFIF YCbCr→RGB conversion, level
+    shift/clamp, crop to the SOF dims. Raises ValueError on
+    progressive/restart-interval/other-sampling flavors (documented
+    descope; the tables/entropy machinery itself is general)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -602,7 +736,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     dc_dec: dict[int, object] = {}
     ac_dec: dict[int, object] = {}
     w = h = None
-    comp_tq = 0
+    comps: list[tuple[int, int, int, int]] = []  # (cid, h_i, v_i, tq)
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -636,11 +770,20 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                 i += 17 + cnt
         elif marker == 0xC0:  # SOF0 baseline sequential
             prec, h, w, nc = struct.unpack_from(">BHHB", data, 0)
-            if prec != 8 or nc != 1:
-                raise ValueError("only 8-bit grayscale baseline supported")
-            if data[7] != 0x11:
-                raise ValueError("subsampling unsupported")
-            comp_tq = data[8]
+            if prec != 8 or nc not in (1, 3):
+                raise ValueError("only 8-bit 1/3-component baseline supported")
+            comps = [
+                (data[6 + 3 * ci], data[7 + 3 * ci] >> 4,
+                 data[7 + 3 * ci] & 15, data[8 + 3 * ci])
+                for ci in range(nc)
+            ]
+            samp = tuple((c[1], c[2]) for c in comps)
+            if samp not in (
+                ((1, 1),),                          # grayscale
+                ((1, 1), (1, 1), (1, 1)),           # 4:4:4
+                ((2, 2), (1, 1), (1, 1)),           # 4:2:0
+            ):
+                raise ValueError(f"unsupported sampling layout {samp}")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xDD:  # DRI
@@ -648,19 +791,33 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         elif marker == 0xDA:  # SOS — entropy data follows
             if w is None:
                 raise ValueError("SOS before SOF")
-            td, ta = data[2] >> 4, data[2] & 15
-            dcd, acd = dc_dec[td], ac_dec[ta]
-            q = _qtable_raster(qtables[comp_tq])
-            bw_n, bh_n = (w + 7) // 8, (h + 7) // 8
-            img = np.zeros((bh_n * 8, bw_n * 8), dtype=np.uint8)
+            ns = data[0]
+            if ns != len(comps):
+                raise ValueError("partial scans unsupported (baseline only)")
+            tables = {
+                data[1 + 2 * ci]: (data[2 + 2 * ci] >> 4, data[2 + 2 * ci] & 15)
+                for ci in range(ns)
+            }
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            planes = {
+                cid: np.zeros((mcuy * 8 * v_i, mcux * 8 * h_i), dtype=np.uint8)
+                for cid, h_i, v_i, _tq in comps
+            }
+            preds = {cid: 0 for cid, *_ in comps}
+            qr = {cid: _qtable_raster(qtables[tq]) for cid, _h, _v, tq in comps}
             br = _BitReader(payload, pos)
-            pred = 0
-            for b in range(bw_n * bh_n):
+
+            def read_block(cid: int) -> np.ndarray:
+                dcd = dc_dec[tables[cid][0]]
+                acd = ac_dec[tables[cid][1]]
                 zzvals = [0] * 64
                 s = dcd(br)
                 diff = _extend(br.bits(s), s) if s else 0
-                pred += diff
-                zzvals[0] = pred
+                preds[cid] += diff
+                zzvals[0] = preds[cid]
                 i = 1
                 while i < 64:
                     rs = acd(br)
@@ -676,13 +833,46 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                     i += 1
                 Fd = np.zeros((8, 8), dtype=np.float64)
                 for i, (r, c) in enumerate(_JPEG_ZZ):
-                    Fd[r, c] = zzvals[i] * q[r, c]
-                blk = np.clip(
+                    Fd[r, c] = zzvals[i] * qr[cid][r, c]
+                return np.clip(
                     np.round(_JPEG_A.T @ Fd @ _JPEG_A) + 128, 0, 255
                 ).astype(np.uint8)
-                by, bx = divmod(b, bw_n)
-                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
-            return w, h, 1, img[:h, :w].reshape(h, w, 1)
+
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for cid, h_i, v_i, _tq in comps:
+                        for vy in range(v_i):
+                            for vx in range(h_i):
+                                blk = read_block(cid)
+                                r0 = (my * v_i + vy) * 8
+                                c0 = (mx * h_i + vx) * 8
+                                planes[cid][r0 : r0 + 8, c0 : c0 + 8] = blk
+
+            up = {
+                cid: np.repeat(
+                    np.repeat(planes[cid], vmax // v_i, axis=0),
+                    hmax // h_i,
+                    axis=1,
+                )[:h, :w]
+                for cid, h_i, v_i, _tq in comps
+            }
+            if len(comps) == 1:
+                return w, h, 1, up[comps[0][0]].reshape(h, w, 1)
+            y = up[comps[0][0]].astype(np.int64)
+            cb = up[comps[1][0]].astype(np.int64) - 128
+            cr = up[comps[2][0]].astype(np.int64) - 128
+            # libjpeg's fixed-point YCbCr→RGB (jdcolor.c): FIX(x) =
+            # round(x * 65536), +32768 for rounding, arithmetic >>16 —
+            # EXACT integer arithmetic, mirrored literally in the
+            # x4_jpeg420_decode oracle. (A float ITU conversion is NOT
+            # oracle-safe: the two G coefficients differ by exactly 0.37,
+            # so chroma differences of ±50 put the pre-round value within
+            # double-ulp of x.5, where numpy's half-even and SQL's
+            # half-away diverge. Integer fixed-point has no ties.)
+            r = np.clip(y + ((91881 * cr + 32768) >> 16), 0, 255)
+            g = np.clip(y + ((-22554 * cb - 46802 * cr + 32768) >> 16), 0, 255)
+            b = np.clip(y + ((116130 * cb + 32768) >> 16), 0, 255)
+            return w, h, 3, np.stack([r, g, b], axis=-1).astype(np.uint8)
     raise ValueError("missing SOS scan")
 
 

@@ -507,6 +507,106 @@ def x4_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The per-column cosine weights of a dequantized unit AC(0,1) coefficient,
+# embedded as repr() literals so DuckDB parses the exact doubles the
+# decoder's IDCT produces (plan-time-constant trick; the nearest rounding
+# tie is 0.0377 away — pinned by tests/test_multimodal.py — so the two
+# engines' ROUND calls cannot disagree). Shared by the grayscale and
+# 4:2:0 JPEG oracles.
+def _jpeg_basis_sql() -> str:
+    from .multimodal.codecs import jpeg_ac_basis
+
+    return ", ".join(repr(v) for v in jpeg_ac_basis())
+
+
+_JPEG_BASIS = _jpeg_basis_sql()
+
+
+# =====================================================================
+# X4 — real 4:2:0 color JPEG decode (MCU interleave + chroma upsample)
+# =====================================================================
+
+@query(
+    "x4_jpeg420_decode",
+    f"""
+    WITH dims AS (
+      SELECT doc_id, CAST(1 + doc_id % 3 AS BIGINT) AS mw,
+             CAST(1 + doc_id % 2 AS BIGINT) AS mh
+      FROM documents
+    ), blk AS (
+      SELECT doc_id, mw, mh, unnest(range(0, 4 * mw * mh)) AS b
+      FROM dims
+    ), px AS (
+      SELECT doc_id, mw, mh, b,
+             28 + (doc_id * 13 + b * 29) % 201 AS g,
+             (doc_id * 7 + b * 11) % 15 - 7 AS a,
+             ((b // (2 * mw)) // 2) * mw + ((b % (2 * mw)) // 2) AS m,
+             unnest(range(0, 8)) AS x
+      FROM blk
+    ), vals AS (
+      SELECT doc_id, mw, mh,
+             CAST(ROUND(g + a * list_extract(
+               LIST_VALUE({_JPEG_BASIS}), x + 1)) AS BIGINT) AS yv,
+             (64 + (doc_id * 17 + m * 37) % 128) - 128 AS kb,
+             (64 + (doc_id * 23 + m * 41) % 128) - 128 AS kr
+      FROM px
+    )
+    SELECT doc_id, CAST(16 * mw AS BIGINT) AS width,
+           CAST(16 * mh AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS n_channels,
+           CAST(8 * SUM(LEAST(255, GREATEST(0,
+             yv + ((91881 * kr + 32768) >> 16)))) AS BIGINT) AS sum_r,
+           CAST(8 * SUM(LEAST(255, GREATEST(0,
+             yv + ((-22554 * kb - 46802 * kr + 32768) >> 16)))) AS BIGINT) AS sum_g,
+           CAST(8 * SUM(LEAST(255, GREATEST(0,
+             yv + ((116130 * kb + 32768) >> 16)))) AS BIGINT) AS sum_b
+    FROM vals
+    GROUP BY doc_id, mw, mh
+    """,
+)
+def x4_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 real SUBSAMPLED COLOR JPEG decode: synthesize a valid YCbCr
+    4:2:0 baseline JPEG per document (textured Y blocks — the proven
+    exactly-invertible DC+AC(0,1) class — and MCU-flat chroma, so 2x2
+    box subsampling / flat-block DCT / replication upsampling are all
+    exact), parse it back with the real decoder (multimodal/codecs.py:
+    MCU-interleaved scan, 4 Y + Cb + Cr blocks per MCU, per-component
+    predictors and quant tables, libjpeg fixed-point YCbCr→RGB), and
+    emit decoded RGB channel sums. The DuckDB twin recomputes them in
+    closed form — the color conversion is EXACT integer arithmetic
+    (FIX·65536, +32768, arithmetic >>16), deliberately chosen over a
+    float ITU conversion whose two G coefficients differ by exactly
+    0.37 and therefore generate genuine round-half ties. Closes the
+    'subsampled JPEG' descope: only progressive JPEG and video remain
+    out of profile."""
+    import pandas as pd
+
+    from .multimodal.codecs import decode_jpeg, make_jpeg420
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_decode(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                w, h, c, img = decode_jpeg(make_jpeg420(int(i)))
+                s = img.reshape(-1, 3).astype("int64").sum(axis=0)
+                rows.append(
+                    {
+                        "doc_id": int(i), "width": w, "height": h,
+                        "n_channels": c, "sum_r": int(s[0]),
+                        "sum_g": int(s[1]), "sum_b": int(s[2]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        gen_decode,
+        "doc_id long, width long, height long, n_channels long, "
+        "sum_r long, sum_g long, sum_b long",
+    )
+
+
 # =====================================================================
 # X4 — real GIF decode (palette + variable-width LZW)
 # =====================================================================
@@ -580,20 +680,6 @@ def x4_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 # X4 — real JPEG decode (canonical Huffman + dequant + IDCT)
 # =====================================================================
-
-# The per-column cosine weights of a dequantized unit AC(0,1) coefficient,
-# embedded as repr() literals so DuckDB parses the exact doubles the
-# decoder's IDCT produces (plan-time-constant trick; the nearest rounding
-# tie is 0.0377 away — pinned by tests/test_multimodal.py — so the two
-# engines' ROUND calls cannot disagree).
-def _jpeg_basis_sql() -> str:
-    from .multimodal.codecs import jpeg_ac_basis
-
-    return ", ".join(repr(v) for v in jpeg_ac_basis())
-
-
-_JPEG_BASIS = _jpeg_basis_sql()
-
 
 @query(
     "x4_jpeg_decode",

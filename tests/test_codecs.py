@@ -308,3 +308,110 @@ def test_gif_rejects_non_gif_and_truncated_stream():
     with pytest.raises(ValueError):
         # EOI stripped: sub-block holds a truncated LZW stream
         _lzw_decode_gif(_lzw_encode_gif([0, 1, 2], 2)[:1], 2)
+
+
+# --------------------------------------------------------- JPEG 4:2:0
+
+from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (  # noqa: E402
+    decode_jpeg,
+    encode_jpeg_ycbcr420,
+    jpeg420_chroma,
+    jpeg420_mcus,
+    make_jpeg420,
+)
+
+
+def test_jpeg420_exact_flat_mcu_payload():
+    """Generated 4:2:0 payloads decode to the exact closed form the
+    oracle computes (textured Y, flat chroma, libjpeg fixed-point RGB)."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (
+        jpeg_ac_basis,
+        jpeg_block_amp,
+        jpeg_block_value,
+    )
+
+    basis = np.array(jpeg_ac_basis())
+    for d in (0, 7, 123, 499):
+        w, h, c, img = decode_jpeg(make_jpeg420(d))
+        mw, mh = jpeg420_mcus(d)
+        assert (w, h, c) == (16 * mw, 16 * mh, 3)
+        bwn = 2 * mw
+        for b in range(bwn * 2 * mh):
+            by, bx = divmod(b, bwn)
+            yv = np.round(
+                jpeg_block_value(d, b) + jpeg_block_amp(d, b) * basis
+            ).astype(np.int64)
+            m = (by // 2) * mw + (bx // 2)
+            kb = jpeg420_chroma(d, m, 0) - 128
+            kr = jpeg420_chroma(d, m, 1) - 128
+            r = np.clip(yv + ((91881 * kr + 32768) >> 16), 0, 255)
+            g = np.clip(yv + ((-22554 * kb - 46802 * kr + 32768) >> 16), 0, 255)
+            bch = np.clip(yv + ((116130 * kb + 32768) >> 16), 0, 255)
+            blk = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            assert (blk[:, :, 0] == r[None, :]).all()
+            assert (blk[:, :, 1] == g[None, :]).all()
+            assert (blk[:, :, 2] == bch[None, :]).all()
+
+
+def test_jpeg420_partial_mcu_pad_and_crop():
+    """Off-grid dims: encoder pads to the 16-grid, decoder crops back;
+    with the near-lossless quant table the error stays bounded."""
+    fine = np.array([1] * 64, dtype=np.int32)
+    rng = np.random.default_rng(11)
+    for hh, ww in ((17, 30), (24, 18), (9, 40)):
+        y = rng.integers(30, 220, (hh, ww)).astype(np.uint8)
+        cbv = np.full((hh, ww), 120, dtype=np.uint8)
+        crv = np.full((hh, ww), 140, dtype=np.uint8)
+        w, h, c, img = decode_jpeg(encode_jpeg_ycbcr420(y, cbv, crv, fine))
+        assert (w, h, c) == (ww, hh, 3)
+        # flat chroma survives exactly; Y noise bounded by quant error
+        kb, kr = 120 - 128, 140 - 128
+        rexp = np.clip(
+            y.astype(np.int64) + ((91881 * kr + 32768) >> 16), 0, 255
+        )
+        assert np.abs(img[:, :, 0].astype(int) - rexp).max() <= 4
+
+
+def test_jpeg444_mode_round_trips():
+    """subsample=False writes a 4:4:4 layout the decoder also handles,
+    with full-resolution (non-flat) chroma preserved per pixel."""
+    fine = np.array([1] * 64, dtype=np.int32)
+    rng = np.random.default_rng(5)
+    y = rng.integers(40, 200, (16, 24)).astype(np.uint8)
+    cbv = rng.integers(100, 156, (16, 24)).astype(np.uint8)
+    crv = rng.integers(100, 156, (16, 24)).astype(np.uint8)
+    w, h, c, img = decode_jpeg(
+        encode_jpeg_ycbcr420(y, cbv, crv, fine, subsample=False)
+    )
+    assert (w, h, c) == (24, 16, 3)
+    rexp = np.clip(
+        y.astype(np.int64)
+        + ((91881 * (crv.astype(np.int64) - 128) + 32768) >> 16),
+        0,
+        255,
+    )
+    assert np.abs(img[:, :, 0].astype(int) - rexp).max() <= 4
+
+
+def test_jpeg420_chroma_subsampling_box_average():
+    """Non-flat 2x2 chroma cells are box-averaged by the encoder; the
+    decoded (replicated) chroma equals the average where it is integral."""
+    fine = np.array([1] * 64, dtype=np.int32)
+    y = np.full((16, 16), 128, dtype=np.uint8)
+    cbv = np.full((16, 16), 128, dtype=np.uint8)
+    # 2x2 cells of (100, 104 / 108, 112): mean 106 exactly
+    cell = np.array([[100, 104], [108, 112]], dtype=np.uint8)
+    crv = np.tile(cell, (8, 8))
+    w, h, c, img = decode_jpeg(encode_jpeg_ycbcr420(y, cbv, crv, fine))
+    kr = 106 - 128
+    rexp = 128 + ((91881 * kr + 32768) >> 16)
+    assert np.abs(img[:, :, 0].astype(int) - rexp).max() <= 2
+
+
+def test_jpeg_rejects_other_sampling_layouts():
+    # 4:2:2 (h=2, v=1) is outside the supported profile
+    payload = bytearray(make_jpeg420(3))
+    i = payload.find(bytes([1, 0x22, 0]))
+    payload[i + 1] = 0x21
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(payload))

@@ -41,17 +41,22 @@ def test_fake_decode_deterministic(media_df):
 
 
 def test_real_decode_raises_on_malformed_or_unknown_payloads(spark):
-    """Unknown containers raise NotImplementedError; a malformed
-    PNG-magic payload fails CRC/signature validation, and a truncated
-    JPEG fails entropy decode rather than silently decoding."""
+    """Unknown containers raise NotImplementedError; malformed PNG/JPEG/
+    GIF-magic payloads fail validation/entropy decode rather than
+    silently decoding. (GIF moved from the unknown list to the malformed
+    list in round 5 when the real LZW codec landed.)"""
     unknown_df = spark.createDataFrame(
-        [(1, b"GIF89a-not-supported")], "doc_id long, payload binary"
+        [(1, b"RIFF....WEBPVP8-not-supported")], "doc_id long, payload binary"
     )
     with pytest.raises(Exception) as ei:
         decode_image_batch(unknown_df, use_fake_decoder=False).collect()
     assert "NotImplementedError" in str(ei.value) or "unrecognized" in str(ei.value)
 
-    for bad in (b"\x89PNG-fake-bytes-aaaa", b"\xff\xd8\xff\xe0JFIF-fake"):
+    for bad in (
+        b"\x89PNG-fake-bytes-aaaa",
+        b"\xff\xd8\xff\xe0JFIF-fake",
+        b"GIF89a-corrupt-payload",
+    ):
         with pytest.raises(Exception):
             decode_image_batch(
                 spark.createDataFrame(
