@@ -74,6 +74,8 @@ MAP_IN_PANDAS_QUERIES = {
     "x4_wav_decode",
     "x4_png_decode",
     "x4_jpeg_decode",
+    "x4_jpeg420_decode",
+    "x4_gif_decode",
 }
 # The sanctioned applyInPandas surface: per-key sequential recurrences
 # that no fixed number of window passes can express (each keep decision
