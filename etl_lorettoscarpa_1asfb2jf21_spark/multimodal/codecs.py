@@ -393,6 +393,13 @@ class _BitWriter:
         if self._n:
             self.write((1 << (8 - self._n)) - 1, 8 - self._n)
 
+    def restart(self, n: int) -> None:
+        """Byte-align (1-padded) and emit RSTn — T.81 restart markers
+        are NOT stuffed (they are the one 0xFF-marker pair allowed
+        inside entropy data)."""
+        self.flush()
+        self.out += bytes([0xFF, 0xD0 + (n % 8)])
+
 
 def _magnitude(v: int) -> tuple[int, int]:
     """(size category, appended bits) for a DC diff / AC coefficient."""
@@ -481,7 +488,11 @@ def _encode_block(
     return zzvals[0]
 
 
-def encode_jpeg_gray(img: np.ndarray, qtable: np.ndarray = _JPEG_QTABLE) -> bytes:
+def encode_jpeg_gray(
+    img: np.ndarray,
+    qtable: np.ndarray = _JPEG_QTABLE,
+    restart_interval: int = 0,
+) -> bytes:
     """Baseline sequential grayscale JPEG encoder for ANY HxW uint8
     image: non-multiple-of-8 dims are edge-replicated out to the MCU
     grid (the standard encoder treatment — replication avoids ringing at
@@ -489,7 +500,11 @@ def encode_jpeg_gray(img: np.ndarray, qtable: np.ndarray = _JPEG_QTABLE) -> byte
     decoder crops back to. Full T.81 pipeline: level shift, FDCT
     (orthonormal matrix form — same normalization as the spec's
     (1/4)C(u)C(v) double sum), quantize, zigzag, DC differential +
-    AC run-length (ZRL/EOB), canonical Huffman, 0xFF byte stuffing."""
+    AC run-length (ZRL/EOB), canonical Huffman, 0xFF byte stuffing.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (byte-aligned, DC predictors reset) — the mechanism
+    real encoders use so corrupted scans resynchronize and parallel
+    decoders can split the entropy stream."""
     h, w = img.shape
     if h % 8 or w % 8:
         img = np.pad(
@@ -502,10 +517,22 @@ def encode_jpeg_gray(img: np.ndarray, qtable: np.ndarray = _JPEG_QTABLE) -> byte
     bw = _BitWriter()
     prev_dc = 0
     f = img.astype(np.float64) - 128.0
+    n_mcu = 0
+    rst = 0
+    total = (ph // 8) * (pw // 8)
     for by in range(ph // 8):
         for bx in range(pw // 8):
             blk = f[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
             prev_dc = _encode_block(bw, blk, prev_dc, dc_codes, ac_codes, qr)
+            n_mcu += 1
+            if (
+                restart_interval
+                and n_mcu % restart_interval == 0
+                and n_mcu < total
+            ):
+                bw.restart(rst)
+                rst += 1
+                prev_dc = 0
     bw.flush()
     dqt = _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in qtable))
     sof = _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
@@ -518,8 +545,11 @@ def encode_jpeg_gray(img: np.ndarray, qtable: np.ndarray = _JPEG_QTABLE) -> byte
         + bytes(_JPEG_AC_BITS)
         + bytes(_JPEG_AC_SYMS),
     )
+    dri = (
+        _seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    )
     sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(bw.out) + b"\xff\xd9"
 
 
 def make_jpeg(doc_id: int) -> bytes:
@@ -544,6 +574,7 @@ def encode_jpeg_ycbcr420(
     cr: np.ndarray,
     qtable: np.ndarray = _JPEG_QTABLE,
     subsample: bool = True,
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline sequential YCbCr JPEG encoder: full-resolution planes in;
     4:2:0 by default (2x2 box-averaged chroma, MCU-interleaved entropy
@@ -575,6 +606,9 @@ def encode_jpeg_ycbcr420(
     bw = _BitWriter()
     preds = [0, 0, 0]
     yfac = 2 if subsample else 1
+    n_mcu = 0
+    rst = 0
+    total = (ph // mcu) * (pw // mcu)
     for my in range(ph // mcu):
         for mx in range(pw // mcu):
             for vy in range(yfac):
@@ -591,6 +625,15 @@ def encode_jpeg_ycbcr420(
             preds[2] = _encode_block(
                 bw, fcr[r0 : r0 + 8, c0 : c0 + 8], preds[2], dc_codes, ac_codes, qr
             )
+            n_mcu += 1
+            if (
+                restart_interval
+                and n_mcu % restart_interval == 0
+                and n_mcu < total
+            ):
+                bw.restart(rst)
+                rst += 1
+                preds = [0, 0, 0]
     bw.flush()
     dqt = _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in qtable)) + _seg(
         0xDB, bytes([0x01]) + bytes(int(x) for x in qtable)
@@ -610,8 +653,11 @@ def encode_jpeg_ycbcr420(
         + bytes(_JPEG_AC_BITS)
         + bytes(_JPEG_AC_SYMS),
     )
+    dri = (
+        _seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    )
     sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
-    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(bw.out) + b"\xff\xd9"
 
 
 def jpeg420_mcus(doc_id: int) -> tuple[int, int]:
@@ -688,6 +734,17 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def restart(self) -> None:
+        """Discard padding bits, then consume the expected RSTn marker."""
+        self._n = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
 
 def _huff_decoder(bits: list[int], syms: list[int]):
     """General T.81 canonical decoder: per-length (min, max, first-index)."""
@@ -736,6 +793,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     dc_dec: dict[int, object] = {}
     ac_dec: dict[int, object] = {}
     w = h = None
+    restart_interval = 0
     comps: list[tuple[int, int, int, int]] = []  # (cid, h_i, v_i, tq)
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -787,7 +845,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xDD:  # DRI
-            raise ValueError("restart intervals unsupported")
+            (restart_interval,) = struct.unpack_from(">H", data, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             if w is None:
                 raise ValueError("SOS before SOF")
@@ -838,8 +896,17 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                     np.round(_JPEG_A.T @ Fd @ _JPEG_A) + 128, 0, 255
                 ).astype(np.uint8)
 
+            n_mcu = 0
             for my in range(mcuy):
                 for mx in range(mcux):
+                    if (
+                        restart_interval
+                        and n_mcu
+                        and n_mcu % restart_interval == 0
+                    ):
+                        br.restart()
+                        for cid in preds:
+                            preds[cid] = 0
                     for cid, h_i, v_i, _tq in comps:
                         for vy in range(v_i):
                             for vx in range(h_i):
@@ -847,6 +914,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                                 r0 = (my * v_i + vy) * 8
                                 c0 = (mx * h_i + vx) * 8
                                 planes[cid][r0 : r0 + 8, c0 : c0 + 8] = blk
+                    n_mcu += 1
 
             up = {
                 cid: np.repeat(
@@ -1023,9 +1091,20 @@ def _lzw_decode_gif(data: bytes, mcs: int) -> list[int]:
         prev = entry
 
 
-def make_gif(doc_id: int) -> bytes:
+def _gif_interlace_order(height: int) -> list[int]:
+    """The 4-pass GIF interlace row transmission order."""
+    order = list(range(0, height, 8))
+    order += list(range(4, height, 8))
+    order += list(range(2, height, 4))
+    order += list(range(1, height, 2))
+    return order
+
+
+def make_gif(doc_id: int, interlace: bool = False) -> bytes:
     """A valid GIF89a: global palette + one LZW-compressed image, plus a
-    Graphic Control Extension so the decoder's extension-skip path runs."""
+    Graphic Control Extension so the decoder's extension-skip path runs.
+    ``interlace=True`` transmits rows in the 4-pass interlace order with
+    the image-descriptor interlace flag set."""
     width, height = gif_dims(doc_id)
     k = gif_palette_bits(doc_id)
     size = 1 << k
@@ -1033,6 +1112,9 @@ def make_gif(doc_id: int) -> bytes:
         gif_palette_value(doc_id, i, c) for i in range(size) for c in range(3)
     )
     indices = [gif_index_value(doc_id, p, size) for p in range(width * height)]
+    if interlace:
+        rows = [indices[r * width : (r + 1) * width] for r in range(height)]
+        indices = [v for r in _gif_interlace_order(height) for v in rows[r]]
     mcs = max(2, k)
     lzw = _lzw_encode_gif(indices, mcs)
 
@@ -1042,7 +1124,11 @@ def make_gif(doc_id: int) -> bytes:
     out += palette
     # graphic control extension (decoder must skip generic extensions)
     out += bytes([0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00])
-    out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, width, height) + bytes([0x00])
+    out += (
+        bytes([0x2C])
+        + struct.pack("<HHHH", 0, 0, width, height)
+        + bytes([0x40 if interlace else 0x00])
+    )
     out += bytes([mcs])
     for i in range(0, len(lzw), 255):
         chunk = lzw[i : i + 255]
@@ -1081,8 +1167,7 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                 n = 2 << (ipacked & 0x07)
                 pal = payload[pos : pos + 3 * n]
                 pos += 3 * n
-            if ipacked & 0x40:
-                raise ValueError("interlaced GIF out of profile")
+            interlaced = bool(ipacked & 0x40)
             mcs = payload[pos]
             pos += 1
             data = bytearray()
@@ -1098,6 +1183,10 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                 )
             pal_arr = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
             img = pal_arr[np.asarray(indices, dtype=np.int64)].reshape(ih, iw, 3)
+            if interlaced:
+                deinter = np.empty_like(img)
+                deinter[_gif_interlace_order(ih)] = img
+                img = deinter
             return iw, ih, 3, img
         elif b == 0x3B:
             break

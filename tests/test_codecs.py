@@ -415,3 +415,54 @@ def test_jpeg_rejects_other_sampling_layouts():
     payload[i + 1] = 0x21
     with pytest.raises(ValueError):
         decode_jpeg(bytes(payload))
+
+
+def test_gif_interlaced_decodes_to_same_image():
+    for d in (0, 5, 11, 42):
+        assert (
+            decode_gif(make_gif(d, interlace=True))[3]
+            == decode_gif(make_gif(d))[3]
+        ).all()
+
+
+def test_jpeg_restart_intervals_round_trip():
+    """DRI + RSTn markers: byte-aligned restarts with DC-predictor reset
+    decode identically to the no-restart stream, in gray and 4:2:0 color,
+    including RSTn counter wraparound past 8 restarts."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (
+        encode_jpeg_gray,
+    )
+
+    fine = np.array([1] * 64, dtype=np.int32)
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (40, 64), dtype=np.uint8)  # 40 MCUs
+    base = decode_jpeg(encode_jpeg_gray(img, fine))[3]
+    for ri in (1, 3, 7):
+        out = decode_jpeg(encode_jpeg_gray(img, fine, restart_interval=ri))[3]
+        assert (out == base).all(), ri
+    y = rng.integers(30, 220, (48, 64)).astype(np.uint8)
+    cbv = rng.integers(100, 156, (48, 64)).astype(np.uint8)
+    crv = rng.integers(100, 156, (48, 64)).astype(np.uint8)
+    basec = decode_jpeg(encode_jpeg_ycbcr420(y, cbv, crv, fine))[3]
+    for ri in (1, 2, 5):
+        outc = decode_jpeg(
+            encode_jpeg_ycbcr420(y, cbv, crv, fine, restart_interval=ri)
+        )[3]
+        assert (outc == basec).all(), ri
+
+
+def test_jpeg_truncated_restart_stream_rejected():
+    from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (
+        encode_jpeg_gray,
+    )
+
+    fine = np.array([1] * 64, dtype=np.int32)
+    img = np.full((8, 32), 99, dtype=np.uint8)
+    payload = bytearray(encode_jpeg_gray(img, fine, restart_interval=1))
+    # corrupt the first RSTn marker into an invalid one
+    for i in range(len(payload) - 1):
+        if payload[i] == 0xFF and 0xD0 <= payload[i + 1] <= 0xD7:
+            payload[i + 1] = 0xC8
+            break
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(payload))
