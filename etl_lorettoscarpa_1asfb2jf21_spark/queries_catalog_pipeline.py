@@ -1745,3 +1745,100 @@ def tp11_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     vocab = bpe_train(d, text_col="text", n_merges=5)
     return bpe_encode(d, vocab, id_col="doc_id", text_col="text")
+
+
+_GOPHER_SQL = """
+      CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) >= 30
+      AND CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE)
+            / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) >= 0.40
+      AND CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+            / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+            BETWEEN 4.0 AND 5.0
+"""
+
+_TP12_ORACLE = f"""
+    WITH fp AS (
+      SELECT doc_id, source, text, md5({_NORM_SQL.format(c='text')}) AS f
+      FROM documents
+    ),
+    surv AS (
+      SELECT doc_id, source, text FROM fp
+      WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)
+    ),
+    q AS (
+      SELECT doc_id, source, text FROM surv
+      WHERE {_GOPHER_SQL}
+    ),
+    s AS (
+      SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM q
+      ) WHERE rn <= 15
+    ),
+    raw AS (SELECT source, COUNT(*) AS n_raw FROM documents GROUP BY source),
+    d1 AS (SELECT source, COUNT(*) AS n_dedup FROM surv GROUP BY source),
+    q1 AS (SELECT source, COUNT(*) AS n_quality FROM q GROUP BY source),
+    s1 AS (
+      SELECT source, COUNT(*) AS n_sampled,
+             SUM(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT))
+               AS total_tokens
+      FROM s GROUP BY source
+    )
+    SELECT raw.source,
+           CAST(n_raw AS BIGINT) AS n_raw,
+           CAST(coalesce(n_dedup, 0) AS BIGINT) AS n_dedup,
+           CAST(coalesce(n_quality, 0) AS BIGINT) AS n_quality,
+           CAST(coalesce(n_sampled, 0) AS BIGINT) AS n_sampled,
+           CAST(coalesce(total_tokens, 0) AS BIGINT) AS total_tokens
+    FROM raw
+    LEFT JOIN d1 USING (source)
+    LEFT JOIN q1 USING (source)
+    LEFT JOIN s1 USING (source)
+"""
+
+
+@query("tp12_curation_funnel", _TP12_ORACLE)
+def tp12_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP12: the curation pipeline END-TO-END in one lineage — exact
+    dedup (lowest-id survivor per normalized-text md5) → Gopher-style
+    quality gate → per-source cap (lowest 15 ids) → token accounting —
+    reported as a per-source funnel (n_raw / n_dedup / n_quality /
+    n_sampled / total_tokens). Each stage exists as a standalone query
+    (x1_exact_dedup, x3_quality_filter, tp1, x3_token_stats); this one
+    proves they COMPOSE in a single DAG: Catalyst keeps the corpus scan
+    shared, the dedup shuffle is the only data-sized exchange, the
+    quality gate is map-side on the survivors, the cap window runs per
+    source, and the funnel joins are 20-row-per-side broadcasts. At
+    100 TB this is the shape a real corpus build runs nightly — one pass
+    over raw, funnel metrics as the audit artifact.
+    """
+    from .functions.text import gopher_quality_filter_expr, word_stats_exprs
+    from .operators.dedup import exact_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    surv = exact_dedup(d, "text", "doc_id")
+    q = surv.filter(gopher_quality_filter_expr("text"))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    s = q.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= 15)
+    raw = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    d1 = surv.groupBy("source").agg(F.count(F.lit(1)).alias("n_dedup"))
+    q1 = q.groupBy("source").agg(F.count(F.lit(1)).alias("n_quality"))
+    s1 = s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(word_stats_exprs("text")["n_words"]).alias("total_tokens"),
+    )
+    return (
+        raw.join(d1, "source", "left")
+        .join(q1, "source", "left")
+        .join(s1, "source", "left")
+        .na.fill({"n_dedup": 0, "n_quality": 0, "n_sampled": 0, "total_tokens": 0})
+        .select(
+            "source",
+            F.col("n_raw").cast("long").alias("n_raw"),
+            F.col("n_dedup").cast("long").alias("n_dedup"),
+            F.col("n_quality").cast("long").alias("n_quality"),
+            F.col("n_sampled").cast("long").alias("n_sampled"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+        )
+    )
