@@ -341,7 +341,13 @@ _JPEG_QTABLE = np.array([8] + [16] * 63, dtype=np.int32)
 # it would read any conformant DHT (e.g. the Annex K tables) unchanged.
 _JPEG_DC_SYMS = list(range(12))  # DC size categories 0..11
 _JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12  # all length 4 (max code 1011)
-_JPEG_AC_SYMS = sorted({0x00, 0xF0} | {(r << 4) | s for r in range(16) for s in range(1, 11)})
+# 0x00 (EOB/EOBRUN r=0), 0xF0 (ZRL), all run/size pairs, and the
+# progressive EOBn symbols (r<<4, r=1..14: EOBRUN of 2^r + r extra bits).
+_JPEG_AC_SYMS = sorted(
+    {0x00, 0xF0}
+    | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+    | {r << 4 for r in range(1, 15)}
+)
 _JPEG_AC_BITS = [0] * 7 + [len(_JPEG_AC_SYMS)] + [0] * 8  # all length 8
 
 
@@ -568,6 +574,26 @@ def make_jpeg(doc_id: int) -> bytes:
     return encode_jpeg_gray(img)
 
 
+def make_jpeg_progressive(doc_id: int) -> bytes:
+    """The grayscale textured payload of make_jpeg, written as a
+    PROGRESSIVE (SOF2, spectral-selection) stream: DC scan + AC bands
+    (1,5) and (6,63). Every block's (6,63) band is empty, so the second
+    AC scan is one image-wide EOBRUN — the progressive-specific machinery
+    is exercised on every payload, and the decoded pixels stay in the
+    exactly-invertible class (the x4_jpeg_prog_decode oracle is the SAME
+    closed form as the baseline x4_jpeg_decode)."""
+    bwn, bhn = jpeg_blocks(doc_id)
+    basis = np.array(jpeg_ac_basis())
+    img = np.zeros((bhn * 8, bwn * 8), dtype=np.uint8)
+    for b in range(bwn * bhn):
+        by, bx = divmod(b, bwn)
+        row = np.round(
+            jpeg_block_value(doc_id, b) + jpeg_block_amp(doc_id, b) * basis
+        ).astype(np.uint8)
+        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = row
+    return encode_jpeg_progressive(img)
+
+
 def encode_jpeg_ycbcr420(
     y: np.ndarray,
     cb: np.ndarray,
@@ -658,6 +684,115 @@ def encode_jpeg_ycbcr420(
     )
     sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
     return b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(bw.out) + b"\xff\xd9"
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    qtable: np.ndarray = _JPEG_QTABLE,
+    bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+) -> bytes:
+    """Progressive (SOF2) grayscale JPEG encoder, SPECTRAL SELECTION
+    mode: one DC scan (coded exactly like baseline DC) followed by one
+    AC scan per ``bands`` entry, each covering zigzag coefficients
+    [ss, se]. AC band scans use the full progressive run machinery —
+    ZRL inside the band and EOBRUN batching (EOBn symbols: r extra bits
+    encode a run of 2^r + extra all-zero-band blocks), which is what a
+    real progressive encoder emits when most blocks have no energy in a
+    band. Successive approximation (Ah/Al) is out of profile for both
+    encoder and decoder."""
+    h, w = img.shape
+    if h % 8 or w % 8:
+        img = np.pad(
+            img, ((0, (8 - h % 8) % 8), (0, (8 - w % 8) % 8)), mode="edge"
+        )
+    ph, pw = img.shape
+    dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_SYMS)
+    ac_codes = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_SYMS)
+    qr = _qtable_raster(qtable)
+    f = img.astype(np.float64) - 128.0
+    nby, nbx = ph // 8, pw // 8
+    zz = np.zeros((nby * nbx, 64), dtype=np.int64)
+    for by in range(nby):
+        for bx in range(nbx):
+            blk = f[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            Fq = np.round((_JPEG_A @ blk @ _JPEG_A.T) / qr).astype(np.int64)
+            zz[by * nbx + bx] = [Fq[r, c] for r, c in _JPEG_ZZ]
+
+    def dc_scan() -> bytes:
+        bw = _BitWriter()
+        prev = 0
+        for b in range(nby * nbx):
+            diff = int(zz[b, 0]) - prev
+            prev = int(zz[b, 0])
+            sz, extra = _magnitude(diff) if diff else (0, 0)
+            code, ln = dc_codes[sz]
+            bw.write(code, ln)
+            if sz:
+                bw.write(extra, sz)
+        bw.flush()
+        return bytes(bw.out)
+
+    def ac_scan(ss: int, se: int) -> bytes:
+        bw = _BitWriter()
+        eobrun = 0
+
+        def flush_eobrun() -> None:
+            nonlocal eobrun
+            while eobrun > 0:
+                r = 0
+                while (1 << (r + 1)) <= eobrun and r < 14:
+                    r += 1
+                n = min(eobrun, (1 << (r + 1)) - 1)  # 2^r + extra, extra < 2^r
+                code, ln = ac_codes[r << 4]
+                bw.write(code, ln)
+                if r:
+                    bw.write(n - (1 << r), r)
+                eobrun -= n
+
+        for b in range(nby * nbx):
+            band = zz[b, ss : se + 1]
+            nz = np.flatnonzero(band)
+            if len(nz) == 0:
+                eobrun += 1
+                continue
+            flush_eobrun()
+            run = 0
+            for i in range(int(nz[-1]) + 1):
+                v = int(band[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                sz, extra = _magnitude(v)
+                code, ln = ac_codes[(run << 4) | sz]
+                bw.write(code, ln)
+                bw.write(extra, sz)
+                run = 0
+            if int(nz[-1]) < se - ss:
+                eobrun += 1
+        flush_eobrun()
+        bw.flush()
+        return bytes(bw.out)
+
+    dqt = _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in qtable))
+    sof = _seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = _seg(
+        0xC4,
+        bytes([0x00])
+        + bytes(_JPEG_DC_BITS)
+        + bytes(_JPEG_DC_SYMS)
+        + bytes([0x10])
+        + bytes(_JPEG_AC_BITS)
+        + bytes(_JPEG_AC_SYMS),
+    )
+    out = b"\xff\xd8" + dqt + sof + dht
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0])) + dc_scan()
+    for ss, se in bands:
+        out += _seg(0xDA, bytes([1, 1, 0x00, ss, se, 0])) + ac_scan(ss, se)
+    return out + b"\xff\xd9"
 
 
 def jpeg420_mcus(doc_id: int) -> tuple[int, int]:
@@ -794,6 +929,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     ac_dec: dict[int, object] = {}
     w = h = None
     restart_interval = 0
+    progressive = False
+    prog_zz = None  # (n_blocks, 64) coefficient store across scans
+    prog_eobrun = 0
     comps: list[tuple[int, int, int, int]] = []  # (cid, h_i, v_i, tq)
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -801,6 +939,21 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if progressive and prog_zz is not None:
+                q = _qtable_raster(qtables[comps[0][3]])
+                nbx = (w + 7) // 8
+                nby = (h + 7) // 8
+                img = np.zeros((nby * 8, nbx * 8), dtype=np.uint8)
+                for b in range(nby * nbx):
+                    Fd = np.zeros((8, 8), dtype=np.float64)
+                    for i, (r, c) in enumerate(_JPEG_ZZ):
+                        Fd[r, c] = prog_zz[b, i] * q[r, c]
+                    blk = np.clip(
+                        np.round(_JPEG_A.T @ Fd @ _JPEG_A) + 128, 0, 255
+                    ).astype(np.uint8)
+                    by, bx = divmod(b, nbx)
+                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+                return w, h, 1, img[:h, :w].reshape(h, w, 1)
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn: bare
             continue
@@ -826,6 +979,15 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                 syms = list(data[i + 17 : i + 17 + cnt])
                 (dc_dec if tc == 0 else ac_dec)[th] = _huff_decoder(bits, syms)
                 i += 17 + cnt
+        elif marker == 0xC2:  # SOF2 progressive (spectral selection only)
+            prec, h, w, nc = struct.unpack_from(">BHHB", data, 0)
+            if prec != 8 or nc != 1 or data[7] != 0x11:
+                raise ValueError(
+                    "progressive profile is 8-bit single-component 1x1 only"
+                )
+            comps = [(data[6], 1, 1, data[8])]
+            progressive = True
+            prog_zz = np.zeros((((h + 7) // 8) * ((w + 7) // 8), 64), np.int64)
         elif marker == 0xC0:  # SOF0 baseline sequential
             prec, h, w, nc = struct.unpack_from(">BHHB", data, 0)
             if prec != 8 or nc not in (1, 3):
@@ -842,10 +1004,61 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                 ((2, 2), (1, 1), (1, 1)),           # 4:2:0
             ):
                 raise ValueError(f"unsupported sampling layout {samp}")
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only SOF0/SOF2 supported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", data, 0)
+        elif marker == 0xDA and progressive:  # one scan of a SOF2 stream
+            ss, se = data[3], data[4]
+            ah, al = data[5] >> 4, data[5] & 15
+            if ah or al:
+                raise ValueError(
+                    "successive approximation (Ah/Al) out of profile"
+                )
+            td, ta = data[2] >> 4, data[2] & 15
+            br = _BitReader(payload, pos)
+            n_blocks = prog_zz.shape[0]
+            if ss == 0:  # DC scan: baseline DC coding over all blocks
+                if se != 0:
+                    raise ValueError("progressive DC scan must have Se=0")
+                dcd = dc_dec[td]
+                pred = 0
+                for b in range(n_blocks):
+                    sz = dcd(br)
+                    diff = _extend(br.bits(sz), sz) if sz else 0
+                    pred += diff
+                    prog_zz[b, 0] = pred
+            else:  # AC band scan with EOBRUN semantics
+                acd = ac_dec[ta]
+                prog_eobrun = 0
+                for b in range(n_blocks):
+                    if prog_eobrun > 0:
+                        prog_eobrun -= 1
+                        continue
+                    i = ss
+                    while i <= se:
+                        rs = acd(br)
+                        r, sz = rs >> 4, rs & 15
+                        if sz == 0:
+                            if r == 15:  # ZRL inside the band
+                                i += 16
+                                continue
+                            prog_eobrun = (1 << r) - 1
+                            if r:
+                                prog_eobrun += br.bits(r)
+                            break
+                        i += r
+                        if i > se:
+                            raise ValueError("AC run past band end")
+                        prog_zz[b, i] = _extend(br.bits(sz), sz)
+                        i += 1
+            # resync to the next marker (skip stuffed 0xFF00 pairs)
+            pp = br.pos
+            while pp + 1 < len(payload) and not (
+                payload[pp] == 0xFF and payload[pp + 1] != 0x00
+            ):
+                pp += 1
+            pos = pp
         elif marker == 0xDA:  # SOS — entropy data follows
             if w is None:
                 raise ValueError("SOS before SOF")

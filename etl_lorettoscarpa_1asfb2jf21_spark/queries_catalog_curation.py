@@ -608,6 +608,81 @@ def x4_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# X4 — real PROGRESSIVE JPEG decode (SOF2 spectral selection)
+# =====================================================================
+
+@query(
+    "x4_jpeg_prog_decode",
+    f"""
+    WITH dims AS (
+      SELECT doc_id, CAST(1 + doc_id % 4 AS BIGINT) AS bw,
+             CAST(1 + doc_id % 3 AS BIGINT) AS bh
+      FROM documents
+    ), blk AS (
+      SELECT doc_id, bw, bh, unnest(range(0, bw * bh)) AS b
+      FROM dims
+    ), px AS (
+      SELECT doc_id, bw, bh,
+             28 + (doc_id * 13 + b * 29) % 201 AS g,
+             (doc_id * 7 + b * 11) % 15 - 7 AS a,
+             unnest(range(0, 8)) AS x
+      FROM blk
+    ), vals AS (
+      SELECT doc_id, bw, bh,
+             CAST(ROUND(g + a * list_extract(
+               LIST_VALUE({{basis}}), x + 1)) AS BIGINT) AS p
+      FROM px
+    )
+    SELECT doc_id, CAST(bw * 8 AS BIGINT) AS width,
+           CAST(bh * 8 AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(SUM(p) * 8 AS BIGINT) AS sum_px,
+           CAST(MIN(p) AS BIGINT) AS min_px,
+           CAST(MAX(p) AS BIGINT) AS max_px
+    FROM vals
+    GROUP BY doc_id, bw, bh
+    """.replace("{basis}", _JPEG_BASIS),
+)
+def x4_jpeg_prog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 real PROGRESSIVE JPEG decode (SOF2, spectral-selection mode):
+    the same exactly-invertible textured payloads as x4_jpeg_decode,
+    written as a DC scan + two AC band scans and decoded through the
+    multi-scan coefficient store — progressive run machinery (per-band
+    run/size, ZRL-in-band, image-wide EOBRUN batching with EOBn extra
+    bits) all on the hash-checked path, since every block's (6,63) band
+    is empty by construction. The oracle is the identical closed form as
+    the baseline query: same pixels, different entropy layout — which is
+    precisely the claim progressive JPEG makes. Successive approximation
+    (Ah/Al) and progressive color remain documented out-of-profile."""
+    import pandas as pd
+
+    from .multimodal.codecs import decode_jpeg, make_jpeg_progressive
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_decode(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                w, h, c, img = decode_jpeg(make_jpeg_progressive(int(i)))
+                flat = img.reshape(-1).astype("int64")
+                rows.append(
+                    {
+                        "doc_id": int(i), "width": w, "height": h,
+                        "n_channels": c, "sum_px": int(flat.sum()),
+                        "min_px": int(flat.min()), "max_px": int(flat.max()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        gen_decode,
+        "doc_id long, width long, height long, n_channels long, "
+        "sum_px long, min_px long, max_px long",
+    )
+
+
+# =====================================================================
 # X4 — real GIF decode (palette + variable-width LZW)
 # =====================================================================
 

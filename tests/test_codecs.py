@@ -466,3 +466,58 @@ def test_jpeg_truncated_restart_stream_rejected():
             break
     with pytest.raises(ValueError):
         decode_jpeg(bytes(payload))
+
+
+# ---------------------------------------------------- progressive JPEG
+
+from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (  # noqa: E402
+    encode_jpeg_progressive,
+    make_jpeg_progressive,
+)
+
+
+def test_jpeg_progressive_matches_baseline_pixels():
+    """SOF2 spectral-selection streams decode to the identical pixels as
+    the baseline encoding of the same image — including images whose AC
+    energy spreads across both band scans and triggers ZRL-in-band and
+    multi-block EOBRUN batching."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (
+        encode_jpeg_gray,
+    )
+
+    fine = np.array([1] * 64, dtype=np.int32)
+    rng = np.random.default_rng(31)
+    for shape in ((8, 8), (16, 24), (24, 40)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg_gray(img, fine))[3]
+        prog = decode_jpeg(encode_jpeg_progressive(img, fine))[3]
+        assert (base == prog).all(), shape
+    # sparse image: most blocks' bands are empty -> long EOBRUNs with
+    # EOBn extra bits (many blocks per symbol)
+    sparse = np.full((40, 64), 120, dtype=np.uint8)
+    sparse[3, 5] = 250
+    base = decode_jpeg(encode_jpeg_gray(sparse, fine))[3]
+    prog = decode_jpeg(encode_jpeg_progressive(sparse, fine))[3]
+    assert (base == prog).all()
+
+
+def test_jpeg_progressive_generator_exact():
+    from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (
+        make_jpeg,
+    )
+
+    for d in (0, 11, 255):
+        assert (
+            decode_jpeg(make_jpeg_progressive(d))[3]
+            == decode_jpeg(make_jpeg(d))[3]
+        ).all()
+
+
+def test_jpeg_progressive_rejects_successive_approximation():
+    payload = bytearray(make_jpeg_progressive(3))
+    # find the first AC SOS (Ss=1): header ... [ns=1, cid, tdta, Ss, Se, AhAl]
+    i = payload.find(bytes([0xFF, 0xDA]))
+    i = payload.find(bytes([0xFF, 0xDA]), i + 2)  # second scan (AC band)
+    payload[i + 9] = 0x01  # Al=1
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(payload))
