@@ -142,6 +142,82 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
         return w.getframerate(), w.getnchannels(), samples
 
 
+# --------------------------------------------------- WAV G.711 (mu/A-law)
+#
+# Telephony audio: 8-bit companded samples expanded to linear by pure
+# integer formulas (ITU-T G.711), so the decoder is exactly
+# oracle-checkable. stdlib `wave` refuses non-PCM formats, so the parser
+# below walks the RIFF chunks itself (fmt tag 7 = mu-law, 6 = A-law).
+
+
+def g711_n_samples(doc_id: int) -> int:
+    return doc_id % 40 + 25
+
+
+def g711_byte(doc_id: int, i: int) -> int:
+    """Companded byte formula — mirrored in the SQL oracle."""
+    return (doc_id * 31 + i * 17) % 256
+
+
+def mulaw_expand(u: int) -> int:
+    """ITU-T G.711 mu-law byte → 14-bit-magnitude linear sample."""
+    u = ~u & 0xFF
+    sign = u & 0x80
+    e = (u >> 4) & 0x07
+    m = u & 0x0F
+    t = (((m << 3) + 0x84) << e) - 0x84
+    return -t if sign else t
+
+
+def alaw_expand(a: int) -> int:
+    """ITU-T G.711 A-law byte → 13-bit-magnitude linear sample."""
+    a ^= 0x55
+    sign = a & 0x80
+    e = (a >> 4) & 0x07
+    m = a & 0x0F
+    t = (m << 4) + 8 if e == 0 else ((m << 4) + 0x108) << (e - 1)
+    return t if sign else -t
+
+
+def make_wav_g711(doc_id: int) -> bytes:
+    """A valid RIFF/WAVE file with G.711 payload: mu-law (format tag 7)
+    for even doc ids, A-law (tag 6) for odd — formula-driven bytes."""
+    n = g711_n_samples(doc_id)
+    tag = 7 if doc_id % 2 == 0 else 6
+    data = bytes(g711_byte(doc_id, i) for i in range(n))
+    fmt = struct.pack("<HHIIHH", tag, 1, 8000, 8000, 1, 8)
+    out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+    out += b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return out
+
+
+def decode_wav_g711(payload: bytes) -> tuple[int, str, np.ndarray]:
+    """Parse a G.711 WAV → (sample_rate, 'mulaw'|'alaw', linear int
+    samples). Real RIFF chunk walk (fmt before data, other chunks
+    skipped); PCM payloads are rejected (use decode_wav)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    tag = rate = None
+    samples = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            tag, _ch, rate = struct.unpack_from("<HHI", body, 0)
+        elif cid == b"data":
+            if tag not in (6, 7):
+                raise ValueError(f"not a G.711 WAV (format tag {tag})")
+            expand = mulaw_expand if tag == 7 else alaw_expand
+            samples = np.array([expand(b) for b in body], dtype=np.int32)
+    if samples is None:
+        raise ValueError("missing data chunk")
+    return rate, "mulaw" if tag == 7 else "alaw", samples
+
+
 # ------------------------------------------------------------------ PNG
 #
 # PNG is zlib(DEFLATE)-compressed, and zlib is stdlib — so unlike

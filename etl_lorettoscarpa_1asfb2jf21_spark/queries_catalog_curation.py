@@ -608,6 +608,94 @@ def x4_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# X4 — G.711 mu-law / A-law WAV decode (telephony audio)
+# =====================================================================
+
+@query(
+    "x4_wav_g711_decode",
+    """
+    WITH smp AS (
+      SELECT doc_id,
+             (doc_id % 2 = 0) AS is_mu,
+             unnest(range(0, doc_id % 40 + 25)) AS i
+      FROM documents
+    ), byt AS (
+      SELECT doc_id, is_mu, (doc_id * 31 + i * 17) % 256 AS bv FROM smp
+    ), mu AS (
+      SELECT doc_id, is_mu,
+             xor(bv, 255) AS u
+      FROM byt WHERE is_mu
+    ), mu_lin AS (
+      SELECT doc_id, is_mu,
+             CASE WHEN (u & 128) != 0 THEN -t ELSE t END AS lin
+      FROM (
+        SELECT doc_id, is_mu, u,
+               ((((u & 15) << 3) + 132) << ((u >> 4) & 7)) - 132 AS t
+        FROM mu
+      )
+    ), al AS (
+      SELECT doc_id, is_mu, xor(bv, 85) AS a FROM byt WHERE NOT is_mu
+    ), al_lin AS (
+      SELECT doc_id, is_mu,
+             CASE WHEN (a & 128) != 0 THEN t ELSE -t END AS lin
+      FROM (
+        SELECT doc_id, is_mu, a,
+               CASE WHEN ((a >> 4) & 7) = 0 THEN ((a & 15) << 4) + 8
+                    ELSE (((a & 15) << 4) + 264) << (((a >> 4) & 7) - 1)
+               END AS t
+        FROM al
+      )
+    ), lin AS (
+      SELECT * FROM mu_lin UNION ALL SELECT * FROM al_lin
+    )
+    SELECT doc_id,
+           CASE WHEN is_mu THEN 'mulaw' ELSE 'alaw' END AS codec,
+           COUNT(*) AS n_samples,
+           CAST(SUM(lin) AS BIGINT) AS sum_lin,
+           CAST(MIN(lin) AS BIGINT) AS min_lin,
+           CAST(MAX(lin) AS BIGINT) AS max_lin
+    FROM lin GROUP BY doc_id, is_mu
+    """,
+)
+def x4_wav_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 telephony-audio decode: synthesize a valid G.711 WAV per
+    document (mu-law format tag 7 for even ids, A-law tag 6 for odd),
+    parse it back with the real hand-rolled RIFF chunk walker + ITU-T
+    G.711 integer expansion (multimodal/codecs.py: decode_wav_g711 —
+    stdlib `wave` refuses non-PCM, so the chunk walk is real), and emit
+    linear-sample statistics. Expansion is pure integer arithmetic
+    (shifts/masks/xor), mirrored literally in the DuckDB twin, and the
+    implementation pins the canonical ITU values (mu-law max 32124) in
+    tests/test_codecs.py."""
+    import pandas as pd
+
+    from .multimodal.codecs import decode_wav_g711, make_wav_g711
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_decode(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                _rate, codec, smp = decode_wav_g711(make_wav_g711(int(i)))
+                rows.append(
+                    {
+                        "doc_id": int(i), "codec": codec,
+                        "n_samples": int(len(smp)),
+                        "sum_lin": int(smp.sum()),
+                        "min_lin": int(smp.min()), "max_lin": int(smp.max()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        gen_decode,
+        "doc_id long, codec string, n_samples long, "
+        "sum_lin long, min_lin long, max_lin long",
+    )
+
+
+# =====================================================================
 # X4 — real PROGRESSIVE JPEG decode (SOF2 spectral selection)
 # =====================================================================
 

@@ -521,3 +521,48 @@ def test_jpeg_progressive_rejects_successive_approximation():
     payload[i + 9] = 0x01  # Al=1
     with pytest.raises(ValueError):
         decode_jpeg(bytes(payload))
+
+
+# ------------------------------------------------------------- G.711
+
+from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (  # noqa: E402
+    alaw_expand,
+    decode_wav_g711,
+    g711_byte,
+    g711_n_samples,
+    make_wav_g711,
+    mulaw_expand,
+)
+
+
+def test_g711_canonical_itu_values():
+    # mu-law: 0xFF -> +0, 0x7F -> -0, 0x80 -> +32124 (max), 0x00 -> -32124
+    assert mulaw_expand(0xFF) == 0
+    assert mulaw_expand(0x7F) == 0
+    assert mulaw_expand(0x80) == 32124
+    assert mulaw_expand(0x00) == -32124
+    # A-law: 0xD5 (0x80^0x55) -> +8 (min positive), 0x55 -> -8,
+    # 0xAA (0xFF^0x55) -> +32256 (max), 0x2A -> -32256
+    assert alaw_expand(0xD5) == 8
+    assert alaw_expand(0x55) == -8
+    assert alaw_expand(0xAA) == 32256
+    assert alaw_expand(0x2A) == -32256
+
+
+def test_g711_roundtrip_and_riff_walk():
+    for d in (0, 1, 7, 88, 499):
+        rate, codec, smp = decode_wav_g711(make_wav_g711(d))
+        n = g711_n_samples(d)
+        expand = mulaw_expand if d % 2 == 0 else alaw_expand
+        assert rate == 8000
+        assert codec == ("mulaw" if d % 2 == 0 else "alaw")
+        assert (smp == [expand(g711_byte(d, i)) for i in range(n)]).all()
+
+
+def test_g711_rejects_pcm_and_non_riff():
+    from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import make_wav
+
+    with pytest.raises(ValueError):
+        decode_wav_g711(make_wav(3))  # PCM tag 1
+    with pytest.raises(ValueError):
+        decode_wav_g711(b"OggS....not-riff")
