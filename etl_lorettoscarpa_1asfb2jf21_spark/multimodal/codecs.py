@@ -461,9 +461,14 @@ class _BitWriter:
         self._n = 0
 
     def write(self, value: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self._acc = (self._acc << 1) | ((value >> i) & 1)
-            self._n += 1
+        # chunked MSB-first append (not per-bit): same stream, ~8x less
+        # Python overhead on 8-bit Huffman codes
+        while length:
+            take = min(length, 8 - self._n)
+            chunk = (value >> (length - take)) & ((1 << take) - 1)
+            self._acc = (self._acc << take) | chunk
+            self._n += take
+            length -= take
             if self._n == 8:
                 self.out.append(self._acc)
                 if self._acc == 0xFF:  # byte stuffing
@@ -940,9 +945,29 @@ class _BitReader:
         return (self._acc >> self._n) & 1
 
     def bits(self, k: int) -> int:
+        # chunked MSB-first read: consume whole remaining-byte spans
+        # instead of one bit at a time (the entropy-decode hot path)
         v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
+        while k:
+            if self._n == 0:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated entropy data")
+                b = self.data[self.pos]
+                self.pos += 1
+                if b == 0xFF:
+                    nxt = (
+                        self.data[self.pos] if self.pos < len(self.data) else None
+                    )
+                    if nxt == 0x00:
+                        self.pos += 1
+                    else:
+                        raise ValueError("unexpected marker inside entropy data")
+                self._acc = b
+                self._n = 8
+            take = min(k, self._n)
+            self._n -= take
+            v = (v << take) | ((self._acc >> self._n) & ((1 << take) - 1))
+            k -= take
         return v
 
     def restart(self) -> None:
@@ -958,7 +983,25 @@ class _BitReader:
 
 
 def _huff_decoder(bits: list[int], syms: list[int]):
-    """General T.81 canonical decoder: per-length (min, max, first-index)."""
+    """General T.81 canonical decoder: per-length (min, max, first-index).
+
+    Fast path: when every code in the table has one length L (the shape
+    our generators emit — and a common real-world DHT shape for small
+    tables), canonical codes are simply 0..n-1 at L bits, so decode is a
+    single chunked ``bits(L)`` read + list index instead of a per-bit
+    walk. The general per-bit path handles every conformant DHT."""
+    lengths = [ln for ln in range(1, 17) if bits[ln - 1]]
+    if len(lengths) == 1 and bits[lengths[0] - 1] == len(syms):
+        L = lengths[0]
+
+        def decode_fixed(br: _BitReader) -> int:
+            code = br.bits(L)
+            if code >= len(syms):
+                raise ValueError("invalid huffman code")
+            return syms[code]
+
+        return decode_fixed
+
     table: dict[int, tuple[int, int, int]] = {}
     code, k = 0, 0
     for ln in range(1, 17):
@@ -1019,16 +1062,21 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                 q = _qtable_raster(qtables[comps[0][3]])
                 nbx = (w + 7) // 8
                 nby = (h + 7) // 8
-                img = np.zeros((nby * 8, nbx * 8), dtype=np.uint8)
-                for b in range(nby * nbx):
-                    Fd = np.zeros((8, 8), dtype=np.float64)
-                    for i, (r, c) in enumerate(_JPEG_ZZ):
-                        Fd[r, c] = prog_zz[b, i] * q[r, c]
-                    blk = np.clip(
-                        np.round(_JPEG_A.T @ Fd @ _JPEG_A) + 128, 0, 255
-                    ).astype(np.uint8)
-                    by, bx = divmod(b, nbx)
-                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+                n_blocks = nby * nbx
+                Fd = np.zeros((n_blocks, 8, 8), dtype=np.float64)
+                for i, (r, c) in enumerate(_JPEG_ZZ):
+                    Fd[:, r, c] = prog_zz[:, i] * q[r, c]
+                blks = np.clip(
+                    np.round(np.einsum("ij,njk,kl->nil", _JPEG_A.T, Fd, _JPEG_A))
+                    + 128,
+                    0,
+                    255,
+                ).astype(np.uint8)
+                img = (
+                    blks.reshape(nby, nbx, 8, 8)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(nby * 8, nbx * 8)
+                )
                 return w, h, 1, img[:h, :w].reshape(h, w, 1)
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn: bare
@@ -1157,7 +1205,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             qr = {cid: _qtable_raster(qtables[tq]) for cid, _h, _v, tq in comps}
             br = _BitReader(payload, pos)
 
-            def read_block(cid: int) -> np.ndarray:
+            def read_block_zz(cid: int) -> list[int]:
                 dcd = dc_dec[tables[cid][0]]
                 acd = ac_dec[tables[cid][1]]
                 zzvals = [0] * 64
@@ -1178,13 +1226,15 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                         raise ValueError("AC run past block end")
                     zzvals[i] = _extend(br.bits(rs & 15), rs & 15)
                     i += 1
-                Fd = np.zeros((8, 8), dtype=np.float64)
-                for i, (r, c) in enumerate(_JPEG_ZZ):
-                    Fd[r, c] = zzvals[i] * qr[cid][r, c]
-                return np.clip(
-                    np.round(_JPEG_A.T @ Fd @ _JPEG_A) + 128, 0, 255
-                ).astype(np.uint8)
+                return zzvals
 
+            # Entropy-decode every block's zigzag coefficients first, then
+            # dequantize + IDCT each component as ONE batched einsum —
+            # per-block 8x8 matmuls in a Python loop were a measured
+            # constant-factor drag at corpus scale.
+            pending: dict[int, list[tuple[int, int, list[int]]]] = {
+                cid: [] for cid, *_ in comps
+            }
             n_mcu = 0
             for my in range(mcuy):
                 for mx in range(mcux):
@@ -1199,11 +1249,26 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                     for cid, h_i, v_i, _tq in comps:
                         for vy in range(v_i):
                             for vx in range(h_i):
-                                blk = read_block(cid)
                                 r0 = (my * v_i + vy) * 8
                                 c0 = (mx * h_i + vx) * 8
-                                planes[cid][r0 : r0 + 8, c0 : c0 + 8] = blk
+                                pending[cid].append(
+                                    (r0, c0, read_block_zz(cid))
+                                )
                     n_mcu += 1
+            for cid, _h, _v, _tq in comps:
+                entries = pending[cid]
+                zz = np.array([e[2] for e in entries], dtype=np.float64)
+                Fd = np.zeros((len(entries), 8, 8), dtype=np.float64)
+                for i, (r, c) in enumerate(_JPEG_ZZ):
+                    Fd[:, r, c] = zz[:, i] * qr[cid][r, c]
+                blks = np.clip(
+                    np.round(np.einsum("ij,njk,kl->nil", _JPEG_A.T, Fd, _JPEG_A))
+                    + 128,
+                    0,
+                    255,
+                ).astype(np.uint8)
+                for (r0, c0, _), blk in zip(entries, blks):
+                    planes[cid][r0 : r0 + 8, c0 : c0 + 8] = blk
 
             up = {
                 cid: np.repeat(
