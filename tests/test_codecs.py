@@ -566,3 +566,24 @@ def test_g711_rejects_pcm_and_non_riff():
         decode_wav_g711(make_wav(3))  # PCM tag 1
     with pytest.raises(ValueError):
         decode_wav_g711(b"OggS....not-riff")
+
+
+def test_gif_lzw_property_roundtrip():
+    """Property: any index stream over any root size roundtrips. Random
+    streams cross width boundaries and hit KwKwK unpredictably — broader
+    than the targeted cases above."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        mcs=st.integers(min_value=2, max_value=8),
+        seed=st.integers(min_value=0, max_value=2**31),
+        n=st.integers(min_value=1, max_value=1200),
+    )
+    def check(mcs, seed, n):
+        rng = np.random.default_rng(seed)
+        indices = rng.integers(0, 1 << mcs, n).tolist()
+        assert _lzw_decode_gif(_lzw_encode_gif(indices, mcs), mcs) == indices
+
+    check()
