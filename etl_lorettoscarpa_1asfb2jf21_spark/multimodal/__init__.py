@@ -4,6 +4,7 @@ from .decode import (
     MEDIA_META_SCHEMA,
     attach_payload_meta,
     decode_image_batch,
+    decode_video_frames,
     extract_image_features,
     sample_video_frames,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "MEDIA_META_SCHEMA",
     "attach_payload_meta",
     "decode_image_batch",
+    "decode_video_frames",
     "extract_image_features",
     "sample_video_frames",
 ]

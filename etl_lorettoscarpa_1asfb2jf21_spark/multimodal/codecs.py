@@ -12,14 +12,18 @@ engine ships REAL parsers for them:
 * GIF (87a/89a single frame): global/local palettes, extension skipping,
   sub-block reassembly, and a full spec LZW codec (variable-width codes,
   CLEAR/EOI, dictionary growth, the KwKwK case) — see the GIF section.
-* JPEG (baseline sequential grayscale, ITU-T T.81): canonical-Huffman
-  entropy decode with byte unstuffing, DC prediction + EXTEND, zigzag,
-  dequantization, full 2-D IDCT — see the JPEG section below for the
-  flat-block construction that makes it exactly oracle-checkable.
+* JPEG (ITU-T T.81: baseline sequential grayscale, YCbCr 4:2:0 color,
+  restart intervals, and progressive spectral selection): canonical-
+  Huffman entropy decode with byte unstuffing, DC prediction + EXTEND,
+  zigzag, dequantization, full 2-D IDCT — see the JPEG section below for
+  the textured-block construction that makes it exactly oracle-checkable.
+* AVI/MJPEG video: real RIFF container walk (nested LISTs, word
+  alignment, avih/strh/strf headers, idx1 index validation) over
+  per-frame baseline JPEGs — see the MJPEG-in-AVI section.
 
-Formats outside these profiles (progressive/subsampled JPEG, MP3, video
-containers, …) raise in decode.py — those need Pillow/libav, which this
-container does not ship.
+Formats outside these profiles (successive-approximation progressive
+JPEG, MP3, inter-coded video, …) raise in decode.py — those need
+Pillow/libav, which this container does not ship.
 
 The deterministic generators (``make_bmp``/``make_wav``) synthesize valid
 files whose pixel/sample values follow pure integer formulas, which makes
@@ -1547,3 +1551,221 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         else:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
     raise ValueError("no image data in GIF")
+
+
+# ------------------------------------------------------- MJPEG-in-AVI
+#
+# Video support for real: AVI is a RIFF form (the same container family
+# as WAV — see decode_wav_g711's chunk walker) whose 'movi' LIST carries
+# one '00dc' chunk per frame, and with the 'MJPG' handler every frame IS
+# a baseline JPEG — which this module already decodes for real. So
+# MJPEG-in-AVI closes the "video containers" descope with zero new
+# entropy coding: the new surface is the container walk (nested LISTs,
+# word alignment, header/stream-list parsing, idx1 index validation) and
+# the per-frame fan-out, exactly the shape a Spark frame-sampling
+# pipeline needs. Reference parity note: the reference pipeline
+# (app/etl.py) has no media path at all — this extends the engine's X4
+# surface per SURVEY §2's extension contract.
+#
+# The generator emits frames whose 8x8 blocks follow the SAME
+# proven-invertible (DC, AC(0,1)) texture formulas as make_jpeg, with
+# the block index offset by 1000*frame so content varies per frame while
+# the closed-form DuckDB oracle stays a pure formula. All frames of one
+# video share doc-level dims (a container invariant the decoder checks).
+
+AVI_US_PER_FRAME = 100_000  # 10 fps, exact in integer microseconds
+
+
+def avi_n_frames(doc_id: int) -> int:
+    return 3 + doc_id % 6  # 3..8 frames per clip
+
+
+def make_mjpeg_frame(doc_id: int, f: int) -> bytes:
+    """Frame f of clip doc_id: doc-level dims, per-frame texture via the
+    b + 1000*f block-index offset through jpeg_block_value/_amp."""
+    bwn, bhn = jpeg_blocks(doc_id)
+    basis = np.array(jpeg_ac_basis())
+    img = np.zeros((bhn * 8, bwn * 8), dtype=np.uint8)
+    for b in range(bwn * bhn):
+        by, bx = divmod(b, bwn)
+        row = np.round(
+            jpeg_block_value(doc_id, b + 1000 * f)
+            + jpeg_block_amp(doc_id, b + 1000 * f) * basis
+        ).astype(np.uint8)
+        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = row
+    return encode_jpeg_gray(img)
+
+
+def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
+    """RIFF chunk: fourcc + LE u32 size + data, padded to word boundary
+    (the pad byte is NOT counted in size — the walker must re-align)."""
+    pad = b"\x00" if len(data) % 2 else b""
+    return fourcc + struct.pack("<I", len(data)) + data + pad
+
+
+def _riff_list(list_type: bytes, data: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + data)
+
+
+def make_avi_mjpeg(doc_id: int) -> bytes:
+    """A valid AVI/MJPG file: avih + strl(strh/strf) headers, 'movi'
+    frame chunks (word-aligned — JPEG frames are routinely odd-length,
+    so the pad path is genuinely exercised), and a full idx1 index."""
+    n = avi_n_frames(doc_id)
+    frames = [make_mjpeg_frame(doc_id, f) for f in range(n)]
+    bwn, bhn = jpeg_blocks(doc_id)
+    w, h = bwn * 8, bhn * 8
+    bufsz = max(len(fr) for fr in frames)
+
+    avih = struct.pack(
+        "<14I",
+        AVI_US_PER_FRAME,  # dwMicroSecPerFrame
+        bufsz * 10,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags: AVIF_HASINDEX
+        n,  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        bufsz,  # dwSuggestedBufferSize
+        w,
+        h,
+        0, 0, 0, 0,  # dwReserved
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids",
+        b"MJPG",
+        0,  # dwFlags
+        0,  # wPriority
+        0,  # wLanguage
+        0,  # dwInitialFrames
+        1,  # dwScale
+        10,  # dwRate -> 10 fps
+        0,  # dwStart
+        n,  # dwLength (frames)
+        bufsz,  # dwSuggestedBufferSize
+        10_000,  # dwQuality
+        0,  # dwSampleSize (0: variable-size samples)
+        0, 0, w, h,  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40,  # biSize
+        w,
+        h,
+        1,  # biPlanes
+        24,  # biBitCount
+        b"MJPG",  # biCompression
+        w * h * 3,  # biSizeImage
+        0, 0, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+
+    movi_data = b""
+    idx = b""
+    for fr in frames:
+        # idx1 offsets are measured from the 'movi' fourcc position; the
+        # first chunk header therefore sits at offset 4.
+        idx += struct.pack("<4sIII", b"00dc", 0x10, 4 + len(movi_data), len(fr))
+        movi_data += _riff_chunk(b"00dc", fr)
+    movi = _riff_list(b"movi", movi_data)
+    idx1 = _riff_chunk(b"idx1", idx)
+
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def _avi_walk(payload: bytes, pos: int, end: int):
+    """Yield (fourcc, data_start, size) over a RIFF chunk run, handling
+    word alignment; raises on a chunk overrunning its parent."""
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        data_start = pos + 8
+        if data_start + size > end:
+            raise ValueError(
+                f"RIFF chunk {fourcc!r} overruns parent "
+                f"({data_start + size} > {end})"
+            )
+        yield fourcc, data_start, size
+        pos = data_start + size + (size & 1)
+
+
+def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, int, list[bytes]]:
+    """REAL AVI/MJPG container parse -> (width, height, us_per_frame,
+    frame JPEG payloads). Validates the RIFF form, walks nested LISTs
+    with word alignment, parses avih/strh/strf, collects stream-0 video
+    chunks ('00dc'/'00db') in order, and cross-checks the idx1 index
+    (count, per-entry size, movi-relative offset) when present. Frame
+    pixel decode is the caller's job (decode_jpeg per frame)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    end = 8 + riff_size
+    if end > len(payload):
+        raise ValueError("truncated RIFF payload")
+
+    avih = None
+    strh = None
+    strf = None
+    frames: list[bytes] = []
+    offsets: list[int] = []  # movi-relative chunk-header offsets
+    idx_raw = None
+
+    for fourcc, ds, size in _avi_walk(payload, 12, end):
+        if fourcc == b"LIST":
+            ltype = payload[ds : ds + 4]
+            if ltype == b"hdrl":
+                for f2, ds2, sz2 in _avi_walk(payload, ds + 4, ds + size):
+                    if f2 == b"avih":
+                        avih = struct.unpack("<14I", payload[ds2 : ds2 + 56])
+                    elif f2 == b"LIST" and payload[ds2 : ds2 + 4] == b"strl":
+                        for f3, ds3, sz3 in _avi_walk(
+                            payload, ds2 + 4, ds2 + sz2
+                        ):
+                            if f3 == b"strh":
+                                strh = struct.unpack(
+                                    "<4s4sIHHIIIIIIII4h", payload[ds3 : ds3 + 56]
+                                )
+                            elif f3 == b"strf":
+                                strf = struct.unpack(
+                                    "<IiiHH4sIiiII", payload[ds3 : ds3 + 40]
+                                )
+            elif ltype == b"movi":
+                for f2, ds2, sz2 in _avi_walk(payload, ds + 4, ds + size):
+                    if f2 in (b"00dc", b"00db"):
+                        frames.append(payload[ds2 : ds2 + sz2])
+                        offsets.append(ds2 - 8 - ds)  # header offset from 'movi'
+        elif fourcc == b"idx1":
+            idx_raw = payload[ds : ds + size]
+
+    if avih is None or strh is None or strf is None:
+        raise ValueError("AVI missing avih/strh/strf headers")
+    if strh[0] != b"vids" or strh[1] != b"MJPG":
+        raise ValueError(f"unsupported AVI stream {strh[0]!r}/{strh[1]!r}")
+    if strf[5] != b"MJPG":
+        raise ValueError(f"unsupported biCompression {strf[5]!r}")
+    us_per_frame, n_declared, w, h = avih[0], avih[4], avih[8], avih[9]
+    if (strf[1], strf[2]) != (w, h):
+        raise ValueError("strf dims disagree with avih")
+    if len(frames) != n_declared or strh[9] != n_declared:
+        raise ValueError(
+            f"frame count mismatch: movi={len(frames)} avih={n_declared} "
+            f"strh={strh[9]}"
+        )
+    if idx_raw is not None:
+        if len(idx_raw) != 16 * len(frames):
+            raise ValueError("idx1 entry count != frame count")
+        for i, fr in enumerate(frames):
+            ckid, flags, off, sz = struct.unpack(
+                "<4sIII", idx_raw[16 * i : 16 * i + 16]
+            )
+            if ckid not in (b"00dc", b"00db") or sz != len(fr) or off != offsets[i]:
+                raise ValueError(f"idx1 entry {i} disagrees with movi chunk")
+    for fr in frames:
+        if fr[:2] != b"\xff\xd8":
+            raise ValueError("movi chunk is not a JPEG (no SOI)")
+    return int(w), int(h), int(us_per_frame), frames

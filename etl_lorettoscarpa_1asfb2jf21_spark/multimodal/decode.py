@@ -4,10 +4,10 @@ decode/feature-extract as Arrow-batched Pandas functions over mapInPandas.
 The container ships no image/audio libraries, so the codecs are
 implemented dependency-free in multimodal/codecs.py: BMP, PNG (zlib
 inflate + filter reconstruction), GIF (palette + variable-width LZW),
-baseline sequential JPEG (canonical-Huffman entropy decode + dequant +
-IDCT), and PCM WAV all decode for REAL; only formats outside those
-profiles (progressive JPEG, video containers, ...) raise
-NotImplementedError. The plumbing —
+baseline/progressive JPEG (canonical-Huffman entropy decode + dequant +
+IDCT), PCM/G.711 WAV, and MJPEG-in-AVI video (RIFF container walk +
+per-frame JPEG decode) all decode for REAL; only formats outside those
+profiles raise NotImplementedError. The plumbing —
 schema, partition sizing, UDF signatures, Arrow batch shapes — is tested
 in tests/test_multimodal.py; swapping in Pillow/libav for the exotic
 formats later touches one function body, not the plan.
@@ -163,18 +163,80 @@ def extract_image_features(decoded: DataFrame, dim: int = 8) -> DataFrame:
     return decoded.withColumn("features", normalize_expr("features"))
 
 
+DECODED_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("us_per_frame", LongType(), False),
+        StructField("sum_px", LongType(), False),
+        StructField("min_px", LongType(), False),
+        StructField("max_px", LongType(), False),
+    ]
+)
+
+
+def decode_video_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_n: int = 2,
+) -> DataFrame:
+    """REAL video frame sampling: walk the AVI/MJPG RIFF container
+    (codecs.decode_avi_mjpeg — nested LISTs, word alignment, idx1
+    cross-check), take every ``every_n``-th frame, decode each sampled
+    frame with the real baseline-JPEG decoder, and emit one row per
+    sampled frame with its pixel statistics. Arrow mapInPandas; the
+    per-frame fan-out happens inside the batch, so a 1000-frame clip
+    never materializes as 1000 shuffled binary rows — sample-then-decode
+    is the order that matters at 100 TB of video."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import decode_avi_mjpeg, decode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, us, frames = decode_avi_mjpeg(bytes(payload))
+                for f in range(0, len(frames), every_n):
+                    fw, fh, _, img = decode_jpeg(frames[f])
+                    if (fw, fh) != (w, h):
+                        raise ValueError(
+                            f"frame {f} dims {(fw, fh)} != container {(w, h)}"
+                        )
+                    px = img.reshape(-1).astype("int64")
+                    rows.append(
+                        {
+                            "doc_id": int(i),
+                            "frame_idx": f,
+                            "n_frames": len(frames),
+                            "width": w,
+                            "height": h,
+                            "us_per_frame": us,
+                            "sum_px": int(px.sum()),
+                            "min_px": int(px.min()),
+                            "max_px": int(px.max()),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(decode, DECODED_FRAME_SCHEMA)
+
+
 def sample_video_frames(
     df: DataFrame,
     id_col: str = "doc_id",
     payload_col: str = "payload",
     every_n: int = 10,
 ) -> DataFrame:
-    """Frame-sampling plumbing: explodes a (stubbed) frame index per video.
-
-    Real implementation would emit one row per sampled frame with a binary
-    frame payload; the stub emits the frame *indexes* (deterministic from
-    payload size) so downstream partitioning/explode logic is testable.
-    """
+    """Frame-INDEX sampling plumbing over opaque payloads (kept for the
+    schema/partitioning tests); the real container path is
+    decode_video_frames above (AVI/MJPG RIFF walk + per-frame JPEG
+    decode). The stub emits frame indexes deterministic from payload
+    size so downstream partitioning/explode logic is testable against
+    payloads of any format."""
     n_frames = (F.octet_length(F.col(payload_col)) % 100 + 1).cast("int")
     return (
         df.select(id_col, n_frames.alias("_n"))

@@ -924,6 +924,86 @@ def x4_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# X4 — real VIDEO decode: MJPEG-in-AVI frame sampling
+# =====================================================================
+
+@query(
+    "x4_video_frames",
+    f"""
+    WITH dims AS (
+      SELECT doc_id, CAST(1 + doc_id % 4 AS BIGINT) AS bw,
+             CAST(1 + doc_id % 3 AS BIGINT) AS bh,
+             CAST(3 + doc_id % 6 AS BIGINT) AS nf
+      FROM documents
+    ), frm AS (
+      SELECT doc_id, bw, bh, nf, unnest(range(0, nf, 2)) AS f
+      FROM dims
+    ), blk AS (
+      SELECT doc_id, bw, bh, nf, f, unnest(range(0, bw * bh)) AS b
+      FROM frm
+    ), px AS (
+      SELECT doc_id, bw, bh, nf, f,
+             28 + (doc_id * 13 + (b + 1000 * f) * 29) % 201 AS g,
+             (doc_id * 7 + (b + 1000 * f) * 11) % 15 - 7 AS a,
+             unnest(range(0, 8)) AS x
+      FROM blk
+    ), vals AS (
+      SELECT doc_id, bw, bh, nf, f,
+             CAST(ROUND(g + a * list_extract(
+               LIST_VALUE({_JPEG_BASIS}), x + 1)) AS BIGINT) AS p
+      FROM px
+    )
+    SELECT doc_id, f AS frame_idx, nf AS n_frames,
+           CAST(bw * 8 AS BIGINT) AS width,
+           CAST(bh * 8 AS BIGINT) AS height,
+           CAST(100000 AS BIGINT) AS us_per_frame,
+           CAST(SUM(p) * 8 AS BIGINT) AS sum_px,
+           CAST(MIN(p) AS BIGINT) AS min_px,
+           CAST(MAX(p) AS BIGINT) AS max_px
+    FROM vals
+    GROUP BY doc_id, f, nf, bw, bh
+    """,
+)
+def x4_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 REAL VIDEO decode — closes the video-container descope.
+    Synthesize a valid AVI/MJPG clip per document (RIFF form: avih +
+    strl stream headers, word-aligned '00dc' movi chunks — JPEG frames
+    are routinely odd-length so the pad path is live — and a full idx1
+    index), then run the real sampling pipeline
+    (multimodal/decode.py:decode_video_frames): container walk with
+    nested-LIST recursion and idx1 cross-validation via
+    codecs.decode_avi_mjpeg, sample every 2nd frame, decode each sampled
+    frame with the real baseline-JPEG decoder, emit one row per sampled
+    frame. Frames reuse the proven-invertible (DC, AC(0,1)) texture
+    with block index offset 1000*frame, so the DuckDB twin recomputes
+    every sampled frame's pixel statistics in closed form without ever
+    seeing a byte: any container-offset, alignment, index, frame-order,
+    or entropy-decode bug breaks the hash. Sample-THEN-decode inside the
+    Arrow batch is the ordering that matters at 100 TB of video — a
+    clip never fans out to per-frame shuffled rows before sampling."""
+    import pandas as pd
+
+    from .multimodal.codecs import make_avi_mjpeg
+    from .multimodal.decode import decode_video_frames
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": [
+                        make_avi_mjpeg(int(i)) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    clips = d.mapInPandas(gen, "doc_id long, payload binary")
+    return decode_video_frames(clips, every_n=2)
+
+
+# =====================================================================
 # IVM1 — incremental materialized-view maintenance (delta merge)
 # =====================================================================
 

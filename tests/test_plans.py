@@ -76,6 +76,9 @@ MAP_IN_PANDAS_QUERIES = {
     "x4_jpeg_decode",
     "x4_jpeg420_decode",
     "x4_gif_decode",
+    "x4_jpeg_prog_decode",
+    "x4_wav_g711_decode",
+    "x4_video_frames",
 }
 # The sanctioned applyInPandas surface: per-key sequential recurrences
 # that no fixed number of window passes can express (each keep decision
