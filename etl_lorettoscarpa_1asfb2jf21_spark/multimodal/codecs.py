@@ -1769,3 +1769,57 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, int, list[bytes]]:
         if fr[:2] != b"\xff\xd8":
             raise ValueError("movi chunk is not a JPEG (no SOI)")
     return int(w), int(h), int(us_per_frame), frames
+
+
+# ------------------------------------------------- perceptual hash (dHash)
+#
+# Difference hash over a nearest-neighbor-sampled 8x9 luma grid: 63
+# horizontal comparison bits packed into a NON-NEGATIVE int64. The
+# standard dHash uses area interpolation for the downsample; the
+# nearest-neighbor variant is equally standard for small sources and —
+# unlike interpolation — is integer-EXACT, which is what lets the DuckDB
+# twin recompute the hash from the pixel formulas without decoding a
+# byte. Comparisons read g[r][c+1] > g[r][c] on the green channel.
+
+
+def dhash63(img: np.ndarray, channel: int = 1) -> int:
+    """63-bit difference hash of an HxWx3 uint8 image (any dims >= 1)."""
+    h, w = img.shape[0], img.shape[1]
+    xs = np.array([(c * w) // 8 for c in range(8)])
+    ys = np.array([(r * h) // 9 for r in range(9)])
+    g = img[np.ix_(ys, xs)][:, :, channel].astype(np.int64)
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)  # 9 rows x 7 cols
+    k = np.arange(63, dtype=np.int64)
+    return int((bits.reshape(-1) << k).sum())
+
+
+def bmp_jitter_hits(doc_id: int, x: int, y: int) -> bool:
+    """Positions perturbed by the near-duplicate variant — mirrored in
+    the SQL oracle."""
+    return (x + y + doc_id) % 11 == 0
+
+
+def make_bmp_jitter(doc_id: int) -> bytes:
+    """The near-duplicate twin of make_bmp(doc_id): +1 (mod 256) on the
+    jitter positions, every channel. Perceptually the same image — the
+    dHash comparison g[c+1] > g[c] flips only where a jittered pixel
+    lands on a sampled pair whose values were adjacent, so the Hamming
+    distance to the original's hash is small but occasionally nonzero."""
+    width, height = bmp_dims(doc_id)
+    row_len = width * 3
+    pad = (4 - row_len % 4) % 4
+    rows = []
+    for y in range(height - 1, -1, -1):
+        row = bytearray()
+        for x in range(width):
+            jit = 1 if bmp_jitter_hits(doc_id, x, y) else 0
+            for c in (2, 1, 0):
+                row.append((bmp_pixel_value(doc_id, x, y, c, width) + jit) % 256)
+        row.extend(b"\x00" * pad)
+        rows.append(bytes(row))
+    pixel_data = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    file_header = struct.pack("<2sIHHI", b"BM", 54 + len(pixel_data), 0, 0, 54)
+    return file_header + info + pixel_data

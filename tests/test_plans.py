@@ -79,6 +79,8 @@ MAP_IN_PANDAS_QUERIES = {
     "x4_jpeg_prog_decode",
     "x4_wav_g711_decode",
     "x4_video_frames",
+    "x4_image_dhash",
+    "x4_audio_features",
 }
 # The sanctioned applyInPandas surface: per-key sequential recurrences
 # that no fixed number of window passes can express (each keep decision
