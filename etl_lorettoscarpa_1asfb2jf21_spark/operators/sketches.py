@@ -1,0 +1,205 @@
+"""Portable approximate-aggregate sketches: HyperLogLog distinct count
+and Count-Min heavy-hitter estimation.
+
+Spark ships `approx_count_distinct` (HLL++) and `count_min_sketch`, but
+their register layouts are engine-internal — nothing else can verify
+them. These implementations take the engine's signature approach
+instead: the sketch is built from ENGINE-PORTABLE primitives
+(functions/hashing.md5_long60 — the same 60-bit md5 prefix the MinHash
+and SimHash family uses) with integer-deterministic register math, so a
+DuckDB twin rebuilds the identical sketch and the estimates hash-match
+exactly. You get the standard sketch error bounds AND a differential
+correctness gate on the estimator itself.
+
+Scale notes (the reason sketches exist at 100 TB):
+
+* HLL: one map-side pass computes (register index, rho) per row; the
+  shuffle carries at most m=2^p rows PER GROUP (512 here) regardless of
+  input size — partial aggregation collapses everything else map-side.
+  Merging shards/windows = max() over registers, the classic
+  mergeable-summary property.
+* CMS: the counter table is d*w cells (4x256 = 1024 rows) built by one
+  hash-aggregation; estimates for any candidate set are a broadcast
+  join against those cells. Counters are mergeable by addition.
+
+All expressions are native (no UDF of any kind): md5, conv, bin,
+shiftright, and the estimator arithmetic all run inside whole-stage
+codegen. Double arithmetic appears only in the final per-group
+estimator expression, computed from exact integers in one fixed
+formula — IEEE multiplication/division is exactly rounded, so both
+engines produce the identical double, and outputs are rounded to
+integers regardless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long60
+
+# ---------------------------------------------------------------- HLL
+
+HLL_P = 9
+HLL_M = 1 << HLL_P  # 512 registers
+_WBITS = 60 - HLL_P  # md5_long60 yields 60 hash bits; p index bits
+# Standard bias constant alpha_m = 0.7213 / (1 + 1.079/m) for m >= 128,
+# embedded as an exact double literal on both engines.
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+_SCALE = 1 << (_WBITS + 1)  # 2^52: makes every 2^-rho term an exact int
+
+
+def hll_register_exprs(value: Column | str) -> tuple[Column, Column]:
+    """(register index, rho) for one value — the map-side pass. The
+    value is hashed as its STRING form (matching the SQL twin's
+    CAST(v AS VARCHAR)); index/width split is pure bit arithmetic on
+    the non-negative 60-bit hash."""
+    v = F.col(value) if isinstance(value, str) else value
+    h = md5_long60(v.cast("string"))
+    idx = h.bitwiseAND(F.lit(HLL_M - 1))
+    w = F.shiftright(h, HLL_P)
+    # rho = leading zeros of w in its (60-p)-bit field, + 1.
+    # bit length via length(bin(w)) — w=0 means all zeros: rho = wbits+1.
+    rho = F.when(w == 0, F.lit(_WBITS + 1)).otherwise(
+        F.lit(_WBITS + 1) - F.length(F.bin(w))
+    )
+    return idx.alias("_hll_idx"), rho.alias("_hll_rho")
+
+
+def hll_distinct(
+    df: DataFrame, value_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group HLL distinct-count estimate, integer-deterministic.
+
+    Output: group cols + ``registers_used`` (non-zero registers),
+    ``hll_est`` (rounded estimate, BIGINT). The harmonic mean is
+    computed as the exact integer S = sum(2^52 >> rho_j) over all m
+    registers (absent registers contribute 2^52), bounded by
+    m * 2^51 = 2^60 — no overflow, no float accumulation; the final
+    estimate alpha * m^2 * 2^52 / S is one exactly-rounded double op
+    chain. Small-range linear counting applies below 2.5m, as in the
+    original Flajolet et al. formulation."""
+    idx, rho = hll_register_exprs(value_col)
+    regs = (
+        df.select(*group_cols, idx, rho)
+        .groupBy(*group_cols, "_hll_idx")
+        .agg(F.max("_hll_rho").alias("_mj"))
+    )
+    per_group = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("registers_used"),
+        F.sum(
+            F.expr(f"shiftright(cast({_SCALE} as bigint), cast(_mj as int))")
+        ).alias("_s_present"),
+    )
+    s_total = F.col("_s_present") + (F.lit(HLL_M) - F.col("registers_used")) * F.lit(
+        _SCALE
+    )
+    est_raw = F.lit(HLL_ALPHA * HLL_M * HLL_M * _SCALE) / s_total
+    zeros = F.lit(HLL_M) - F.col("registers_used")
+    est = F.when(
+        (zeros > 0) & (est_raw <= F.lit(2.5 * HLL_M)),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
+    ).otherwise(est_raw)
+    return per_group.select(
+        *group_cols,
+        F.col("registers_used").cast("long").alias("registers_used"),
+        F.round(est).cast("long").alias("hll_est"),
+    )
+
+
+def hll_oracle_sql(
+    table_expr: str, value_sql: str, group_sql: list[str]
+) -> str:
+    """The DuckDB twin of hll_distinct over the same table/expressions."""
+    g = ", ".join(group_sql)
+    return f"""
+    WITH hashed AS (
+      SELECT {g},
+             ('0x' || substr(md5(CAST({value_sql} AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM {table_expr}
+    ), reg AS (
+      SELECT {g}, h % {HLL_M} AS idx,
+             CASE WHEN h // {HLL_M} = 0 THEN {_WBITS + 1}
+                  ELSE {_WBITS + 1} - length(bin(h // {HLL_M})) END AS rho
+      FROM hashed
+    ), regmax AS (
+      SELECT {g}, idx, MAX(rho) AS mj FROM reg GROUP BY {g}, idx
+    ), grouped AS (
+      SELECT {g}, COUNT(*) AS registers_used,
+             SUM(({_SCALE}::BIGINT) >> mj) AS s_present
+      FROM regmax GROUP BY {g}
+    )
+    SELECT {g},
+           CAST(registers_used AS BIGINT) AS registers_used,
+           CAST(ROUND(
+             CASE WHEN ({HLL_M} - registers_used) > 0
+                   AND {HLL_ALPHA * HLL_M * HLL_M * _SCALE!r}
+                       / (s_present + ({HLL_M} - registers_used) * {_SCALE}::BIGINT)
+                       <= {2.5 * HLL_M!r}
+                  THEN {float(HLL_M)!r}
+                       * LN({float(HLL_M)!r} / ({HLL_M} - registers_used))
+                  ELSE {HLL_ALPHA * HLL_M * HLL_M * _SCALE!r}
+                       / (s_present + ({HLL_M} - registers_used) * {_SCALE}::BIGINT)
+             END) AS BIGINT) AS hll_est
+    FROM grouped
+    """
+
+
+# ---------------------------------------------------------------- CMS
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_bucket_expr(value: Column | str, row: int) -> Column:
+    """Row-j bucket of a value: portable seeded 60-bit hash mod width."""
+    v = F.col(value) if isinstance(value, str) else value
+    return md5_long60(F.concat(F.lit(f"cms{row}:"), v.cast("string"))) % F.lit(
+        CMS_WIDTH
+    )
+
+
+def cms_counters(df: DataFrame, value_col: str) -> DataFrame:
+    """The d x w counter table (at most 1024 rows) from one pass:
+    explode the d row-hashes per input row, hash-aggregate counts."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("_row"), cms_bucket_expr(value_col, j).alias("_bucket")
+            )
+            for j in range(CMS_DEPTH)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("_rb"))
+        .select("_rb._row", "_rb._bucket")
+        .groupBy("_row", "_bucket")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame, candidates: DataFrame, value_col: str
+) -> DataFrame:
+    """Point estimates for a (small, broadcastable) candidate set:
+    min over the d row counters — the classic CMS upper bound
+    (est >= true count always; error <= 2N/w with prob 1 - 2^-d)."""
+    probes = candidates.select(
+        value_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("_row"),
+                        cms_bucket_expr(value_col, j).alias("_bucket"),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("_rb"),
+    ).select(value_col, "_rb._row", "_rb._bucket")
+    return (
+        counters.join(F.broadcast(probes), ["_row", "_bucket"])
+        .groupBy(value_col)
+        .agg(F.min("_cnt").cast("long").alias("cms_est"))
+    )

@@ -858,3 +858,96 @@ def ml2_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+# =====================================================================
+# SK — portable sketches: HyperLogLog + Count-Min (round 5)
+# =====================================================================
+#
+# Spark's approx_count_distinct / count_min_sketch have engine-internal
+# register layouts nothing else can verify. These queries run the
+# engine's own portable-primitive sketches (operators/sketches.py:
+# md5_long60-based, integer-deterministic register math) so the DuckDB
+# twin rebuilds the IDENTICAL sketch and the estimates hash-match — the
+# standard sketch error bounds plus a differential gate on the
+# estimator itself. At 100 TB: HLL ships <= 512 rows per group through
+# the shuffle (map-side partial max over registers); the CMS counter
+# table is 1024 cells total, and candidate estimation is a broadcast
+# join against it.
+
+
+@query(
+    "sk1_hll_distinct",
+    __import__(
+        "etl_lorettoscarpa_1asfb2jf21_spark.operators.sketches",
+        fromlist=["hll_oracle_sql"],
+    ).hll_oracle_sql("lineitem", "l_orderkey", ["l_returnflag"]),
+)
+def sk1_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SK1: per-returnflag HLL distinct-orderkey estimate (p=9, 512
+    registers) built from the portable 60-bit md5 hash with exact
+    integer register math (see operators/sketches.py). The oracle twin
+    recomputes every register and the estimator closed-form; a mismatch
+    in any hash bit, register max, scaled harmonic term, or the
+    small-range branch breaks the hash."""
+    from .operators.sketches import hll_distinct
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey")
+    return hll_distinct(li, "l_orderkey", ["l_returnflag"])
+
+
+@query(
+    "sk2_cms_heavy_hitters",
+    f"""
+    WITH counters AS (
+      SELECT j, ('0x' || substr(md5('cms' || j || ':'
+               || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT % 256 AS bucket,
+             COUNT(*) AS cnt
+      FROM orders, unnest(range(0, 4)) AS t(j)
+      GROUP BY 1, 2
+    ), exact AS (
+      SELECT o_custkey, COUNT(*) AS exact_cnt FROM orders GROUP BY 1
+    ), cand AS (
+      SELECT o_custkey, exact_cnt,
+             ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, o_custkey) AS rn
+      FROM exact
+    ), probes AS (
+      SELECT o_custkey, exact_cnt, j,
+             ('0x' || substr(md5('cms' || j || ':'
+               || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT % 256 AS bucket
+      FROM cand, unnest(range(0, 4)) AS t(j)
+      WHERE rn <= 20
+    )
+    SELECT p.o_custkey,
+           CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(MIN(c.cnt) AS BIGINT) AS cms_est,
+           CAST(MIN(c.cnt) - p.exact_cnt AS BIGINT) AS overshoot
+    FROM probes p JOIN counters c ON p.j = c.j AND p.bucket = c.bucket
+    GROUP BY p.o_custkey, p.exact_cnt
+    """,
+)
+def sk2_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SK2: Count-Min heavy hitters over orders.o_custkey — build the
+    4x256 counter table in one hash-aggregation pass, take the exact
+    top-20 customers (ties broken by key for determinism), and read
+    each one's CMS estimate as min over the 4 row counters. The
+    overestimate property (cms_est >= exact_cnt always) plus the fully
+    portable seeded hashes make the whole sketch hash-checkable. This
+    is the skew-diagnosis primitive at 100 TB: counters are 1024 cells
+    regardless of input size, mergeable by addition across shards."""
+    from .operators.sketches import cms_counters, cms_estimate
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    counters = cms_counters(o, "o_custkey")
+    exact = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    # top-20 via orderBy+limit -> TakeOrderedAndProject (per-partition
+    # heaps + one 20-row merge), NOT a row_number window that would drag
+    # every per-key count onto a single partition at scale.
+    cand = exact.orderBy(F.col("exact_cnt").desc(), F.col("o_custkey")).limit(20)
+    est = cms_estimate(counters, cand.select("o_custkey"), "o_custkey")
+    return cand.join(est, "o_custkey").select(
+        "o_custkey",
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overshoot"),
+    )

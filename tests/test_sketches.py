@@ -1,0 +1,75 @@
+"""Portable sketch operators (operators/sketches.py): estimator quality
+and the structural properties the 100 TB story rests on."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_lorettoscarpa_1asfb2jf21_spark.operators.sketches import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    HLL_M,
+    cms_counters,
+    cms_estimate,
+    hll_distinct,
+)
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """Relative error stays within 4 standard errors (1.04/sqrt(m)) of
+    the exact distinct count across cardinalities spanning the
+    linear-counting and raw-estimator regimes."""
+    se = 1.04 / (HLL_M**0.5)
+    for n in (50, 500, 5_000, 50_000):
+        df = spark.range(n).select(
+            F.lit("g").alias("g"), F.concat(F.lit("v"), F.col("id")).alias("v")
+        )
+        est = hll_distinct(df, "v", ["g"]).collect()[0]["hll_est"]
+        assert abs(est - n) / n <= 4 * se, (n, est)
+
+
+def test_hll_is_insensitive_to_duplication(spark):
+    """The mergeable-summary property: duplicating every row must not
+    move the estimate at all (registers are max-aggregated)."""
+    base = spark.range(2_000).select(
+        F.lit("g").alias("g"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    est1 = hll_distinct(base, "v", ["g"]).collect()[0]["hll_est"]
+    est2 = hll_distinct(base.union(base).union(base), "v", ["g"]).collect()[0][
+        "hll_est"
+    ]
+    assert est1 == est2
+
+
+def test_cms_overestimates_and_is_bounded(spark):
+    """est >= true count for EVERY candidate (structural), and the
+    counter table never exceeds depth x width cells."""
+    df = spark.range(20_000).select((F.col("id") % 700).alias("k"))
+    counters = cms_counters(df, "k")
+    assert counters.count() <= CMS_DEPTH * CMS_WIDTH
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    cand = exact.orderBy(F.col("n").desc(), "k").limit(30)
+    est = cms_estimate(counters, cand.select("k"), "k")
+    joined = cand.join(est, "k").collect()
+    assert len(joined) == 30
+    assert all(r["cms_est"] >= r["n"] for r in joined)
+
+
+def test_sk_queries_native_plans(spark, sf_medium):
+    """Both sketch queries stay fully JVM-side and HLL's shuffle is
+    register-bounded: the aggregate above the scan groups by the
+    register index, never by the raw value."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.queries_catalog_extras import QUERIES
+
+    for name in ("sk1_hll_distinct", "sk2_cms_heavy_hitters"):
+        df = QUERIES[name](spark, sf_medium)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "BatchEvalPython" not in plan and "Python" not in plan, name
+    sk2 = QUERIES["sk2_cms_heavy_hitters"](spark, sf_medium)
+    plan2 = sk2._sc._jvm.PythonSQLUtils.explainString(
+        sk2._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in plan2  # top-20 without a global sort
