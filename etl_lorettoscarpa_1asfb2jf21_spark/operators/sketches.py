@@ -66,25 +66,26 @@ def hll_register_exprs(value: Column | str) -> tuple[Column, Column]:
     return idx.alias("_hll_idx"), rho.alias("_hll_rho")
 
 
-def hll_distinct(
+def hll_registers(
     df: DataFrame, value_col: str, group_cols: list[str]
 ) -> DataFrame:
-    """Per-group HLL distinct-count estimate, integer-deterministic.
-
-    Output: group cols + ``registers_used`` (non-zero registers),
-    ``hll_est`` (rounded estimate, BIGINT). The harmonic mean is
-    computed as the exact integer S = sum(2^52 >> rho_j) over all m
-    registers (absent registers contribute 2^52), bounded by
-    m * 2^51 = 2^60 — no overflow, no float accumulation; the final
-    estimate alpha * m^2 * 2^52 / S is one exactly-rounded double op
-    chain. Small-range linear counting applies below 2.5m, as in the
-    original Flajolet et al. formulation."""
+    """Per-group register table (<= m rows per group): the mergeable
+    sketch artifact. max() over ``_mj`` merges shards/windows — and is
+    a single streaming-supported stateful aggregation, which is what
+    streaming/windows.windowed_hll_registers builds on."""
     idx, rho = hll_register_exprs(value_col)
-    regs = (
+    return (
         df.select(*group_cols, idx, rho)
         .groupBy(*group_cols, "_hll_idx")
         .agg(F.max("_hll_rho").alias("_mj"))
     )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Fold a register table (group cols + _hll_idx + _mj) to per-group
+    estimates — the read-time step; registers are what you store."""
     per_group = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("registers_used"),
         F.sum(
@@ -104,6 +105,24 @@ def hll_distinct(
         *group_cols,
         F.col("registers_used").cast("long").alias("registers_used"),
         F.round(est).cast("long").alias("hll_est"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, value_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group HLL distinct-count estimate, integer-deterministic.
+
+    Output: group cols + ``registers_used`` (non-zero registers),
+    ``hll_est`` (rounded estimate, BIGINT). The harmonic mean is
+    computed as the exact integer S = sum(2^52 >> rho_j) over all m
+    registers (absent registers contribute 2^52), bounded by
+    m * 2^51 = 2^60 — no overflow, no float accumulation; the final
+    estimate alpha * m^2 * 2^52 / S is one exactly-rounded double op
+    chain. Small-range linear counting applies below 2.5m, as in the
+    original Flajolet et al. formulation."""
+    return hll_estimate_from_registers(
+        hll_registers(df, value_col, group_cols), group_cols
     )
 
 

@@ -951,3 +951,32 @@ def sk2_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overshoot"),
     )
+
+
+@query(
+    "sk3_windowed_hll",
+    __import__(
+        "etl_lorettoscarpa_1asfb2jf21_spark.operators.sketches",
+        fromlist=["hll_oracle_sql"],
+    ).hll_oracle_sql(
+        "(SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, "
+        "user_id FROM events) t",
+        "user_id",
+        ["window_start"],
+    ),
+)
+def sk3_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SK3: per-hour distinct-user HLL — the STREAMING sketch contract.
+    This batch form is plan-identical to
+    streaming/windows.windowed_hll_registers (one groupBy(window,
+    register) max aggregation — the only stateful op, so the stream
+    needs no chained-aggregation support; per-window state is <= 512
+    registers at ANY event rate) followed by the read-time estimator
+    fold. Stream/batch parity is proven in tests/test_streaming.py; the
+    DuckDB twin rebuilds every register and the estimate closed-form."""
+    from .operators.sketches import hll_estimate_from_registers
+    from .streaming.windows import windowed_hll_registers
+
+    e = load_table(spark, sf_dir, "events")
+    regs = windowed_hll_registers(e)
+    return hll_estimate_from_registers(regs, ["window_start"])

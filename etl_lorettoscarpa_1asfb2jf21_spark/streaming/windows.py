@@ -49,3 +49,45 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def windowed_hll_registers(
+    events: DataFrame,
+    value_col: str = "user_id",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming distinct-count sketch: per tumbling window, the HLL
+    register table (operators/sketches) — ONE stateful aggregation
+    (groupBy(window, register) -> max(rho)), so it runs under any Spark
+    streaming mode without the chained-stateful-aggregation restriction.
+    State per open window is bounded by m=512 registers no matter the
+    event rate; the watermark GCs closed windows. Registers are the
+    artifact you persist — estimates are the read-time fold
+    (sketches.hll_estimate_from_registers), and max() re-merges shards,
+    restatements, or adjacent windows for free.
+
+    Batch twin: queries_catalog_extras.sk3_windowed_hll (full DuckDB
+    oracle); stream/batch parity is tested in tests/test_streaming.py.
+    """
+    from ..operators.sketches import hll_register_exprs
+    from .sessions import _ts_as_timestamp
+
+    events = _ts_as_timestamp(events, ts_col)
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    idx, rho = hll_register_exprs(value_col)
+    return (
+        src.select(F.window(ts_col, window_duration).alias("w"), idx, rho)
+        .groupBy(
+            F.col("w"), F.col("_hll_idx")
+        )
+        .agg(F.max("_hll_rho").alias("_mj"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "_hll_idx",
+            "_mj",
+        )
+    )

@@ -630,3 +630,49 @@ def test_streaming_emit_anchored_matches_batch(spark, tmp_path, sf_small):
     )
     want = sorted(r["event_id"] for r in batch.collect())
     assert got == want and len(want) > 0
+
+
+def test_windowed_hll_stream_matches_batch(spark, tmp_path, sf_small):
+    """The streaming distinct-count sketch: register tables from the
+    stream (one stateful max aggregation, <=512 rows of state per open
+    window) must equal the batch registers exactly, and the read-time
+    estimator fold over the streamed registers must equal the
+    oracle-checked batch query sk3_windowed_hll."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.sketches import (
+        hll_estimate_from_registers,
+    )
+    from etl_lorettoscarpa_1asfb2jf21_spark.sources.tables import load_table
+    from etl_lorettoscarpa_1asfb2jf21_spark.streaming.windows import (
+        windowed_hll_registers,
+    )
+
+    events = load_table(spark, sf_small, "events")
+    batch_regs = windowed_hll_registers(events)
+
+    stream_src = str(tmp_path / "hll_stream_src")
+    events.write.parquet(stream_src)
+    stream = spark.readStream.schema(events.schema).parquet(stream_src)
+    out = windowed_hll_registers(stream, watermark="10 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("hll_regs")
+
+    b = {(r["window_start"], r["_hll_idx"]): r["_mj"] for r in batch_regs.collect()}
+    s = {(r["window_start"], r["_hll_idx"]): r["_mj"] for r in got.collect()}
+    assert b == s and len(b) > 0
+
+    est_stream = {
+        (r["window_start"]): (r["registers_used"], r["hll_est"])
+        for r in hll_estimate_from_registers(got, ["window_start"]).collect()
+    }
+    est_batch = {
+        (r["window_start"]): (r["registers_used"], r["hll_est"])
+        for r in hll_estimate_from_registers(batch_regs, ["window_start"]).collect()
+    }
+    assert est_stream == est_batch
