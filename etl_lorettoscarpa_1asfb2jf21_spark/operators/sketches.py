@@ -126,23 +126,45 @@ def hll_distinct(
     )
 
 
+def hll_reg_sql(table_expr: str, value_sql: str, group_sql: list[str]) -> str:
+    """SQL CTE body producing the per-group register table
+    ({groups}, idx, mj) — the shared head of every HLL oracle."""
+    g = ", ".join(group_sql)
+    return f"""
+      SELECT {g}, idx, MAX(rho) AS mj FROM (
+        SELECT {g}, h % {HLL_M} AS idx,
+               CASE WHEN h // {HLL_M} = 0 THEN {_WBITS + 1}
+                    ELSE {_WBITS + 1} - length(bin(h // {HLL_M})) END AS rho
+        FROM (
+          SELECT {g},
+                 ('0x' || substr(md5(CAST({value_sql} AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM {table_expr}
+        )
+      ) GROUP BY {g}, idx
+    """
+
+
+def hll_est_sql(registers_used: str, s_present: str) -> str:
+    """The estimator as a SQL expression over (registers_used,
+    s_present) — identical formula to hll_estimate_from_registers."""
+    s_total = f"({s_present} + ({HLL_M} - {registers_used}) * {_SCALE}::BIGINT)"
+    raw = f"{HLL_ALPHA * HLL_M * HLL_M * _SCALE!r} / {s_total}"
+    return f"""CAST(ROUND(
+             CASE WHEN ({HLL_M} - {registers_used}) > 0 AND {raw} <= {2.5 * HLL_M!r}
+                  THEN {float(HLL_M)!r}
+                       * LN({float(HLL_M)!r} / ({HLL_M} - {registers_used}))
+                  ELSE {raw}
+             END) AS BIGINT)"""
+
+
 def hll_oracle_sql(
     table_expr: str, value_sql: str, group_sql: list[str]
 ) -> str:
     """The DuckDB twin of hll_distinct over the same table/expressions."""
     g = ", ".join(group_sql)
     return f"""
-    WITH hashed AS (
-      SELECT {g},
-             ('0x' || substr(md5(CAST({value_sql} AS VARCHAR)), 1, 15))::BIGINT AS h
-      FROM {table_expr}
-    ), reg AS (
-      SELECT {g}, h % {HLL_M} AS idx,
-             CASE WHEN h // {HLL_M} = 0 THEN {_WBITS + 1}
-                  ELSE {_WBITS + 1} - length(bin(h // {HLL_M})) END AS rho
-      FROM hashed
-    ), regmax AS (
-      SELECT {g}, idx, MAX(rho) AS mj FROM reg GROUP BY {g}, idx
+    WITH regmax AS (
+      {hll_reg_sql(table_expr, value_sql, group_sql)}
     ), grouped AS (
       SELECT {g}, COUNT(*) AS registers_used,
              SUM(({_SCALE}::BIGINT) >> mj) AS s_present
@@ -150,16 +172,7 @@ def hll_oracle_sql(
     )
     SELECT {g},
            CAST(registers_used AS BIGINT) AS registers_used,
-           CAST(ROUND(
-             CASE WHEN ({HLL_M} - registers_used) > 0
-                   AND {HLL_ALPHA * HLL_M * HLL_M * _SCALE!r}
-                       / (s_present + ({HLL_M} - registers_used) * {_SCALE}::BIGINT)
-                       <= {2.5 * HLL_M!r}
-                  THEN {float(HLL_M)!r}
-                       * LN({float(HLL_M)!r} / ({HLL_M} - registers_used))
-                  ELSE {HLL_ALPHA * HLL_M * HLL_M * _SCALE!r}
-                       / (s_present + ({HLL_M} - registers_used) * {_SCALE}::BIGINT)
-             END) AS BIGINT) AS hll_est
+           {hll_est_sql("registers_used", "s_present")} AS hll_est
     FROM grouped
     """
 

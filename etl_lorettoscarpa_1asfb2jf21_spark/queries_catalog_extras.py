@@ -980,3 +980,108 @@ def sk3_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     regs = windowed_hll_registers(e)
     return hll_estimate_from_registers(regs, ["window_start"])
+
+
+def _sk4_oracle() -> str:
+    from .operators.sketches import _SCALE, hll_est_sql, hll_reg_sql
+
+    fold = (
+        "SELECT {g}, COUNT(*) AS registers_used, "
+        f"SUM(({_SCALE}::BIGINT) >> mj) AS s_present "
+        "FROM {src} GROUP BY {g}"
+    )
+    return f"""
+    WITH regmax AS (
+      {hll_reg_sql("events", "user_id", ["event_type"])}
+    ), per_type AS (
+      SELECT event_type, {hll_est_sql("registers_used", "s_present")} AS hll_est
+      FROM ({fold.format(g="event_type", src="regmax")})
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM (SELECT DISTINCT event_type FROM regmax) a
+      JOIN (SELECT DISTINCT event_type FROM regmax) b
+        ON a.event_type < b.event_type
+    ), pairregs AS (
+      SELECT type_a, type_b, idx, MAX(mj) AS mj FROM (
+        SELECT p.type_a, p.type_b, r.idx, r.mj
+        FROM pairs p JOIN regmax r ON r.event_type = p.type_a
+        UNION ALL
+        SELECT p.type_a, p.type_b, r.idx, r.mj
+        FROM pairs p JOIN regmax r ON r.event_type = p.type_b
+      ) GROUP BY 1, 2, 3
+    ), union_est AS (
+      SELECT type_a, type_b,
+             {hll_est_sql("registers_used", "s_present")} AS est_union
+      FROM ({fold.format(g="type_a, type_b", src="pairregs")})
+    )
+    SELECT u.type_a, u.type_b,
+           ea.hll_est AS est_a, eb.hll_est AS est_b, u.est_union,
+           GREATEST(0, ea.hll_est + eb.hll_est - u.est_union) AS est_intersect
+    FROM union_est u
+    JOIN per_type ea ON ea.event_type = u.type_a
+    JOIN per_type eb ON eb.event_type = u.type_b
+    """
+
+
+@query("sk4_hll_overlap", _sk4_oracle())
+def sk4_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SK4: audience overlap between every event-type pair WITHOUT a
+    pairwise distinct-count pass — the mergeability payoff. Per-type HLL
+    register tables are built once; a pair's union estimate is max() over
+    the two register sets, and the intersection falls out by
+    inclusion-exclusion (floored at 0). At 100 TB this replaces
+    O(pairs) COUNT(DISTINCT CASE...) scans with ONE register build
+    (<= 512 rows/type) plus arithmetic on 512-row artifacts — the reason
+    register-form sketches, not opaque estimates, are what you persist.
+    Every register and all three estimator folds are rebuilt closed-form
+    by the DuckDB twin."""
+    from .operators.sketches import hll_estimate_from_registers, hll_registers
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    # <= n_types x 512 rows, reused by three folds below
+    regs = hll_registers(e, "user_id", ["event_type"]).localCheckpoint()
+    per_type = hll_estimate_from_registers(regs, ["event_type"])
+    types = regs.select("event_type").distinct()
+    pairs = (
+        types.alias("a")
+        .join(types.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+    )
+    cols = ["type_a", "type_b", "_hll_idx", "_mj"]
+    ra = pairs.join(regs.withColumnRenamed("event_type", "type_a"), "type_a")
+    rb = pairs.join(regs.withColumnRenamed("event_type", "type_b"), "type_b")
+    merged = (
+        ra.select(*cols)
+        .union(rb.select(*cols))
+        .groupBy("type_a", "type_b", "_hll_idx")
+        .agg(F.max("_mj").alias("_mj"))
+    )
+    eu = hll_estimate_from_registers(merged, ["type_a", "type_b"]).select(
+        "type_a", "type_b", F.col("hll_est").alias("est_union")
+    )
+    ea = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("hll_est").alias("est_a")
+    )
+    eb = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("hll_est").alias("est_b")
+    )
+    return (
+        eu.join(ea, "type_a")
+        .join(eb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(
+                F.lit(0).cast("long"),
+                (F.col("est_a") + F.col("est_b") - F.col("est_union")).cast(
+                    "long"
+                ),
+            ).alias("est_intersect"),
+        )
+    )
