@@ -1085,3 +1085,73 @@ def sk4_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_intersect"),
         )
     )
+
+
+@query(
+    "a8_scalable_quantiles",
+    """
+    WITH hist AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+      SELECT l_returnflag, cents, cnt,
+             SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cum,
+             SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+      FROM hist
+    )
+    SELECT l_returnflag,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN cents END) AS BIGINT)
+             AS p50_cents,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.9 * n) THEN cents END) AS BIGINT)
+             AS p90_cents,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN cents END) AS BIGINT)
+             AS p99_cents
+    FROM cum GROUP BY l_returnflag
+    """,
+)
+def a8_scalable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: EXACT discrete quantiles that survive 100 TB. Spark's
+    percentile()/median() buffer every value of a group in executor
+    memory — a silent OOM at data scale. This takes the two-pass
+    histogram route instead: hash-aggregate counts per DISTINCT value
+    (exact integer cents — the money domain is discrete), cumulative-sum
+    the histogram per group, and read each quantile as the smallest
+    value whose cumulative count reaches ceil(q*n) — the quantile_disc
+    definition, pinned against DuckDB's builtin in
+    tests/test_sketches.py. Memory is bounded by the number of DISTINCT
+    values per group (price cardinality), never row count; the only
+    window runs over that bounded histogram, and the map-side partial
+    count collapses the data-sized pass before any shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast(DEC) * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    hist = li.groupBy("l_returnflag", "cents").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("cents")
+    wn = Window.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag",
+        "cents",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+
+    def pick(q: float, name: str):
+        return F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("cents"))
+        ).cast("long").alias(name)
+
+    return cum.groupBy("l_returnflag").agg(
+        F.max("n").cast("long").alias("n"),
+        pick(0.5, "p50_cents"),
+        pick(0.9, "p90_cents"),
+        pick(0.99, "p99_cents"),
+    )

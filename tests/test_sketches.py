@@ -73,3 +73,38 @@ def test_sk_queries_native_plans(spark, sf_medium):
         sk2._jdf.queryExecution(), "formatted"
     )
     assert "TakeOrderedAndProject" in plan2  # top-20 without a global sort
+
+
+def test_a8_matches_duckdb_quantile_disc(spark, sf_medium):
+    """Pin a8's histogram-walk quantile definition against DuckDB's
+    builtin quantile_disc: smallest element whose cumulative count
+    reaches ceil(q*n)."""
+    import duckdb
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.queries_catalog_extras import QUERIES
+
+    got = {
+        r["l_returnflag"]: (r["p50_cents"], r["p90_cents"], r["p99_cents"])
+        for r in QUERIES["a8_scalable_quantiles"](spark, sf_medium).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_medium}/lineitem.parquet')"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            """
+            SELECT l_returnflag,
+                   quantile_disc(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                      * 100 AS BIGINT), 0.5),
+                   quantile_disc(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                      * 100 AS BIGINT), 0.9),
+                   quantile_disc(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                      * 100 AS BIGINT), 0.99)
+            FROM lineitem GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert got == want
