@@ -3,7 +3,6 @@ and the structural properties the 100 TB story rests on."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from etl_lorettoscarpa_1asfb2jf21_spark.operators.sketches import (
