@@ -1041,9 +1041,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     per-component dequantization, orthonormal 2-D IDCT,
     MCU-interleaved scan walk (4 Y + Cb + Cr blocks per MCU at 4:2:0),
     replication chroma upsampling, JFIF YCbCr→RGB conversion, level
-    shift/clamp, crop to the SOF dims. Raises ValueError on
-    progressive/restart-interval/other-sampling flavors (documented
-    descope; the tables/entropy machinery itself is general)."""
+    shift/clamp, crop to the SOF dims. DRI/RSTn restart intervals and
+    progressive (SOF2) spectral-selection scans (grayscale) decode for
+    real. Remaining descopes raise ValueError: successive-approximation
+    progressive (Ah/Al ≠ 0), progressive color, sampling layouts other
+    than 1x1/2x2 (e.g. 4:2:2), arithmetic coding, 12-bit precision."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -1499,8 +1501,10 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     """Parse a single-frame GIF → (width, height, 3, HxWx3 uint8 RGB).
 
     Real parser: screen descriptor, global/local color tables, extension
-    skipping, sub-block reassembly, full variable-width LZW decode.
-    Interlaced frames are out of profile (ValueError)."""
+    skipping, sub-block reassembly, full variable-width LZW decode
+    (including code-width growth and clear/EOI handling), and the
+    four-pass interlace reorder (deinterlace is pinned by
+    test_gif_interlaced_decodes_to_same_image)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)

@@ -107,13 +107,15 @@ def decode_image_batch(
     def decode_one(payload: bytes) -> dict:
         if use_fake_decoder:
             return _fake_decode(payload)
-        # REAL path: BMP, PNG, GIF and baseline JPEG are all parsed for
-        # real (multimodal/codecs.py — struct headers/BGR/padding for
-        # BMP; chunk CRC walk + inflate + five-filter reconstruction for
-        # PNG; palette + variable-width LZW for GIF; canonical-Huffman
-        # entropy decode + dequant + 2-D IDCT for baseline sequential
-        # JPEG). Formats outside those profiles (progressive/subsampled
-        # JPEG, WebP, video, ...) still raise.
+        # REAL path: BMP, PNG, GIF and JPEG are all parsed for real
+        # (multimodal/codecs.py — struct headers/BGR/padding for BMP;
+        # chunk CRC walk + inflate + five-filter reconstruction for PNG;
+        # palette + variable-width LZW incl. interlace for GIF;
+        # canonical-Huffman entropy decode + dequant + 2-D IDCT for
+        # JPEG, covering grayscale, YCbCr 4:4:4 and 4:2:0, DRI/RSTn
+        # restarts, and progressive spectral selection). Formats outside
+        # those profiles (successive-approximation progressive JPEG,
+        # 4:2:2, WebP, ...) still raise.
         if bytes(payload[:2]) == b"BM":
             from .codecs import decode_bmp
 
@@ -133,7 +135,9 @@ def decode_image_batch(
         else:
             raise NotImplementedError(
                 "unrecognized media container (supported native codecs: "
-                "BMP, PNG, GIF, baseline grayscale JPEG, PCM WAV) — "
+                "BMP, PNG, GIF incl. interlace, JPEG — baseline "
+                "gray/4:4:4/4:2:0, restarts, progressive spectral "
+                "selection — PCM + G.711 WAV) — "
                 "pass use_fake_decoder=True for plumbing tests"
             )
         feats = (img.reshape(-1, c).mean(axis=0)[:3] / 255.0).astype(float)

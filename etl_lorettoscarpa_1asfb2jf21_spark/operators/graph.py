@@ -40,6 +40,34 @@ def connected_components(
     ``edges``: undirected pairs (``src_col``, ``dst_col``), any orientation.
     Returns (id_col, component) — component = min id reachable from the node.
     """
+    # Catalyst's Union constraint rewrite chokes ("key not found: _id#N")
+    # when an input plan contains a localCheckpoint barrier whose
+    # LogicalRDD carries constraints referencing pre-checkpoint attribute
+    # ids (observed on Spark 4.1 when edges come from minhash_lsh_pairs,
+    # whose gram pipeline checkpoints lazily). Constraint propagation
+    # buys nothing here — every round materializes eagerly and the
+    # per-round plans are two joins deep — so disable it for the loop
+    # and restore the caller's setting after.
+    spark = nodes.sparkSession
+    _cp_key = "spark.sql.constraintPropagation.enabled"
+    _cp_old = spark.conf.get(_cp_key, "true")
+    spark.conf.set(_cp_key, "false")
+    try:
+        return _connected_components_loop(
+            nodes, edges, id_col, src_col, dst_col, max_iter
+        )
+    finally:
+        spark.conf.set(_cp_key, _cp_old)
+
+
+def _connected_components_loop(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    src_col: str,
+    dst_col: str,
+    max_iter: int,
+) -> DataFrame:
     # Symmetrize once; edges are reused every round so cache them.
     sym = (
         edges.select(F.col(src_col).alias("_a"), F.col(dst_col).alias("_b"))

@@ -27,6 +27,28 @@ from pyspark.sql import functions as F
 from ..functions.vectors import array_lit, cosine_similarity_expr
 from .partitioning import spread
 
+# Corpus-derived re-rank shortlist depth. PQ/BQ approximate orderings are
+# LOSSY (ADC code sums, 1-bit Hamming), so a FIXED shortlist that is deep
+# enough at 200k vectors is starved at 2M: the round-5 vector probe
+# measured recall@10 0.35-0.47 for PQ/IVF-PQ at 2M x 128-d with
+# shortlist=500 while IVF (near-exact shortlist ordering) scored 1.00 with
+# the same coarse index — proof the loss is shortlist depth, not the
+# codebooks or nprobe. Scaling the depth with the corpus (n/200, floored)
+# keeps the exact re-rank bounded at |queries| x n/200 cosines — sub-linear
+# work per query — while the candidate pool grows with the thing that
+# dilutes it. Integer-exact so DuckDB twins derive the identical depth via
+# GREATEST(floor, (COUNT(*) + frac-1) // frac) over the same corpus CTE
+# (same mirroring pattern as the SemDeDup sqrt-centroid rule).
+SHORTLIST_FLOOR = 1000
+SHORTLIST_FRAC = 200
+
+
+def derived_shortlist(n_corpus: int) -> int:
+    """max(SHORTLIST_FLOOR, ceil(n_corpus / SHORTLIST_FRAC)) — the
+    corpus-scaled re-rank depth (exact-integer ceil-div; the SQL twin is
+    ``GREATEST(1000, (COUNT(*) + 199) // 200)``)."""
+    return max(SHORTLIST_FLOOR, -(-int(n_corpus) // SHORTLIST_FRAC))
+
 
 def brute_force_topk(
     queries: DataFrame,
@@ -1022,7 +1044,7 @@ def pq_topk_quantized(
     n_subspaces: int = 8,
     n_codes: int = 16,
     n_iter: int = 3,
-    shortlist: int = 50,
+    shortlist: int | None = None,
     scale: int = 10**6,
     dim: int = 64,
     query_id: str = "q_id",
@@ -1054,7 +1076,15 @@ def pq_topk_quantized(
     (equality-tested); replaces n_subspaces·n_codes interpreted folds per
     row with dense matmuls per record batch. Only the
     n_subspaces·n_codes-row codebook is ever collected.
+
+    ``shortlist=None`` (default) derives the re-rank depth from the corpus
+    (derived_shortlist: max(1000, ceil(n/200))) — the ADC ordering is
+    lossy, so a fixed depth that works at 200k starves at 2M (measured
+    recall@10 0.35 at shortlist 500); the derived depth restores recall
+    while the exact re-rank stays |queries|·n/200 rows.
     """
+    if shortlist is None:
+        shortlist = derived_shortlist(corpus.count())
     sub_dim = dim // n_subspaces
 
     from ..functions.vectors import _assert_packed_argmin_safe
@@ -1313,7 +1343,7 @@ def ivfpq_topk_quantized(
     n_subspaces: int = 8,
     n_codes: int = 16,
     n_iter: int = 3,
-    shortlist: int = 50,
+    shortlist: int | None = None,
     scale: int = 10**6,
     dim: int = 64,
     query_id: str = "q_id",
@@ -1341,7 +1371,15 @@ def ivfpq_topk_quantized(
     corpus, codes are 32× smaller than vectors (memory residency), and
     every stage is a map pass or a cell-hash join; the corpus is never
     collected.
+
+    ``shortlist=None`` (default) derives the re-rank depth from the
+    corpus (derived_shortlist) — see pq_topk_quantized; the round-5
+    probe measured recall@10 0.47 at 2M with a fixed 500 while the same
+    coarse index under IVF's near-exact ordering scored 1.00, so the
+    depth, not nprobe, is the binding constraint.
     """
+    if shortlist is None:
+        shortlist = derived_shortlist(corpus.count())
     sub_dim = dim // n_subspaces
 
     # fail fast on the theoretical packing bound (residual components are
@@ -1591,7 +1629,7 @@ def bq_topk(
     corpus: DataFrame,
     k: int = 10,
     dim: int = 64,
-    shortlist: int = 50,
+    shortlist: int | None = None,
     word_bits: int = 32,
     query_id: str = "q_id",
     query_vec: str = "q_vec",
@@ -1624,7 +1662,14 @@ def bq_topk(
     Scale: queries broadcast (one corpus scan, no shuffle until the
     k-rows-per-query aggregations); the corpus code table is never
     collected.
+
+    ``shortlist=None`` (default) derives the depth from the corpus
+    (derived_shortlist) — the 1-bit Hamming ordering is the coarsest in
+    the family (round-5 probe: recall@10 0.74 at 2M with a fixed 2000),
+    so the corpus-scaled depth matters most here.
     """
+    if shortlist is None:
+        shortlist = derived_shortlist(corpus.count())
     qw = F.broadcast(
         queries.select(
             F.col(query_id), sign_words_expr(query_vec, dim, word_bits).alias("_qw")

@@ -215,7 +215,13 @@ def cms_estimate(
 ) -> DataFrame:
     """Point estimates for a (small, broadcastable) candidate set:
     min over the d row counters — the classic CMS upper bound
-    (est >= true count always; error <= 2N/w with prob 1 - 2^-d)."""
+    (est >= true count always; error <= 2N/w with prob 1 - 2^-d).
+
+    Probes LEFT-join the counter table: a (row, bucket) cell that was
+    never incremented (possible only for candidates absent from the
+    sketched data) counts as 0, so an out-of-data candidate estimates
+    0 instead of being dropped or estimated from its nonzero cells
+    only."""
     probes = candidates.select(
         value_col,
         F.explode(
@@ -231,7 +237,11 @@ def cms_estimate(
         ).alias("_rb"),
     ).select(value_col, "_rb._row", "_rb._bucket")
     return (
-        counters.join(F.broadcast(probes), ["_row", "_bucket"])
+        probes.join(F.broadcast(counters), ["_row", "_bucket"], "left")
         .groupBy(value_col)
-        .agg(F.min("_cnt").cast("long").alias("cms_est"))
+        .agg(
+            F.min(F.coalesce(F.col("_cnt"), F.lit(0)))
+            .cast("long")
+            .alias("cms_est")
+        )
     )

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from .functions.text import normalized_text_expr
 from .operators.dedup import ngram_jaccard_pairs
 from .operators.graph import duplicate_clusters
+from .operators.partitioning import spread
 from .sources.tables import load_table
 
 QUERIES: dict = {}
@@ -483,7 +484,10 @@ def x4_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .multimodal.codecs import decode_png, make_png
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # spread(): the doc_id spine is a ~1-file scan, but the decode below
+    # is CPU-bound Python — widen to cluster parallelism (no-op when
+    # the scan is already wide; see operators/partitioning.py)
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def gen_decode(batches):
         for pdf in batches:
@@ -583,7 +587,10 @@ def x4_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .multimodal.codecs import decode_jpeg, make_jpeg420
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # spread(): the doc_id spine is a ~1-file scan, but the decode below
+    # is CPU-bound Python — widen to cluster parallelism (no-op when
+    # the scan is already wide; see operators/partitioning.py)
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def gen_decode(batches):
         for pdf in batches:
@@ -671,7 +678,10 @@ def x4_wav_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .multimodal.codecs import decode_wav_g711, make_wav_g711
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # spread(): the doc_id spine is a ~1-file scan, but the decode below
+    # is CPU-bound Python — widen to cluster parallelism (no-op when
+    # the scan is already wide; see operators/partitioning.py)
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def gen_decode(batches):
         for pdf in batches:
@@ -746,7 +756,10 @@ def x4_jpeg_prog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .multimodal.codecs import decode_jpeg, make_jpeg_progressive
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # spread(): the doc_id spine is a ~1-file scan, but the decode below
+    # is CPU-bound Python — widen to cluster parallelism (no-op when
+    # the scan is already wide; see operators/partitioning.py)
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def gen_decode(batches):
         for pdf in batches:
@@ -816,7 +829,10 @@ def x4_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .multimodal.codecs import decode_gif, make_gif
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # spread(): the doc_id spine is a ~1-file scan, but the decode below
+    # is CPU-bound Python — widen to cluster parallelism (no-op when
+    # the scan is already wide; see operators/partitioning.py)
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def gen_decode(batches):
         for pdf in batches:
@@ -899,7 +915,10 @@ def x4_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .multimodal.codecs import decode_jpeg, make_jpeg
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # spread(): the doc_id spine is a ~1-file scan, but the decode below
+    # is CPU-bound Python — widen to cluster parallelism (no-op when
+    # the scan is already wide; see operators/partitioning.py)
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def gen_decode(batches):
         for pdf in batches:
@@ -986,7 +1005,10 @@ def x4_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .multimodal.codecs import make_avi_mjpeg
     from .multimodal.decode import decode_video_frames
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # spread(): the doc_id spine is a ~1-file scan, but the decode below
+    # is CPU-bound Python — widen to cluster parallelism (no-op when
+    # the scan is already wide; see operators/partitioning.py)
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def gen(batches):
         for pdf in batches:
@@ -1079,7 +1101,10 @@ def x4_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_bmp_jitter,
     )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # spread(): the doc_id spine is a ~1-file scan, but the decode below
+    # is CPU-bound Python — widen to cluster parallelism (no-op when
+    # the scan is already wide; see operators/partitioning.py)
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def gen(batches):
         for pdf in batches:
@@ -1151,7 +1176,10 @@ def x4_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .multimodal.codecs import decode_wav, make_wav
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # spread(): the doc_id spine is a ~1-file scan, but the decode below
+    # is CPU-bound Python — widen to cluster parallelism (no-op when
+    # the scan is already wide; see operators/partitioning.py)
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def gen(batches):
         for pdf in batches:

@@ -37,6 +37,7 @@ from .operators.similarity import (
     ivf_topk,
     lsh_topk,
 )
+from .operators.partitioning import spread
 from .sources.tables import load_table
 
 DEC = DecimalType(18, 2)
@@ -1051,7 +1052,14 @@ def sub1_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a5_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (Spark percentile ==
-    DuckDB quantile_cont; approx_percentile is the sketch path in a4)."""
+    DuckDB quantile_cont; approx_percentile is the sketch path in a4).
+
+    Scale caveat: Spark's built-in ``percentile()`` buffers every group
+    value in executor memory — fine for bounded groups, a cliff for
+    data-sized ones. The scale-safe exact replacement is
+    ``a8_scalable_quantiles`` (queries_catalog_extras.py): a histogram
+    walk whose memory is bounded by distinct-value cardinality, never
+    rows."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
@@ -1635,7 +1643,7 @@ def g5_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "sk1_salted_hot_key_agg",
+    "skw1_salted_hot_key_agg",
     """
     SELECT l_returnflag,
            COUNT(*) AS n,
@@ -1644,7 +1652,7 @@ def g5_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_returnflag
     """,
 )
-def sk1_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def skw1_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigated aggregation (operators/skew.py): l_returnflag has 3
     values over the whole fact table — the definitional hot-key aggregate.
     Two phases: partial sums per (key, salt) spread the hot keys over the
@@ -1751,7 +1759,9 @@ def x2_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         f_bq = pool.submit(
-            _run, lambda: bq_topk(queries, corpus, k=10, dim=64, shortlist=50)
+            _run,
+            # derived (corpus-scaled) shortlist — the shipped default
+            lambda: bq_topk(queries, corpus, k=10, dim=64, shortlist=None),
         )
         lsh, ivf, pq, ivfpq, bq = (
             f_lsh.result(), f_ivf.result(), f_pq.result(), f_ivfpq.result(),
@@ -2049,7 +2059,10 @@ def x4_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .multimodal.codecs import decode_bmp, make_bmp
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # spread(): the doc_id spine is a ~1-file scan, but the decode below
+    # is CPU-bound Python — widen to cluster parallelism (no-op when
+    # the scan is already wide; see operators/partitioning.py)
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def gen_decode(batches):
         for pdf in batches:
@@ -2102,7 +2115,10 @@ def x4_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .multimodal.codecs import decode_wav, make_wav
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # spread(): the doc_id spine is a ~1-file scan, but the decode below
+    # is CPU-bound Python — widen to cluster parallelism (no-op when
+    # the scan is already wide; see operators/partitioning.py)
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def gen_decode(batches):
         for pdf in batches:
@@ -2141,6 +2157,18 @@ def _semdedup_n_centroids(n: int) -> int:
     import math
 
     return max(16, math.ceil(math.sqrt(float(n))))
+
+
+# Corpus-derived re-rank shortlist for the lossy-ordering ANN family
+# (PQ / IVF-PQ / BQ): the scalar-subquery twin of
+# operators.similarity.derived_shortlist — max(1000, ceil(n/200)) in pure
+# BIGINT arithmetic ((COUNT(*) + 199) // 200 is exact ceil-div), computed
+# over the SAME `corp` CTE every X2 oracle builds from `embeddings`, so
+# the two derivations agree at every sf. Same mirroring pattern as the
+# SemDeDup sqrt-centroid rule above.
+_DERIVED_SHORTLIST_SQL = (
+    "(SELECT GREATEST(1000, (COUNT(*) + 199) // 200) FROM corp)"
+)
 
 
 def _qkmeans_sql_prefix(
@@ -2486,7 +2514,7 @@ def _ivfpqq_oracle_sql(
     n_subspaces: int = 8,
     n_codes: int = 16,
     n_iter: int = 3,
-    shortlist: int = 50,
+    shortlist: int | None = None,
     scale: int = 10**6,
     dim: int = 64,
 ) -> str:
@@ -2495,7 +2523,10 @@ def _ivfpqq_oracle_sql(
     centroid, per-subspace residual codebooks unrolled per Lloyd
     iteration, nprobe cell probing, per-(query, cell) residual ADC
     tables, exact int64 ADC sums over probed cells only, fold-exact
-    shortlist re-rank — every stage bit-identical."""
+    shortlist re-rank — every stage bit-identical. ``shortlist=None``
+    mirrors the Spark side's corpus-derived depth via
+    _DERIVED_SHORTLIST_SQL."""
+    sl = _DERIVED_SHORTLIST_SQL if shortlist is None else str(shortlist)
     sd = dim // n_subspaces
     ncd = n_codes
     q8 = f"list_transform(vd, x -> CAST(round(x * {float(scale)!r}) AS BIGINT))"
@@ -2604,7 +2635,7 @@ def _ivfpqq_oracle_sql(
         SELECT q_id, c_id,
                ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ad, c_id) AS rn
         FROM approxd
-      ) WHERE rn <= {shortlist}
+      ) WHERE rn <= {sl}
     ),
     approx AS (
       SELECT q_id, c_id, sim,
@@ -2652,7 +2683,8 @@ def x2_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
     approx = ivfpq_topk_quantized(
         queries, corpus, k=10, n_centroids=8, nprobe=4,
-        n_subspaces=8, n_codes=16, n_iter=3, shortlist=50,
+        n_subspaces=8, n_codes=16, n_iter=3,
+        shortlist=None,  # corpus-derived depth; oracle mirrors it
     ).withColumn("rank", F.col("rank").cast("long"))
     return _with_exact_rank(approx, queries, corpus)
 
@@ -2662,14 +2694,16 @@ def _pqq_oracle_sql(
     n_subspaces: int = 8,
     n_codes: int = 16,
     n_iter: int = 3,
-    shortlist: int = 50,
+    shortlist: int | None = None,
     scale: int = 10**6,
     dim: int = 64,
 ) -> str:
     """DuckDB twin of pq_topk_quantized: per-subspace fixed-point Lloyd
     unrolled one CTE layer per iteration (subspace rides as an extra group
     key through the same construction as _qkmeans_sql_prefix), integer
-    argmin encoding, exact int64 ADC sums, fold-exact cosine re-rank."""
+    argmin encoding, exact int64 ADC sums, fold-exact cosine re-rank.
+    ``shortlist=None`` mirrors the corpus-derived depth."""
+    sl = _DERIVED_SHORTLIST_SQL if shortlist is None else str(shortlist)
     sd = dim // n_subspaces
     nc = n_codes
     q8 = f"list_transform(vd, x -> CAST(round(x * {float(scale)!r}) AS BIGINT))"
@@ -2756,7 +2790,7 @@ def _pqq_oracle_sql(
         SELECT q_id, c_id,
                ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ad, c_id) AS rn
         FROM approxd
-      ) WHERE rn <= {shortlist}
+      ) WHERE rn <= {sl}
     ),
     approx AS (
       SELECT q_id, c_id, sim,
@@ -2801,18 +2835,26 @@ def x2_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
     approx = pq_topk_quantized(
-        queries, corpus, k=10, n_subspaces=8, n_codes=16, n_iter=3, shortlist=50
+        queries, corpus, k=10, n_subspaces=8, n_codes=16, n_iter=3,
+        shortlist=None,  # corpus-derived depth; oracle mirrors it
     ).withColumn("rank", F.col("rank").cast("long"))
     return _with_exact_rank(approx, queries, corpus)
 
 
 def _bq_oracle_sql(
-    k: int = 10, dim: int = 64, shortlist: int = 50, word_bits: int = 32
+    k: int = 10, dim: int = 64, shortlist: int | None = None,
+    word_bits: int = 32,
 ) -> str:
     """DuckDB twin of operators/similarity.bq_topk: identical sign-bit
     packing (CASE + BIGINT shift per coordinate — integer addition, exact),
     identical XOR/POPCNT Hamming ordering, then the proven fold-exact
-    double-cosine re-rank + exact-rank join used by every X2 oracle."""
+    double-cosine re-rank + exact-rank join used by every X2 oracle.
+    ``shortlist=None`` mirrors the corpus-derived depth (floor 1000 ≥ k,
+    so the GREATEST(k, ·) guard is subsumed)."""
+    sl = (
+        _DERIVED_SHORTLIST_SQL if shortlist is None
+        else str(max(k, shortlist))
+    )
     n_words = (dim + word_bits - 1) // word_bits
 
     def word(w: int) -> str:
@@ -2845,7 +2887,7 @@ def _bq_oracle_sql(
                  PARTITION BY q.q_id ORDER BY {ham}, c.c_id
                ) AS sr
         FROM qw q CROSS JOIN cw c
-      ) WHERE sr <= {max(k, shortlist)}
+      ) WHERE sr <= {sl}
     ),
     approx AS (
       SELECT q_id, c_id, sim,
@@ -2888,7 +2930,7 @@ def x2_topk_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    approx = bq_topk(queries, corpus, k=10, dim=64, shortlist=50).withColumn(
+    approx = bq_topk(queries, corpus, k=10, dim=64, shortlist=None).withColumn(
         "rank", F.col("rank").cast("long")
     )
     return _with_exact_rank(approx, queries, corpus)

@@ -1087,6 +1087,204 @@ def sk4_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sk5_oracle() -> str:
+    from .operators.sketches import _SCALE, hll_est_sql, hll_reg_sql
+
+    hourly = hll_reg_sql(
+        "(SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS ws, user_id "
+        "FROM events) t",
+        "user_id",
+        ["ws"],
+    )
+    direct = hll_reg_sql(
+        "(SELECT substr(CAST(date_trunc('hour', ts) AS VARCHAR), 1, 10) "
+        "AS day, user_id FROM events) t2",
+        "user_id",
+        ["day"],
+    )
+    fold = (
+        f"SELECT day, COUNT(*) AS registers_used, "
+        f"SUM(({_SCALE}::BIGINT) >> mj) AS s_present "
+        "FROM {src} GROUP BY day"
+    )
+    return f"""
+    WITH hourly AS (
+      {hourly}
+    ), daymerge AS (
+      SELECT substr(ws, 1, 10) AS day, idx, MAX(mj) AS mj
+      FROM hourly GROUP BY 1, 2
+    ), merged AS (
+      SELECT day, CAST(registers_used AS BIGINT) AS registers_used,
+             {hll_est_sql("registers_used", "s_present")} AS hll_est
+      FROM ({fold.format(src="daymerge")})
+    ), directregs AS (
+      {direct}
+    ), directest AS (
+      SELECT day, {hll_est_sql("registers_used", "s_present")} AS direct_est
+      FROM ({fold.format(src="directregs")})
+    )
+    SELECT m.day, m.registers_used, m.hll_est, d.direct_est
+    FROM merged m JOIN directest d ON m.day = d.day
+    """
+
+
+@query("sk5_hll_window_rollup", _sk5_oracle())
+def sk5_hll_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SK5: roll PERSISTED hourly HLL register tables up into daily
+    distinct-user estimates WITHOUT rescanning the raw events — the
+    window-merge form of the sk4 mergeability story. The hourly register
+    table (the artifact sk3's stream writes) re-merges into days by
+    register max; ``direct_est`` is the estimate a from-scratch daily
+    build produces, and the two are IDENTICAL by construction (max is
+    associative), which the oracle twin re-proves hash-exactly. At
+    100 TB: the rollup touches <= 24 x 512 rows per day instead of the
+    day's raw events — this is why register-form sketches, not opaque
+    estimates, are what you persist."""
+    from .operators.sketches import hll_estimate_from_registers
+    from .streaming.windows import windowed_hll_registers
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = windowed_hll_registers(e)  # window_start, _hll_idx, _mj
+    daily_regs = (
+        hourly.select(
+            F.substring("window_start", 1, 10).alias("day"), "_hll_idx", "_mj"
+        )
+        .groupBy("day", "_hll_idx")
+        .agg(F.max("_mj").alias("_mj"))
+    )
+    merged = hll_estimate_from_registers(daily_regs, ["day"])
+    direct = hll_estimate_from_registers(
+        windowed_hll_registers(e, window_duration="1 day").select(
+            F.substring("window_start", 1, 10).alias("day"), "_hll_idx", "_mj"
+        ),
+        ["day"],
+    ).select("day", F.col("hll_est").alias("direct_est"))
+    return merged.join(direct, "day").select(
+        "day", "registers_used", "hll_est", "direct_est"
+    )
+
+
+def _sk6_oracle() -> str:
+    h = (
+        "('0x' || substr(md5('cms' || j || ':' "
+        "|| CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 256"
+    )
+    return f"""
+    WITH ev AS (
+      SELECT substr(CAST(date_trunc('hour', ts) AS VARCHAR), 1, 10) AS day,
+             CAST(date_trunc('hour', ts) AS VARCHAR) AS ws, user_id
+      FROM events
+    ), hourly AS (
+      SELECT day, ws, j, {h} AS bucket, COUNT(*) AS cnt
+      FROM ev, unnest(range(0, 4)) AS t(j)
+      GROUP BY 1, 2, 3, 4
+    ), daymerge AS (
+      SELECT day, j, bucket, SUM(cnt) AS cnt FROM hourly GROUP BY 1, 2, 3
+    ), exact AS (
+      SELECT day, user_id, COUNT(*) AS exact_cnt FROM ev GROUP BY 1, 2
+    ), cand AS (
+      SELECT day, user_id, exact_cnt,
+             ROW_NUMBER() OVER (
+               PARTITION BY day ORDER BY exact_cnt DESC, user_id
+             ) AS rn
+      FROM exact
+    ), probes AS (
+      SELECT day, user_id, exact_cnt, j, {h} AS bucket
+      FROM cand, unnest(range(0, 4)) AS t(j)
+      WHERE rn <= 5
+    )
+    SELECT p.day, p.user_id,
+           CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_est,
+           CAST(MIN(COALESCE(c.cnt, 0)) - p.exact_cnt AS BIGINT) AS overshoot
+    FROM probes p LEFT JOIN daymerge c
+      ON p.day = c.day AND p.j = c.j AND p.bucket = c.bucket
+    GROUP BY p.day, p.user_id, p.exact_cnt
+    """
+
+
+@query("sk6_windowed_cms_merge", _sk6_oracle())
+def sk6_windowed_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SK6: windowed Count-Min with cross-window COUNTER ADDITION — the
+    CMS half of the mergeability pair (sk5 is HLL's max-merge). Hourly
+    1024-cell counter tables (the bounded-state artifact the streaming
+    twin streaming/windows.windowed_cms_counters emits; parity tested)
+    are summed into daily tables — addition makes the merged table
+    bit-identical to a direct daily build — then each day's exact top-5
+    users (row_number per day over the aggregated counts; partitions by
+    day, never a single task) read their estimates as min over the 4
+    row counters, overestimate property included in-output. At 100 TB
+    shards/restatements merge by '+' on 1024-row artifacts instead of
+    re-scanning the raw stream."""
+    from .operators.sketches import CMS_DEPTH, cms_bucket_expr
+    from .streaming.sessions import _ts_as_timestamp
+    from .streaming.windows import windowed_cms_counters
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = windowed_cms_counters(e)  # window_start, _row, _bucket, _cnt
+    day_counters = (
+        hourly.select(
+            F.substring("window_start", 1, 10).alias("day"),
+            "_row",
+            "_bucket",
+            "_cnt",
+        )
+        .groupBy("day", "_row", "_bucket")
+        .agg(F.sum("_cnt").alias("_cnt"))
+    )
+    ev = _ts_as_timestamp(e.select("ts", "user_id"), "ts").select(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        "user_id",
+    )
+    exact = ev.groupBy("day", "user_id").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    wd = Window.partitionBy("day").orderBy(
+        F.col("exact_cnt").desc(), "user_id"
+    )
+    cand = (
+        exact.withColumn("_rn", F.row_number().over(wd))
+        .filter(F.col("_rn") <= 5)
+        .select("day", "user_id", "exact_cnt")
+    )
+    probes = cand.select(
+        "day",
+        "user_id",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("_row"),
+                        cms_bucket_expr("user_id", j).alias("_bucket"),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("_rb"),
+    ).select("day", "user_id", "exact_cnt", "_rb._row", "_rb._bucket")
+    est = (
+        probes.join(
+            F.broadcast(day_counters), ["day", "_row", "_bucket"], "left"
+        )
+        .groupBy("day", "user_id", "exact_cnt")
+        .agg(
+            F.min(F.coalesce(F.col("_cnt"), F.lit(0)))
+            .cast("long")
+            .alias("cms_est")
+        )
+    )
+    return est.select(
+        "day",
+        "user_id",
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overshoot"),
+    )
+
+
 @query(
     "a8_scalable_quantiles",
     """

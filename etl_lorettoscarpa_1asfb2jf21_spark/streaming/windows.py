@@ -91,3 +91,53 @@ def windowed_hll_registers(
             "_mj",
         )
     )
+
+
+def windowed_cms_counters(
+    events: DataFrame,
+    value_col: str = "user_id",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming frequency sketch: per tumbling window, the Count-Min
+    counter table (operators/sketches: d=4 seeded-hash rows x w=256
+    buckets) — ONE stateful aggregation (groupBy(window, row, bucket)
+    -> count), so per-window state is bounded by d·w = 1024 cells no
+    matter the event rate, and the watermark GCs closed windows.
+    Counters are the persisted artifact: addition re-merges shards,
+    restatements, or adjacent windows into coarser ones (the CMS
+    mergeability property — exact, not approximate: the merged table
+    IS the table a direct build over the union produces).
+
+    Batch twin: queries_catalog_extras.sk6_windowed_cms_merge (full
+    DuckDB oracle); stream/batch parity in tests/test_streaming.py.
+    """
+    from ..operators.sketches import CMS_DEPTH, cms_bucket_expr
+    from .sessions import _ts_as_timestamp
+
+    events = _ts_as_timestamp(events, ts_col)
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("_row"),
+                cms_bucket_expr(value_col, j).alias("_bucket"),
+            )
+            for j in range(CMS_DEPTH)
+        ]
+    )
+    return (
+        src.select(F.window(ts_col, window_duration).alias("w"), rows.alias("_rbs"))
+        .select("w", F.explode("_rbs").alias("_rb"))
+        .groupBy("w", F.col("_rb._row").alias("_row"), F.col("_rb._bucket").alias("_bucket"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "_row",
+            "_bucket",
+            "_cnt",
+        )
+    )

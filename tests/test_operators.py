@@ -921,3 +921,23 @@ def test_bpe_encode_counts_and_order(spark):
     out3 = bpe_encode(docs_rev, vocab).collect()[0]
     assert out3["n_tokens"] == 4
     assert out3["tok_hash"] != out[1]["tok_hash"]
+
+
+def test_derived_shortlist_matches_sql_twin():
+    """The corpus-scaled re-rank depth (max(1000, ceil(n/200))) must agree
+    bit-for-bit between the Python derivation (derived_shortlist) and the
+    DuckDB scalar-subquery twin (_DERIVED_SHORTLIST_SQL) at every corpus
+    size — including the ceil-div edges — or the PQ/IVF-PQ/BQ oracle
+    hashes drift the moment sf changes."""
+    import duckdb
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.similarity import (
+        derived_shortlist,
+    )
+
+    for n in (1, 199, 200, 201, 199_999, 200_000, 200_001, 2_000_000,
+              2_000_001, 10**9):
+        got = duckdb.sql(
+            f"SELECT GREATEST(1000, ({n} + 199) // 200)"
+        ).fetchone()[0]
+        assert got == derived_shortlist(n), n

@@ -55,6 +55,21 @@ def test_cms_overestimates_and_is_bounded(spark):
     assert all(r["cms_est"] >= r["n"] for r in joined)
 
 
+def test_cms_absent_candidate_estimates_not_dropped(spark):
+    """A candidate absent from the sketched data must still come back
+    with an estimate (its min runs over coalesced-0 cells, so it can be
+    0 — the correct CMS answer) instead of being silently dropped by an
+    inner join when one of its (row, bucket) cells was never touched."""
+    df = spark.range(50).select((F.col("id") % 5).alias("k"))
+    counters = cms_counters(df, "k")
+    # ids 1000..1004 never appear in the data; with only 5 live keys the
+    # 4x256 counter table is almost empty, so their cells are untouched
+    cand = spark.range(1000, 1005).select(F.col("id").alias("k"))
+    rows = cms_estimate(counters, cand, "k").collect()
+    assert len(rows) == 5
+    assert all(r["cms_est"] == 0 for r in rows)
+
+
 def test_sk_queries_native_plans(spark, sf_medium):
     """Both sketch queries stay fully JVM-side and HLL's shuffle is
     register-bounded: the aggregate above the scan groups by the

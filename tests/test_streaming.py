@@ -676,3 +676,65 @@ def test_windowed_hll_stream_matches_batch(spark, tmp_path, sf_small):
         for r in hll_estimate_from_registers(batch_regs, ["window_start"]).collect()
     }
     assert est_stream == est_batch
+
+
+def test_windowed_cms_stream_matches_batch(spark, tmp_path, sf_small):
+    """The streaming frequency sketch: CMS counter tables from the
+    stream (one stateful count aggregation, <=1024 cells of state per
+    open window) must equal the batch counters exactly, and summing the
+    hourly tables into a day must equal a direct daily build — the
+    addition-mergeability property sk6_windowed_cms_merge relies on."""
+    from pyspark.sql import functions as F
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.sources.tables import load_table
+    from etl_lorettoscarpa_1asfb2jf21_spark.streaming.windows import (
+        windowed_cms_counters,
+    )
+
+    events = load_table(spark, sf_small, "events")
+    batch = windowed_cms_counters(events)
+
+    stream_src = str(tmp_path / "cms_stream_src")
+    events.write.parquet(stream_src)
+    stream = spark.readStream.schema(events.schema).parquet(stream_src)
+    out = windowed_cms_counters(stream, watermark="10 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cms_counters")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("cms_counters")
+
+    key = lambda r: (r["window_start"], r["_row"], r["_bucket"])
+    b = {key(r): r["_cnt"] for r in batch.collect()}
+    s = {key(r): r["_cnt"] for r in got.collect()}
+    assert b == s and len(b) > 0
+    # per-window state bound: d x w cells
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+    )
+    from collections import Counter
+
+    per_window = Counter(w for (w, _, _) in s)
+    assert max(per_window.values()) <= CMS_DEPTH * CMS_WIDTH
+
+    # addition-merge == direct daily build, cell for cell
+    merged = (
+        batch.select(
+            F.substring("window_start", 1, 10).alias("day"), "_row",
+            "_bucket", "_cnt",
+        )
+        .groupBy("day", "_row", "_bucket")
+        .agg(F.sum("_cnt").alias("_cnt"))
+    )
+    direct = windowed_cms_counters(events, window_duration="1 day").select(
+        F.substring("window_start", 1, 10).alias("day"), "_row", "_bucket",
+        "_cnt",
+    )
+    m = {(r["day"], r["_row"], r["_bucket"]): r["_cnt"] for r in merged.collect()}
+    d = {(r["day"], r["_row"], r["_bucket"]): r["_cnt"] for r in direct.collect()}
+    assert m == d

@@ -75,25 +75,27 @@ def main() -> None:
         # deployment scales them: 64 codes/subspace (a 256-code run
         # measured recall@10 0.36/0.44 vs 0.35/0.47 — codebook size is
         # NOT the recall bottleneck on this corpus) and the re-rank
-        # shortlist as the lever that is: sl500 vs sl2000 are both
-        # measured below, and the re-rank cost stays |queries| x
-        # shortlist exact cosines either way.
+        # shortlist as the lever that is. shortlist=None is the SHIPPED
+        # default — the corpus-derived depth max(1000, ceil(n/200))
+        # (operators.similarity.derived_shortlist): 1000 at 200k, 10000
+        # at 2M; the fixed-sl500 rows stay as the round-5 contrast
+        # points that motivated the derivation (recall 0.35/0.47).
         "pq (16x8-d, 64 codes, sl500)": lambda q, c: pq_topk_quantized(
             q, c, k=K, n_subspaces=16, n_codes=64, shortlist=500, dim=dim
         ),
-        "pq (16x8-d, 64 codes, sl2000)": lambda q, c: pq_topk_quantized(
-            q, c, k=K, n_subspaces=16, n_codes=64, shortlist=2000, dim=dim
+        "pq (16x8-d, 64 codes, derived sl)": lambda q, c: pq_topk_quantized(
+            q, c, k=K, n_subspaces=16, n_codes=64, shortlist=None, dim=dim
         ),
         "ivfpq (nc=64/np=16, 16x64, sl500)": lambda q, c: ivfpq_topk_quantized(
             q, c, k=K, n_centroids=64, nprobe=16, n_subspaces=16,
             n_codes=64, shortlist=500, dim=dim,
         ),
-        "ivfpq (nc=64/np=16, 16x64, sl2000)": lambda q, c: ivfpq_topk_quantized(
+        "ivfpq (nc=64/np=16, 16x64, derived sl)": lambda q, c: ivfpq_topk_quantized(
             q, c, k=K, n_centroids=64, nprobe=16, n_subspaces=16,
-            n_codes=64, shortlist=2000, dim=dim,
+            n_codes=64, shortlist=None, dim=dim,
         ),
-        "bq (1-bit, shortlist 2000)": lambda q, c: bq_topk(
-            q, c, k=K, dim=dim, shortlist=2000
+        "bq (1-bit, derived sl)": lambda q, c: bq_topk(
+            q, c, k=K, dim=dim, shortlist=None
         ),
     }
 
@@ -138,8 +140,11 @@ def main() -> None:
         "same recipe — wall time is the FULL pipeline (train + encode +",
         f"search, {N_QUERIES} queries, k={K}) per run, warm JVM. Index",
         "parameters follow the corpus (nprobe/n_centroids held at 1/4;",
-        "8 dims per PQ subspace). Recall@10 is against the exact",
-        "brute-force top-10 on the SAME run's output.",
+        "8 dims per PQ subspace; 'derived sl' = the shipped default",
+        "re-rank depth max(1000, ceil(n/200)) — 1k at 200k rows, 10k at",
+        "2M; sl500 rows are the fixed-depth contrast points). Recall@10",
+        "is against the exact brute-force top-10 on the SAME run's",
+        "output.",
         "",
         f"| pipeline | {n_small // 1000}k x {dim}d (s) | "
         f"{n_big // 1_000_000}M x {dim}d (s) | growth ({ratio:.0f}x data) | "
