@@ -89,22 +89,58 @@ def _fake_decode(payload: bytes, n_features: int = 8) -> dict:
     }
 
 
+def pillow_decoder():
+    """THE documented swap seam, made concrete: returns a
+    ``payload -> (width, height, n_channels, HxWxC uint8)`` callable
+    backed by Pillow, suitable for ``decode_image_batch(df,
+    decoder=pillow_decoder())``. Raises ImportError where Pillow is not
+    installed (this container ships no media libraries — the adapter
+    exists so a deployment with Pillow swaps ONE argument, not the
+    plan); the seam itself is integration-tested with an injected
+    stand-in decoder in tests/test_multimodal.py."""
+    import io
+
+    import numpy as np
+    from PIL import Image  # ImportError here when Pillow is absent
+
+    def _decode(payload: bytes):
+        im = Image.open(io.BytesIO(bytes(payload))).convert("RGB")
+        arr = np.asarray(im)
+        return im.width, im.height, 3, arr
+
+    return _decode
+
+
 def decode_image_batch(
     df: DataFrame,
     id_col: str = "doc_id",
     payload_col: str = "payload",
     use_fake_decoder: bool = False,
+    decoder=None,
 ) -> DataFrame:
     """mapInPandas image decode → (doc_id, width, height, n_channels,
     features). Arrow-batched; the per-batch loop is the only Python hot
     path, everything else stays JVM-side.
 
-    With ``use_fake_decoder=False`` this raises NotImplementedError at
-    execution time — the real decoder (Pillow/libvips) is not in this
-    container. The fake decoder is deterministic for tests.
+    ``decoder`` is the external-library swap seam: any callable
+    ``payload -> (width, height, n_channels, HxWxC uint8 ndarray)``
+    (e.g. ``pillow_decoder()``) replaces the built-in dependency-free
+    codecs while the schema, Arrow batching, and feature post-processing
+    stay identical — the callable is pickled into the Python workers, so
+    no module monkeypatching is involved. The fake decoder is
+    deterministic for plumbing tests.
     """
 
     def decode_one(payload: bytes) -> dict:
+        if decoder is not None:
+            w, h, c, img = decoder(bytes(payload))
+            feats = (img.reshape(-1, c).mean(axis=0)[:3] / 255.0).astype(float)
+            return {
+                "width": int(w),
+                "height": int(h),
+                "n_channels": int(c),
+                "features": list(feats),
+            }
         if use_fake_decoder:
             return _fake_decode(payload)
         # REAL path: BMP, PNG, GIF and JPEG are all parsed for real

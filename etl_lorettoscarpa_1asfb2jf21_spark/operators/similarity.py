@@ -50,6 +50,42 @@ def derived_shortlist(n_corpus: int) -> int:
     return max(SHORTLIST_FLOOR, -(-int(n_corpus) // SHORTLIST_FRAC))
 
 
+def per_key_topn(
+    df: DataFrame,
+    keys: list[str],
+    order: list,
+    n: int,
+    rank_col: str = "_sr",
+) -> DataFrame:
+    """Distributed per-key top-n over a TOTAL order (ties must be broken
+    by a unique column so the result set is exactly the naive window's).
+
+    A plain ``Window.partitionBy(key)`` puts EVERY row of a key into one
+    task's sort — for the ANN scan stages (one score per corpus row per
+    query) that is a corpus-sized single-task sort per query, the same
+    shape as the unpartitioned-window hazard. Two bounded phases instead:
+    (1) per-(key, input-partition) head — the shuffle moves the same rows
+    a per-key window would, but each sort task holds one partition's
+    slice, so sort memory/latency is bounded by |corpus|/parallelism;
+    (2) the global head over the <= n-per-partition survivors
+    (n·parallelism rows per key). Any global top-n row is necessarily in
+    its own partition's top-n, so the two-phase result is EXACTLY the
+    one-window result — oracle twins are untouched.
+    """
+    pid = F.spark_partition_id()
+    w_local = Window.partitionBy(*keys, "_pkt_pid").orderBy(*order)
+    local = (
+        df.withColumn("_pkt_pid", pid)
+        .withColumn("_pkt_r", F.row_number().over(w_local))
+        .filter(F.col("_pkt_r") <= n)
+        .drop("_pkt_pid", "_pkt_r")
+    )
+    w_global = Window.partitionBy(*keys).orderBy(*order)
+    return local.withColumn(rank_col, F.row_number().over(w_global)).filter(
+        F.col(rank_col) <= n
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -77,12 +113,11 @@ def brute_force_topk(
         sim = pairs.withColumn("sim", cos(F.col(query_vec), F.col(corpus_vec)))
     else:
         sim = pairs.withColumn("sim", cosine_similarity_expr(query_vec, corpus_vec))
-    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id))
-    return (
-        sim.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, corpus_id, "sim", "rank")
-    )
+    # two-phase per-query top-k: a plain per-query window would sort the
+    # ENTIRE corpus's scores in one task per query (see per_key_topn)
+    return per_key_topn(
+        sim, [query_id], [F.desc("sim"), F.col(corpus_id)], k, rank_col="rank"
+    ).select(query_id, corpus_id, "sim", "rank")
 
 
 def _hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
@@ -589,12 +624,14 @@ def pq_topk(
     # compresses the scan, the true metric decides the final order). The
     # shortlist is rerank*k rows per query — the exact pass touches only
     # those, joined back against the (normalized) corpus vectors.
-    w = Window.partitionBy(query_id).orderBy(F.asc("adc_dist"), F.col(corpus_id))
-    shortlist = (
-        exploded.withColumn("_adc_rank", F.row_number().over(w))
-        .filter(F.col("_adc_rank") <= k * rerank)
-        .select(query_id, corpus_id)
-    )
+    # two-phase per-query head — the ADC scan scores every corpus row
+    # per query (per_key_topn)
+    shortlist = per_key_topn(
+        exploded,
+        [query_id],
+        [F.asc("adc_dist"), F.col(corpus_id)],
+        k * rerank,
+    ).select(query_id, corpus_id)
     qv = F.broadcast(
         queries.select(F.col(query_id), normalize_expr(query_vec).alias("_qv"))
     )
@@ -947,13 +984,14 @@ def ivf_topk_quantized(
         d2 = int_sqdist_pair_batch_udf()(F.col("_qv"), F.col("_cqv"))
     else:
         d2 = _int_sqdist_expr("_qv", "_cqv")
-    w_short = Window.partitionBy(query_id).orderBy("_d2", corpus_id)
-    short = (
-        cand.select(query_id, corpus_id, d2.alias("_d2"))
-        .withColumn("_sr", F.row_number().over(w_short))
-        .filter(F.col("_sr") <= max(k, shortlist))
-        .select(query_id, corpus_id)
-    )
+    # two-phase per-query head over the probed-cell candidates
+    # (nprobe/n_centroids of the corpus per query — still data-sized)
+    short = per_key_topn(
+        cand.select(query_id, corpus_id, d2.alias("_d2")),
+        [query_id],
+        [F.col("_d2"), F.col(corpus_id)],
+        max(k, shortlist),
+    ).select(query_id, corpus_id)
     sim = (
         short.join(F.broadcast(queries), query_id)
         .join(corpus, corpus_id)
@@ -1221,12 +1259,11 @@ def pq_topk_quantized(
         .groupBy(query_id, corpus_id)
         .agg(F.sum("_d").alias("_ad"))
     )
-    w_short = Window.partitionBy(query_id).orderBy("_ad", corpus_id)
-    short = (
-        approxd.withColumn("_rn", F.row_number().over(w_short))
-        .filter(F.col("_rn") <= shortlist)
-        .select(query_id, corpus_id)
-    )
+    # two-phase per-query head: flat-PQ ADC scores EVERY corpus row per
+    # query, the largest scan stage in the family (per_key_topn)
+    short = per_key_topn(
+        approxd, [query_id], [F.col("_ad"), F.col(corpus_id)], shortlist
+    ).select(query_id, corpus_id)
     sim = (
         short.join(F.broadcast(queries), query_id)
         .join(corpus, corpus_id)
@@ -1568,12 +1605,11 @@ def ivfpq_topk_quantized(
         .groupBy(query_id, corpus_id)
         .agg(F.sum("_d").alias("_ad"))
     )
-    w_short = Window.partitionBy(query_id).orderBy("_ad", corpus_id)
-    short = (
-        approxd.withColumn("_rn", F.row_number().over(w_short))
-        .filter(F.col("_rn") <= shortlist)
-        .select(query_id, corpus_id)
-    )
+    # two-phase per-query head over the probed-cell ADC sums
+    # (nprobe/n_centroids of the corpus per query — data-sized)
+    short = per_key_topn(
+        approxd, [query_id], [F.col("_ad"), F.col(corpus_id)], shortlist
+    ).select(query_id, corpus_id)
     sim = (
         short.join(F.broadcast(queries), query_id)
         .join(corpus, corpus_id)
@@ -1685,12 +1721,12 @@ def bq_topk(
         F.col(corpus_id),
         hamming_words_expr("_qw", "_cw").alias("_ham"),
     )
-    w_short = Window.partitionBy(query_id).orderBy("_ham", corpus_id)
-    short = (
-        ham.withColumn("_sr", F.row_number().over(w_short))
-        .filter(F.col("_sr") <= max(k, shortlist))
-        .select(query_id, corpus_id)
-    )
+    # two-phase per-query head: the Hamming scan scores EVERY corpus row
+    # per query, so a plain per-query window is a corpus-sized
+    # single-task sort (per_key_topn docstring)
+    short = per_key_topn(
+        ham, [query_id], [F.col("_ham"), F.col(corpus_id)], max(k, shortlist)
+    ).select(query_id, corpus_id)
     sim = (
         short.join(F.broadcast(queries), query_id)
         .join(corpus, corpus_id)

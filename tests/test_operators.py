@@ -941,3 +941,39 @@ def test_derived_shortlist_matches_sql_twin():
             f"SELECT GREATEST(1000, ({n} + 199) // 200)"
         ).fetchone()[0]
         assert got == derived_shortlist(n), n
+
+
+def test_per_key_topn_equals_naive_window(spark):
+    """per_key_topn (two-phase distributed head) must return EXACTLY the
+    rows and ranks of the naive per-key window over a total order — the
+    guarantee that lets the ANN scan stages swap it in without touching
+    their DuckDB oracles."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.similarity import (
+        per_key_topn,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i % 7, i, rng.randrange(50))  # ties in _v are common (50 values)
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, ["k", "id", "_v"]).repartition(16)
+    got = {
+        (r["k"], r["id"], r["_sr"])
+        for r in per_key_topn(
+            df, ["k"], [F.col("_v"), F.col("id")], 9
+        ).collect()
+    }
+    w = Window.partitionBy("k").orderBy(F.col("_v"), F.col("id"))
+    want = {
+        (r["k"], r["id"], r["_sr"])
+        for r in df.withColumn("_sr", F.row_number().over(w))
+        .filter(F.col("_sr") <= 9)
+        .collect()
+    }
+    assert got == want and len(want) == 7 * 9
