@@ -1738,3 +1738,102 @@ def bq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "sim", "rank")
     )
+
+
+def ivfbq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 4,
+    n_iter: int = 3,
+    dim: int = 64,
+    shortlist: int | None = None,
+    word_bits: int = 32,
+    scale: int = 10**6,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    corpus_id: str = "c_id",
+    corpus_vec: str = "c_vec",
+    use_arrow: bool = True,
+) -> DataFrame:
+    """IVF + binary quantization — the composition bq_topk's docstring
+    promises: the coarse quantizer (quantized_kmeans_cells, exact
+    integer Lloyd) prunes the scan to ``nprobe``/``n_centroids`` of the
+    corpus, and inside the probed cells the candidate filter is the
+    1-bit sign-code XOR/POPCNT Hamming scan (sign_words_expr /
+    hamming_words_expr) instead of BQ's full-corpus pass — cutting BOTH
+    the scan fraction (IVF's lever) and the per-candidate cost (BQ's
+    lever). A ``max(k, shortlist)``-deep Hamming shortlist per query
+    (corpus-derived by default) then pays the fold-exact double cosine
+    on the ORIGINAL float vectors.
+
+    Every stage is integer-exact (quantized centroids, sign bits,
+    POPCNT, packed argmin ties) so the WHOLE pipeline has a DuckDB twin
+    (queries_catalog_ext.x2_topk_ivfbq) — the only family member that
+    composes two indexes and stays fully hash-verified.
+
+    Scale: k-means trains distributed (see quantized_kmeans_cells);
+    probing reads nprobe/n_centroids of the code table (32x smaller
+    than the vectors); the Hamming shortlist is a two-phase
+    per_key_topn (no corpus-sized single-task sort); the exact re-rank
+    touches shortlist·|queries| rows.
+    """
+    if shortlist is None:
+        shortlist = derived_shortlist(corpus.count())
+    cents, af = quantized_kmeans_cells(
+        corpus, corpus_id, corpus_vec, n_centroids, n_iter, scale, use_arrow
+    )
+    qq = queries.select(
+        F.col(query_id), quantize_expr(query_vec, scale).alias("_qv")
+    )
+    probes = (
+        qq.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(query_id),
+            F.col("_cell"),
+            _int_sqdist_expr("_qv", "_cvec").alias("_d"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(query_id).orderBy("_d", "_cell")
+            ),
+        )
+        .filter(F.col("_rn") <= nprobe)
+        .select(query_id, "_cell")
+    )
+    cw = corpus.select(
+        F.col(corpus_id),
+        sign_words_expr(corpus_vec, dim, word_bits).alias("_cw"),
+    ).join(af, corpus_id)
+    qw = F.broadcast(
+        queries.select(
+            F.col(query_id),
+            sign_words_expr(query_vec, dim, word_bits).alias("_qw"),
+        )
+    )
+    ham = (
+        F.broadcast(probes)
+        .join(cw, "_cell")
+        .join(qw, query_id)
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            hamming_words_expr("_qw", "_cw").alias("_ham"),
+        )
+    )
+    short = per_key_topn(
+        ham, [query_id], [F.col("_ham"), F.col(corpus_id)], max(k, shortlist)
+    ).select(query_id, corpus_id)
+    sim = (
+        short.join(F.broadcast(queries), query_id)
+        .join(corpus, corpus_id)
+        .withColumn("sim", cosine_similarity_expr(query_vec, corpus_vec))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "sim", "rank")
+    )

@@ -1700,7 +1700,7 @@ def x2_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     over exact.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    # The five pipelines (exact + 4 indexes) each scan the corpus several
+    # The seven pipelines (exact + 6 indexes) each scan the corpus several
     # times (training sample, assignment, search, re-rank) — materialize
     # it ONCE so every pass reads local blocks instead of re-running the
     # parquet scan + projection per pipeline. Values are unchanged
@@ -1721,10 +1721,15 @@ def x2_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from concurrent.futures import ThreadPoolExecutor
 
-    from .operators.similarity import bq_topk, ivfpq_topk_quantized, pq_topk
+    from .operators.similarity import (
+        bq_topk,
+        ivfbq_topk,
+        ivfpq_topk_quantized,
+        pq_topk,
+    )
 
     exact = brute_force_topk(queries, corpus, k=10).select("q_id", "c_id")
-    # The four index pipelines are independent, and each one's cost is a
+    # The six index pipelines are independent, and each one's cost is a
     # chain of driver-side jobs (centroid collects per k-means iteration)
     # plus its search stages — serialized they cost sum(pipelines),
     # submitted concurrently they cost max(pipelines) (Spark's scheduler
@@ -1738,7 +1743,7 @@ def x2_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _run(build):
         return build().select("q_id", "c_id").localCheckpoint(eager=True)
 
-    with ThreadPoolExecutor(5) as pool:
+    with ThreadPoolExecutor(6) as pool:
         f_lsh = pool.submit(
             _run, lambda: lsh_topk(queries, corpus, k=10, dim=64, planes=16, bands=4)
         )
@@ -1763,9 +1768,16 @@ def x2_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             # derived (corpus-scaled) shortlist — the shipped default
             lambda: bq_topk(queries, corpus, k=10, dim=64, shortlist=None),
         )
-        lsh, ivf, pq, ivfpq, bq = (
+        f_ivfbq = pool.submit(
+            _run,
+            lambda: ivfbq_topk(
+                queries, corpus, k=10, n_centroids=8, nprobe=4, dim=64,
+                shortlist=None,
+            ),
+        )
+        lsh, ivf, pq, ivfpq, bq, ivfbq = (
             f_lsh.result(), f_ivf.result(), f_pq.result(), f_ivfpq.result(),
-            f_bq.result(),
+            f_bq.result(), f_ivfbq.result(),
         )
 
     tagged = (
@@ -1774,6 +1786,7 @@ def x2_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pq.withColumn("_m", F.lit("pq")))
         .unionByName(ivfpq.withColumn("_m", F.lit("ivfpq")))
         .unionByName(bq.withColumn("_m", F.lit("bq")))
+        .unionByName(ivfbq.withColumn("_m", F.lit("ivfbq")))
     )
     hits = exact.join(tagged, ["q_id", "c_id"], "inner")
     per_q = hits.groupBy("q_id").agg(
@@ -1782,7 +1795,7 @@ def x2_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.when(F.col("_m") == m, 1).otherwise(0)).cast("double")
                 / F.lit(10.0)
             ).alias(f"recall_{m}")
-            for m in ("lsh", "ivf", "pq", "ivfpq", "bq")
+            for m in ("lsh", "ivf", "pq", "ivfpq", "bq", "ivfbq")
         ]
     )
     return (
@@ -1795,6 +1808,7 @@ def x2_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "recall_pq": 0.0,
                 "recall_ivfpq": 0.0,
                 "recall_bq": 0.0,
+                "recall_ivfbq": 0.0,
             }
         )
     )
@@ -2933,4 +2947,121 @@ def x2_topk_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = bq_topk(queries, corpus, k=10, dim=64, shortlist=None).withColumn(
         "rank", F.col("rank").cast("long")
     )
+    return _with_exact_rank(approx, queries, corpus)
+
+
+def _ivfbq_oracle_sql(
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 4,
+    n_iter: int = 3,
+    dim: int = 64,
+    shortlist: int | None = None,
+    word_bits: int = 32,
+    scale: int = 10**6,
+) -> str:
+    """DuckDB twin of ivfbq_topk: the shared fixed-point k-means prefix
+    (_qkmeans_sql_prefix: corp/corpq/af/c{n_iter} CTEs), quantized-query
+    cell probing, sign-bit word packing + XOR/POPCNT Hamming over the
+    probed cells only, corpus-derived shortlist, fold-exact double-cosine
+    re-rank + exact-rank join — every stage bit-identical."""
+    sl = _DERIVED_SHORTLIST_SQL if shortlist is None else str(max(k, shortlist))
+    n_words = (dim + word_bits - 1) // word_bits
+
+    def word(w: int) -> str:
+        return (
+            f"list_sum(list_transform(range({word_bits}), j -> "
+            f"CASE WHEN vd[{w * word_bits} + j + 1] >= 0 "
+            f"THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END))"
+        )
+
+    words = ", ".join(word(w) for w in range(n_words))
+    ham = " + ".join(
+        f"bit_count(xor(q.w[{i + 1}], c.w[{i + 1}]))" for i in range(n_words)
+    )
+    q8 = f"list_transform(vd, x -> CAST(round(x * {float(scale)!r}) AS BIGINT))"
+    sqdist = (
+        f"list_sum(list_transform(range({dim}), j -> "
+        "(q.qv[j + 1] - c.cvec[j + 1]) * (q.qv[j + 1] - c.cvec[j + 1])))"
+    )
+    cos = (
+        "list_dot_product(qs.vd, corp.vd) / "
+        "(sqrt(list_dot_product(qs.vd, qs.vd)) * sqrt(list_dot_product(corp.vd, corp.vd)))"
+    )
+    return f"""{_qkmeans_sql_prefix(n_centroids, n_iter, scale, dim)},
+    qs AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS vd
+      FROM embeddings WHERE vec_id < 5
+    ),
+    qq AS (SELECT q_id, {q8} AS qv FROM qs),
+    probes AS (
+      SELECT q_id, cell FROM (
+        SELECT q.q_id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.q_id ORDER BY {sqdist}, c.cell
+               ) AS rn
+        FROM qq q CROSS JOIN c{n_iter} c
+      ) WHERE rn <= {nprobe}
+    ),
+    qw AS (SELECT q_id, [{words}] AS w FROM qs),
+    cw AS (SELECT c_id, [{words}] AS w FROM corp),
+    cand AS (
+      SELECT p.q_id, af.c_id FROM probes p JOIN af USING (cell)
+    ),
+    short AS (
+      SELECT q_id, c_id FROM (
+        SELECT cand.q_id, cand.c_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY cand.q_id ORDER BY {ham}, cand.c_id
+               ) AS sr
+        FROM cand JOIN qw q ON cand.q_id = q.q_id
+                  JOIN cw c ON cand.c_id = c.c_id
+      ) WHERE sr <= {sl}
+    ),
+    approx AS (
+      SELECT q_id, c_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+      FROM (
+        SELECT short.q_id, short.c_id, {cos} AS sim
+        FROM short JOIN qs ON short.q_id = qs.q_id JOIN corp ON short.c_id = corp.c_id
+      )
+    ),
+    exact AS (
+      SELECT q_id, c_id, rank AS exact_rank FROM (
+        SELECT qs.q_id, corp.c_id,
+               ROW_NUMBER() OVER (PARTITION BY qs.q_id ORDER BY {cos} DESC, corp.c_id)
+                 AS rank
+        FROM qs, corp
+      ) WHERE rank <= {k}
+    )
+    SELECT a.q_id, a.c_id, a.sim, CAST(a.rank AS BIGINT) AS rank,
+           CAST(e.exact_rank AS BIGINT) AS exact_rank
+    FROM approx a LEFT JOIN exact e ON a.q_id = e.q_id AND a.c_id = e.c_id
+    WHERE a.rank <= {k}
+    """
+
+
+@query("x2_topk_ivfbq", _ivfbq_oracle_sql())
+def x2_topk_ivfbq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 scale path #6: IVF + binary quantization — the two-index
+    composition production binary-embedding systems run (coarse cells
+    prune the scan to nprobe/n_centroids of the corpus; inside the
+    probed cells the candidate filter is the 1-bit XOR/POPCNT Hamming
+    code, 32x smaller than the vectors), with the corpus-derived
+    shortlist and the fold-exact double-cosine re-rank. Every stage is
+    integer-exact, so the composed pipeline is FULLY hash-verified —
+    the family now spans single indexes (LSH/IVF/PQ/BQ), the residual
+    composition (IVF-PQ), and the code-scan composition (IVF-BQ).
+    ``exact_rank`` embeds the per-row quality gate as in the siblings.
+    """
+    from .operators.similarity import ivfbq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    approx = ivfbq_topk(
+        queries, corpus, k=10, n_centroids=8, nprobe=4, dim=64, shortlist=None
+    ).withColumn("rank", F.col("rank").cast("long"))
     return _with_exact_rank(approx, queries, corpus)

@@ -977,3 +977,31 @@ def test_per_key_topn_equals_naive_window(spark):
         .collect()
     }
     assert got == want and len(want) == 7 * 9
+
+
+def test_ivfbq_recall_and_determinism(spark, sf_small):
+    """IVF-BQ composition: recall floor through probe + Hamming shortlist
+    + re-rank, and run-to-run determinism (integer recurrence + sign
+    codes)."""
+    from pyspark.sql import functions as F
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.similarity import (
+        brute_force_topk,
+        ivfbq_topk,
+    )
+    from etl_lorettoscarpa_1asfb2jf21_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_small, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    kw = dict(k=10, n_centroids=8, nprobe=4, dim=64)
+    run1 = {(r.q_id, r.c_id, r.rank) for r in ivfbq_topk(q, c, **kw).collect()}
+    run2 = {(r.q_id, r.c_id, r.rank) for r in ivfbq_topk(q, c, **kw).collect()}
+    assert run1 == run2
+    exact = {(r.q_id, r.c_id) for r in brute_force_topk(q, c, k=10).collect()}
+    hits = {(a, b) for a, b, _ in run1} & exact
+    # nprobe/n_centroids = half the corpus scanned, derived shortlist
+    # >= corpus at this sf -> recall loss comes only from unprobed cells
+    assert len(hits) / len(exact) >= 0.4

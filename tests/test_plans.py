@@ -62,6 +62,9 @@ ARROW_KERNEL_QUERIES = {
     # IVF-PQ: both exact-int kernels (coarse assignment + residual
     # PQ encode)
     "x2_topk_ivfpq",
+    # IVF-BQ: the coarse-assignment exact-int kernel (the Hamming scan
+    # itself is pure native XOR/POPCNT)
+    "x2_topk_ivfbq",
 }
 # x1_semantic_dedup's Arrow assignment kernel sits below a localCheckpoint
 # barrier (the formatted plan can't show it); its kernel audit lives in

@@ -55,6 +55,7 @@ def main() -> None:
         bq_topk,
         brute_force_topk,
         ivf_topk_quantized,
+        ivfbq_topk,
         ivfpq_topk_quantized,
         pq_topk_quantized,
     )
@@ -96,6 +97,9 @@ def main() -> None:
         ),
         "bq (1-bit, derived sl)": lambda q, c: bq_topk(
             q, c, k=K, dim=dim, shortlist=None
+        ),
+        "ivfbq (nc=64/np=16, 1-bit, derived sl)": lambda q, c: ivfbq_topk(
+            q, c, k=K, n_centroids=64, nprobe=16, dim=dim, shortlist=None
         ),
     }
 
