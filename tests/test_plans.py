@@ -359,3 +359,18 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_medium):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_decode_queries_widen_the_spine_before_python(spark, sf_medium):
+    """The CPU-bound codec queries must not inherit the one-split layout
+    of the tiny doc_id spine: spread() puts a RoundRobinPartitioning
+    exchange below the MapInPandas, so the decode runs cluster-wide (the
+    round-6 fix that took x4_jpeg420_decode from 75 s to 4.7 s at ~sf1 —
+    the plan was one task, not a slow codec)."""
+    for name in ("x4_jpeg420_decode", "x4_gif_decode", "x4_video_frames"):
+        plan = plan_of(ALL_QUERIES[name](spark, sf_medium))
+        assert "MapInPandas" in plan, name
+        assert "RoundRobinPartitioning" in plan, (
+            f"{name} lost the spread() exchange — decode will run "
+            "single-task on small spines"
+        )
