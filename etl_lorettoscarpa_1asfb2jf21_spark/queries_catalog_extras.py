@@ -1164,6 +1164,41 @@ def sk5_hll_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sk7_oracle() -> str:
+    from .operators.sketches import hll_oracle_sql
+
+    # sliding 2h/1h windows: slide-aligned starts, so each event lands in
+    # exactly duration/slide = 2 windows — starts hour(ts) and
+    # hour(ts) - 1h — mirroring Spark's epoch-aligned F.window(2h, 1h)
+    return hll_oracle_sql(
+        "(SELECT CAST(date_trunc('hour', ts) - o * INTERVAL 1 HOUR "
+        "AS VARCHAR) AS window_start, user_id "
+        "FROM events, unnest([0, 1]) AS t(o)) t",
+        "user_id",
+        ["window_start"],
+    )
+
+
+@query("sk7_sliding_hll", _sk7_oracle())
+def sk7_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SK7: OVERLAPPING sliding-window distinct-user HLL (2h windows
+    sliding by 1h) — the overlapping-window form of sk3. Sliding is
+    tumbling plus duration/slide-fold row duplication before the SAME
+    single stateful register-max, so state per OPEN window stays <= 512
+    registers and the watermark still GCs closed windows; the register
+    tables remain max-mergeable artifacts. The DuckDB twin derives the
+    identical two slide-aligned window starts per event and rebuilds
+    every register and the estimator closed-form."""
+    from .operators.sketches import hll_estimate_from_registers
+    from .streaming.windows import windowed_hll_registers
+
+    e = load_table(spark, sf_dir, "events")
+    regs = windowed_hll_registers(
+        e, window_duration="2 hours", slide="1 hour"
+    )
+    return hll_estimate_from_registers(regs, ["window_start"])
+
+
 def _sk6_oracle() -> str:
     h = (
         "('0x' || substr(md5('cms' || j || ':' "

@@ -57,6 +57,7 @@ def windowed_hll_registers(
     window_duration: str = "1 hour",
     watermark: str = "2 hours",
     ts_col: str = "ts",
+    slide: str | None = None,
 ) -> DataFrame:
     """Streaming distinct-count sketch: per tumbling window, the HLL
     register table (operators/sketches) — ONE stateful aggregation
@@ -68,8 +69,16 @@ def windowed_hll_registers(
     (sketches.hll_estimate_from_registers), and max() re-merges shards,
     restatements, or adjacent windows for free.
 
+    ``slide`` (e.g. "1 hour" with a "2 hours" duration) switches to
+    OVERLAPPING sliding windows: each event lands in
+    duration/slide windows, state stays <= m registers per OPEN window,
+    and the per-window register tables remain the mergeable artifact —
+    sliding is just tumbling with duration/slide-fold row duplication
+    ahead of the same single stateful max.
+
     Batch twin: queries_catalog_extras.sk3_windowed_hll (full DuckDB
-    oracle); stream/batch parity is tested in tests/test_streaming.py.
+    oracle; sliding form sk7_sliding_hll); stream/batch parity is
+    tested in tests/test_streaming.py.
     """
     from ..operators.sketches import hll_register_exprs
     from .sessions import _ts_as_timestamp
@@ -77,8 +86,13 @@ def windowed_hll_registers(
     events = _ts_as_timestamp(events, ts_col)
     src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     idx, rho = hll_register_exprs(value_col)
+    win = (
+        F.window(ts_col, window_duration, slide)
+        if slide
+        else F.window(ts_col, window_duration)
+    )
     return (
-        src.select(F.window(ts_col, window_duration).alias("w"), idx, rho)
+        src.select(win.alias("w"), idx, rho)
         .groupBy(
             F.col("w"), F.col("_hll_idx")
         )

@@ -738,3 +738,44 @@ def test_windowed_cms_stream_matches_batch(spark, tmp_path, sf_small):
     m = {(r["day"], r["_row"], r["_bucket"]): r["_cnt"] for r in merged.collect()}
     d = {(r["day"], r["_row"], r["_bucket"]): r["_cnt"] for r in direct.collect()}
     assert m == d
+
+
+def test_sliding_hll_stream_matches_batch(spark, tmp_path, sf_small):
+    """Overlapping sliding-window HLL (2h / slide 1h): streamed register
+    tables must equal the batch ones exactly — sliding adds row
+    duplication ahead of the same single stateful max, so it stays a
+    streaming-supported one-aggregation plan — and each event's
+    registers must appear in exactly two window starts."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.sources.tables import load_table
+    from etl_lorettoscarpa_1asfb2jf21_spark.streaming.windows import (
+        windowed_hll_registers,
+    )
+
+    events = load_table(spark, sf_small, "events")
+    kw = dict(window_duration="2 hours", slide="1 hour")
+    batch = windowed_hll_registers(events, **kw)
+
+    stream_src = str(tmp_path / "sliding_hll_src")
+    events.write.parquet(stream_src)
+    stream = spark.readStream.schema(events.schema).parquet(stream_src)
+    out = windowed_hll_registers(stream, watermark="10 hours", **kw)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sliding_hll_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("sliding_hll_regs")
+
+    b = {(r["window_start"], r["_hll_idx"]): r["_mj"] for r in batch.collect()}
+    s = {(r["window_start"], r["_hll_idx"]): r["_mj"] for r in got.collect()}
+    assert b == s and len(b) > 0
+    # overlap sanity: every nonempty hour h contributes sliding starts
+    # {h, h-1h}, so their union is strictly more than the tumbling hours
+    # (at least the edge window) and at most double (sparse hours)
+    tumbling = windowed_hll_registers(events)
+    n_tumble = tumbling.select("window_start").distinct().count()
+    n_slide = got.select("window_start").distinct().count()
+    assert n_tumble < n_slide <= 2 * n_tumble
