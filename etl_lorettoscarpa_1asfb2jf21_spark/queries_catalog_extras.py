@@ -1321,6 +1321,91 @@ def sk6_windowed_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a9_windowed_quantile_merge",
+    """
+    WITH ev AS (
+      SELECT substr(CAST(date_trunc('hour', ts) AS VARCHAR), 1, 10) AS day,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ), hist AS (
+      SELECT day, cents, COUNT(*) AS cnt FROM ev GROUP BY 1, 2
+    ), cum AS (
+      SELECT day, cents, cnt,
+             SUM(cnt) OVER (PARTITION BY day ORDER BY cents) AS cum,
+             SUM(cnt) OVER (PARTITION BY day) AS n
+      FROM hist
+    )
+    SELECT day,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN cents END) AS BIGINT)
+             AS p50_cents,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.9 * n) THEN cents END) AS BIGINT)
+             AS p90_cents,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN cents END) AS BIGINT)
+             AS p99_cents
+    FROM cum GROUP BY day
+    """,
+)
+def a9_windowed_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: EXACT daily quantiles rolled up from PERSISTED hourly value
+    histograms — the third member of the mergeable-artifact trio (HLL
+    registers merge by max: sk5; CMS counters by addition: sk6; value
+    histograms by addition: here). The Spark side builds per-hour
+    (window, cents) count tables — the artifact a streaming job would
+    persist per window, bounded by distinct-value cardinality, never
+    rows — then SUMS them into daily histograms and walks the a8
+    cumulative histogram for exact p50/p90/p99. Addition makes the
+    merged histogram bit-identical to a direct daily build, which is
+    exactly what the oracle computes — the hash match IS the
+    merge-correctness proof. At 100 TB: restating a day's quantiles
+    touches 24 bounded histograms instead of the day's raw events."""
+    from .streaming.sessions import _ts_as_timestamp
+
+    e = load_table(spark, sf_dir, "events").select("ts", "value")
+    ev = _ts_as_timestamp(e, "ts").select(
+        F.window("ts", "1 hour").alias("w"),
+        (F.col("value").cast(DEC) * 100).cast("long").alias("cents"),
+    )
+    hourly = (
+        ev.select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "cents",
+        )
+        .groupBy("ws", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    daily = (
+        hourly.select(F.substring("ws", 1, 10).alias("day"), "cents", "cnt")
+        .groupBy("day", "cents")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    w = Window.partitionBy("day").orderBy("cents")
+    wn = Window.partitionBy("day")
+    cum = daily.select(
+        "day",
+        "cents",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+
+    def pick(q: float, name: str):
+        return (
+            F.min(
+                F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("cents"))
+            )
+            .cast("long")
+            .alias(name)
+        )
+
+    return cum.groupBy("day").agg(
+        F.max("n").cast("long").alias("n"),
+        pick(0.5, "p50_cents"),
+        pick(0.9, "p90_cents"),
+        pick(0.99, "p99_cents"),
+    )
+
+
+@query(
     "a8_scalable_quantiles",
     """
     WITH hist AS (

@@ -2076,3 +2076,80 @@ def tp13_curation_funnel_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_tokens").cast("long").alias("total_tokens"),
         )
     )
+
+
+# =====================================================================
+# TP14 — training-document chunking (fixed window + overlap)
+# =====================================================================
+
+_CHUNK_SIZE = 200
+_CHUNK_OVERLAP = 50
+_CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP  # 150
+
+
+@query(
+    "tp14_chunk_documents",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM_SQL.format(c='text')} AS t FROM documents
+    ), n AS (
+      SELECT doc_id, t,
+             GREATEST(1, (len(t) + {_CHUNK_STRIDE - _CHUNK_OVERLAP - 1})
+                          // {_CHUNK_STRIDE}) AS nc
+      FROM norm WHERE len(t) > 0
+    ), ch AS (
+      SELECT doc_id, u.i AS chunk_id,
+             substr(t, CAST(u.i * {_CHUNK_STRIDE} + 1 AS INT),
+                    {_CHUNK_SIZE}) AS c
+      FROM n, unnest(range(0, nc)) AS u(i)
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(c) AS BIGINT) AS n_chars,
+           md5(c) AS chunk_md5
+    FROM ch
+    """,
+)
+def tp14_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP14: split every document into fixed-size overlapping training
+    chunks (200 chars, 50 overlap → stride 150) — the context-window
+    preprocessing step between curation and tokenization in an LLM data
+    pipeline (and the chunking granularity RAG indexes use). Chunk count
+    per doc is the exact integer ceil((len - overlap) / stride), floored
+    at one, so boundary semantics are bit-identical across engines; each
+    chunk is witnessed by md5 + length so the full text split — not just
+    counts — is hash-verified.
+
+    Scale: map-only — normalize, one sequence/explode per doc (output
+    rows ∝ corpus chars / stride, the true output mass), substring +
+    md5 inside whole-stage codegen; no shuffle anywhere, so at 100 TB
+    the operator is a pure scan→write pass that parallelizes with the
+    input splits."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = d.select("doc_id", normalized_text_expr("text").alias("_t")).filter(
+        F.length("_t") > 0
+    )
+    nc = F.greatest(
+        F.lit(1),
+        F.floor(
+            (F.length("_t") + F.lit(_CHUNK_STRIDE - _CHUNK_OVERLAP - 1))
+            / F.lit(_CHUNK_STRIDE)
+        ),
+    )
+    chunks = norm.select(
+        "doc_id",
+        F.col("_t"),
+        F.explode(F.sequence(F.lit(0), (nc - 1).cast("int"))).alias("chunk_id"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.expr(
+            f"substring(_t, chunk_id * {_CHUNK_STRIDE} + 1, {_CHUNK_SIZE})"
+        ).alias("_c"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.length("_c").cast("long").alias("n_chars"),
+        F.md5("_c").alias("chunk_md5"),
+    )
