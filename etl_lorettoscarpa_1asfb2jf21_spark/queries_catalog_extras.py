@@ -1320,6 +1320,89 @@ def sk6_windowed_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SK8_NORM = "trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))"
+
+
+@query(
+    "sk8_minhash_shard_merge",
+    f"""
+    WITH norm AS (
+      SELECT source, doc_id, {_SK8_NORM} AS t FROM documents
+    ), sh AS (
+      SELECT source, doc_id % 4 AS shard,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+      FROM (
+        SELECT source, doc_id,
+               unnest([substr(t, CAST(i AS INT), 6)
+                       FOR i IN range(1, len(t) - 4)]) AS g
+        FROM norm WHERE len(t) >= 6
+      )
+    ), shard_sig AS (
+      SELECT source, shard, h % 16 AS bin, MIN(h) AS mh
+      FROM sh GROUP BY 1, 2, 3
+    ), src_sig AS (
+      SELECT source, bin, MIN(mh) AS mh FROM shard_sig GROUP BY 1, 2
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bins_equal,
+           SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 16.0
+             AS jaccard_est
+    FROM src_sig a JOIN src_sig b ON a.bin = b.bin AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def sk8_minhash_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SK8: corpus-level (per-source) MinHash signatures min-merged from
+    PER-SHARD partials, then pairwise source content-overlap estimates —
+    MinHash joins the mergeable-artifact family (HLL: max, CMS: add,
+    histograms: add, MinHash: elementwise MIN, because the signature of
+    a union of shingle sets is the min of the signatures). Each shard's
+    (source, bin) minima are the artifact a sharded ingest persists;
+    min-merging them is bit-identical to a direct whole-source build,
+    which is exactly what the oracle computes — the hash match is the
+    merge proof. The pair stage estimates Jaccard(source_a, source_b)
+    over their shingle SETS as the fraction of agreeing signature
+    components (one-permutation estimator) — content overlap between
+    whole corpora from 16-number artifacts, no document pairing.
+
+    Scale: one shingle pass (map-side combine collapses to
+    sources·shards·16 rows before the shuffle); the pair join runs on
+    sources·16 rows. Restating after a shard is replaced touches one
+    shard's partial, not the corpus."""
+    from .functions.hashing import md5_long60  # noqa: F401 (parity anchor)
+    from .operators.dedup import _hashed_ngrams_from_norm, _spread_normalized
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = _spread_normalized(d, "text", keep=["source", "doc_id"]).select(
+        "source",
+        (F.col("doc_id") % 4).alias("_shard"),
+        F.explode(
+            _hashed_ngrams_from_norm(6, distinct=False, portable=True)
+        ).alias("_sh"),
+    )
+    shard_sig = sh.groupBy(
+        "source", "_shard", F.pmod("_sh", F.lit(16)).alias("_bin")
+    ).agg(F.min("_sh").alias("_mh"))
+    src_sig = shard_sig.groupBy("source", "_bin").agg(F.min("_mh").alias("_mh"))
+    sa = src_sig.select(
+        F.col("source").alias("source_a"), "_bin", F.col("_mh").alias("_ha")
+    )
+    sb = src_sig.select(
+        F.col("source").alias("source_b"), "_bin", F.col("_mh").alias("_hb")
+    )
+    eq = F.sum(F.when(F.col("_ha") == F.col("_hb"), 1).otherwise(0))
+    return (
+        sa.join(sb, "_bin")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            eq.cast("long").alias("n_bins_equal"),
+            (eq / F.lit(16.0)).alias("jaccard_est"),
+        )
+    )
+
+
 @query(
     "a9_windowed_quantile_merge",
     """
