@@ -1370,7 +1370,6 @@ def sk8_minhash_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources·shards·16 rows before the shuffle); the pair join runs on
     sources·16 rows. Restating after a shard is replaced touches one
     shard's partial, not the corpus."""
-    from .functions.hashing import md5_long60  # noqa: F401 (parity anchor)
     from .operators.dedup import _hashed_ngrams_from_norm, _spread_normalized
 
     d = load_table(spark, sf_dir, "documents")

@@ -167,6 +167,12 @@ def main() -> None:
         "the ADC scan term is additionally divided by nprobe/n_centroids.",
         "Exact search is the linear-scan yardstick the indexes exist to",
         "beat at this recall; its own growth is the pure data term.",
+        "Wall times here charge the FULL pipeline — train + encode + one",
+        f"{N_QUERIES}-query search — to a single batch, so index rows can",
+        "read slower than the exact scan at this size: a deployment builds",
+        "the index once and amortizes it over every query batch, paying",
+        "only the search term (the sl500-vs-derived deltas isolate that",
+        "term), while the exact scan pays its full cost on every batch.",
     ]
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
