@@ -447,6 +447,111 @@ def x3_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x3_bigram_perplexity",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM_SQL.format(c='text')} AS t FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(string_split(t, ' ')) AS w,
+             unnest(range(1, len(string_split(t, ' ')) + 1)) AS pos
+      FROM norm WHERE len(t) > 0
+    ), uni AS (
+      SELECT w, COUNT(*) AS c FROM tok GROUP BY 1
+    ), total AS (SELECT COUNT(*) AS n FROM tok),
+    big AS (
+      SELECT a.doc_id, a.w AS v, b.w AS wn
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ), bc AS (
+      SELECT v, wn, COUNT(*) AS cvw FROM big GROUP BY 1, 2
+    ), scored AS (
+      SELECT g.doc_id,
+             ln(0.9 * bc.cvw / uv.c + 0.1 * uw.c / total.n) AS lnp
+      FROM big g
+      JOIN bc ON g.v = bc.v AND g.wn = bc.wn
+      JOIN uni uv ON g.v = uv.w
+      JOIN uni uw ON g.wn = uw.w
+      CROSS JOIN total
+    ), per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams, SUM(lnp) AS s
+      FROM scored GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           ROUND(-s / n_bigrams, 4) AS cross_entropy,
+           ROUND(exp(-s / n_bigrams), 3) AS ppl,
+           (ROUND(-s / n_bigrams, 4) <= 8.0) AS is_kept
+    FROM per_doc
+    """,
+)
+def x3_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: BIGRAM-interpolated LM perplexity — one order closer to the
+    5-gram KenLM CCNet actually runs than x3_perplexity's unigram MLE.
+    Per adjacent token pair the probability is the Jelinek-Mercer
+    interpolation p(w|v) = 0.9·c(vw)/c(v) + 0.1·c(w)/N (trained on the
+    corpus itself, so every doc bigram has c(vw) >= 1 — no zero-prob
+    backoff case); per doc H = -mean(ln p), ppl = e^H, keep gate at the
+    fixed H <= 8 bar. Repetitive/templated docs (high c(vw)/c(v)) score
+    low; incoherent token soup scores high even when its unigrams are
+    common — the failure mode the unigram filter cannot see.
+
+    Scale: the bigram stream is the map-only zip of each doc's shifted
+    token arrays (no positional self-join on the Spark side — the
+    oracle's join is the SQL mirror only); unigram counts broadcast
+    (Zipf-bounded). The bigram count table grows faster than the vocab —
+    broadcast here (tiny at test sf), but at 100 TB it graduates to a
+    plain hash join, paying one shuffle of the bigram stream keyed by
+    (v, w). Arithmetic order is pinned left-associative on both engines;
+    ln-sums are order-sensitive at the 1e-13 level, so outputs are
+    ROUND()ed (4dp H, 3dp ppl) and the keep gate compares the ROUNDED H,
+    per the catalog dtype policy.
+    """
+    from .functions.text import normalized_text_expr as _norm
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", _norm("text").alias("_t")).filter(
+        F.length("_t") > 0
+    )
+    toks = base.select("doc_id", F.split("_t", " ").alias("_toks"))
+    tok = toks.select("doc_id", F.explode("_toks").alias("w"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.agg(F.count(F.lit(1)).alias("n"))
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_toks) - 1), "
+                "i -> struct(_toks[i - 1] AS v, _toks[i] AS wn))"
+            )
+        ).alias("_b"),
+    ).select("doc_id", F.col("_b.v").alias("v"), F.col("_b.wn").alias("wn"))
+    bc = big.groupBy("v", "wn").agg(F.count(F.lit(1)).alias("cvw"))
+    uv = uni.select(F.col("w").alias("v"), F.col("c").alias("cv"))
+    uw = uni.select(F.col("w").alias("wn"), F.col("c").alias("cw"))
+    lnp = F.log(
+        F.lit(0.9) * F.col("cvw") / F.col("cv")
+        + F.lit(0.1) * F.col("cw") / F.col("n")
+    )
+    scored = (
+        big.join(F.broadcast(bc), ["v", "wn"])
+        .join(F.broadcast(uv), "v")
+        .join(F.broadcast(uw), "wn")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", lnp.alias("lnp"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("lnp").alias("s")
+    )
+    h = -F.col("s") / F.col("n_bigrams")
+    return per_doc.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round(h, 4).alias("cross_entropy"),
+        F.round(F.exp(h), 3).alias("ppl"),
+        (F.round(h, 4) <= 8.0).alias("is_kept"),
+    )
+
+
 # =====================================================================
 # X4 — real PNG decode (zlib inflate + filter reconstruction)
 # =====================================================================
