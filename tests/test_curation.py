@@ -272,3 +272,32 @@ def test_incremental_semdedup_judges_batch_against_corpus_only(spark):
     assert not out[100]["is_kept"] and out[100]["pruned_by"] == 0
     assert out[101]["is_kept"] and out[102]["is_kept"]  # intra-batch pair kept
     assert out[103]["is_kept"]
+
+
+def test_chunking_boundary_semantics(spark):
+    """tp14's chunk-count formula at the exact boundaries: len <= 200 ->
+    one chunk; 201 -> two (the second covering the 51-char tail from
+    position 151); 350 -> two full chunks; 351 -> three. The md5
+    witnesses mean any off-by-one breaks the oracle hash; this pins the
+    intended boundary semantics explicitly (ceil((len-50)/150), floor
+    1 — written as the identical (len+99)//150 integer form the query
+    and its oracle share)."""
+    from pyspark.sql import functions as F
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.functions.text import (
+        normalized_text_expr,
+    )
+
+    rows = [(i, "a" * n) for i, n in enumerate((1, 150, 200, 201, 350, 351))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    norm = df.select(
+        "doc_id", normalized_text_expr("text").alias("_t")
+    ).filter(F.length("_t") > 0)
+    nc = F.greatest(
+        F.lit(1), F.floor((F.length("_t") + F.lit(99)) / F.lit(150))
+    )
+    counts = {
+        r["doc_id"]: r["nc"]
+        for r in norm.select("doc_id", nc.alias("nc")).collect()
+    }
+    assert counts == {0: 1, 1: 1, 2: 1, 3: 2, 4: 2, 5: 3}
