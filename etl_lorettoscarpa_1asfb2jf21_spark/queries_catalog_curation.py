@@ -512,7 +512,13 @@ def x3_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select("doc_id", _norm("text").alias("_t")).filter(
         F.length("_t") > 0
     )
-    toks = base.select("doc_id", F.split("_t", " ").alias("_toks"))
+    # the normalize+split pipeline feeds four consumers (unigram counts,
+    # total, bigram stream, and the scored join's probe side); a lazy
+    # localCheckpoint computes it once instead of re-running the regex
+    # pipeline per branch (same pattern as ngram_jaccard's gram barrier)
+    toks = base.select(
+        "doc_id", F.split("_t", " ").alias("_toks")
+    ).localCheckpoint(eager=False)
     tok = toks.select("doc_id", F.explode("_toks").alias("w"))
     uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     total = tok.agg(F.count(F.lit(1)).alias("n"))
