@@ -63,7 +63,11 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    result = {
+    # Full per-query record goes to a side artifact; the PRINTED line is
+    # kept compact (totals first, top-cost queries only) so a consumer
+    # that tails the output still gets parseable JSON — the full dict for
+    # ~190 queries is >6 KB and used to be truncated into garbage.
+    full = {
         "metric": "total_query_wall_time",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
@@ -71,8 +75,35 @@ def main() -> None:
         "sf": sf_val,
     }
     if errors:
-        result["errors"] = errors
-    print(json.dumps(result))
+        full["errors"] = errors
+    here = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(here, "BENCH_full_local.json")
+    with open(full_path, "w", encoding="utf-8") as f:
+        json.dump(full, f)
+    top = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:15]
+    )
+    headline = {
+        q: timings[q]
+        for q in (
+            "flagship_star_rollup",
+            "q1_pricing_summary",
+            "q3_shipping_priority",
+            "q6_filtered_agg",
+        )
+        if q in timings
+    }
+    compact = {
+        "metric": "total_query_wall_time",
+        "value": full["value"],
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries": {**headline, **top},
+        "queries_full": "BENCH_full_local.json",
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

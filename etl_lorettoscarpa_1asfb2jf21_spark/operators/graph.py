@@ -22,8 +22,48 @@ Scale design (100 TB corpora → billions of nodes, edges ≪ nodes²):
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Guards the session-global constraintPropagation toggle below: catalog
+# pipelines run queries concurrently (ThreadPoolExecutor in per-round
+# tooling), and an unguarded save/restore pair can race — one caller
+# "saving" the other's temporary false and restoring it permanently.
+# Refcounted: the conf flips on first entry and back on last exit.
+_CP_LOCK = threading.Lock()
+_CP_DEPTH = 0
+_CP_SAVED: str | None = None
+
+
+class _constraint_propagation_off:
+    """Refcounted, lock-guarded disable of Catalyst constraint propagation
+    for the enclosed plan constructions (see connected_components for the
+    Spark 4.1 Union/localCheckpoint bug this works around). Any frame
+    RETURNED from the guarded region must be eagerly checkpointed inside
+    it — plans analyzed after exit run under the caller's conf again."""
+
+    def __init__(self, spark):
+        self._spark = spark
+        self._key = "spark.sql.constraintPropagation.enabled"
+
+    def __enter__(self):
+        global _CP_DEPTH, _CP_SAVED
+        with _CP_LOCK:
+            if _CP_DEPTH == 0:
+                _CP_SAVED = self._spark.conf.get(self._key, "true")
+                self._spark.conf.set(self._key, "false")
+            _CP_DEPTH += 1
+        return self
+
+    def __exit__(self, *exc):
+        global _CP_DEPTH
+        with _CP_LOCK:
+            _CP_DEPTH -= 1
+            if _CP_DEPTH == 0:
+                self._spark.conf.set(self._key, _CP_SAVED or "true")
+        return False
 
 
 def connected_components(
@@ -47,17 +87,16 @@ def connected_components(
     # whose gram pipeline checkpoints lazily). Constraint propagation
     # buys nothing here — every round materializes eagerly and the
     # per-round plans are two joins deep — so disable it for the loop
-    # and restore the caller's setting after.
-    spark = nodes.sparkSession
-    _cp_key = "spark.sql.constraintPropagation.enabled"
-    _cp_old = spark.conf.get(_cp_key, "true")
-    spark.conf.set(_cp_key, "false")
-    try:
+    # and restore the caller's setting after. The toggle is refcounted
+    # under a module lock (concurrent catalog queries share the session
+    # conf), and the loop EAGERLY checkpoints its final union before the
+    # conf is restored, so every Union this workaround exists for is
+    # optimized while the conf is off — the returned frame is a
+    # materialized LogicalRDD, safe to analyze under any conf.
+    with _constraint_propagation_off(nodes.sparkSession):
         return _connected_components_loop(
             nodes, edges, id_col, src_col, dst_col, max_iter
         )
-    finally:
-        spark.conf.set(_cp_key, _cp_old)
 
 
 def _connected_components_loop(
@@ -157,8 +196,16 @@ def _connected_components_loop(
         .join(touched, "_id", "left_anti")
         .select("_id", F.col("_id").alias("_lbl"))
     )
-    out = labels.union(singletons).select(
-        F.col("_id").alias(id_col), F.col("_lbl").alias("component")
+    # Eager checkpoint: (a) optimizes the final Union while the caller's
+    # constraintPropagation workaround is still active (the returned
+    # frame would otherwise be analyzed at action time, after the conf
+    # is restored); (b) the (id, component) output feeds joins in every
+    # consumer, so materializing the two-long-column frame once is the
+    # consumption that would happen anyway.
+    out = (
+        labels.union(singletons)
+        .select(F.col("_id").alias(id_col), F.col("_lbl").alias("component"))
+        .localCheckpoint(eager=True)
     )
     sym.unpersist()
     return out
@@ -170,14 +217,27 @@ def duplicate_clusters(
     id_col: str,
     pair_a: str = "id_a",
     pair_b: str = "id_b",
+    engine: str = "minlabel",
 ) -> DataFrame:
     """Cluster near-duplicate pairs into groups; canonical = min id.
 
     Returns (id_col, cluster_id, is_canonical). Downstream dedup keeps
     ``is_canonical`` rows — one survivor per duplicate group, singletons
     survive trivially (their cluster is themselves).
+
+    ``engine``: "minlabel" (default — shortcutted label propagation) or
+    "star" (large-star/small-star, O(log² n) rounds edge-locally — no
+    label table to join, no per-round eager label materialization;
+    faster on dense duplicate graphs). Both produce the identical
+    component = min-reachable-id labeling, so oracles are engine-blind.
     """
-    comp = connected_components(
+    if engine == "minlabel":
+        cc = connected_components
+    elif engine == "star":
+        cc = connected_components_star
+    else:
+        raise ValueError(f"unknown clustering engine: {engine!r}")
+    comp = cc(
         docs.select(id_col), pairs, id_col=id_col, src_col=pair_a, dst_col=pair_b
     )
     return comp.select(
@@ -215,6 +275,23 @@ def connected_components_star(
     Convergence check mirrors the default engine's exact-sum argument:
     the (node, parent) pair-sum only decreases.
     """
+    # Same Spark 4.1 Union/localCheckpoint constraint-rewrite hazard as
+    # the min-label engine (the symmetrize/withself unions sit directly
+    # above whatever lazily-checkpointed plan produced the edges).
+    with _constraint_propagation_off(nodes.sparkSession):
+        return _connected_components_star_loop(
+            nodes, edges, id_col, src_col, dst_col, max_iter
+        )
+
+
+def _connected_components_star_loop(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    src_col: str,
+    dst_col: str,
+    max_iter: int,
+) -> DataFrame:
     # Parent edges start as the symmetrized input; self-loops are the
     # fixpoint representation of singletons inside the loop.
     e = (
@@ -281,8 +358,13 @@ def connected_components_star(
         .join(touched, "_u", "left_anti")
         .select("_u", F.col("_u").alias("_lbl"))
     )
-    return roots.union(singles).select(
-        F.col("_u").alias(id_col), F.col("_lbl").alias("component")
+    # Eager for the same two reasons as the min-label engine's final
+    # union: optimize under the disabled-conf guard, and materialize the
+    # two-column labeling every consumer joins against anyway.
+    return (
+        roots.union(singles)
+        .select(F.col("_u").alias(id_col), F.col("_lbl").alias("component"))
+        .localCheckpoint(eager=True)
     )
 
 

@@ -498,10 +498,12 @@ def x3_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the bigram stream is the map-only zip of each doc's shifted
     token arrays (no positional self-join on the Spark side — the
     oracle's join is the SQL mirror only); unigram counts broadcast
-    (Zipf-bounded). The bigram count table grows faster than the vocab —
-    broadcast here (tiny at test sf), but at 100 TB it graduates to a
-    plain hash join, paying one shuffle of the bigram stream keyed by
-    (v, w). Arithmetic order is pinned left-associative on both engines;
+    (Zipf-bounded). The bigram count table grows with corpus CONTENT
+    (faster than the vocabulary), so its join is left unhinted: AQE
+    broadcasts it only while its measured size stays under the
+    threshold and falls back to a plain (v, w)-keyed hash join beyond
+    — no 8 GB broadcast cliff at scale, one shuffle of the bigram
+    stream when big. Arithmetic order is pinned left-associative on both engines;
     ln-sums are order-sensitive at the 1e-13 level, so outputs are
     ROUND()ed (4dp H, 3dp ppl) and the keep gate compares the ROUNDED H,
     per the catalog dtype policy.
@@ -522,12 +524,20 @@ def x3_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = toks.select("doc_id", F.explode("_toks").alias("w"))
     uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     total = tok.agg(F.count(F.lit(1)).alias("n"))
+    # shifted-slice zip, not transform(sequence(...)): sequence(1, 0)
+    # DESCENDS to [1, 0] for single-token docs, minting two spurious
+    # (token, NULL)/(NULL, token) bigrams that only vanish because
+    # non-ANSI out-of-range indexing yields NULL and NULL keys drop in
+    # the inner joins — zip_with of the two shifts is empty-safe (and
+    # ANSI-safe) by construction
+    n1 = F.greatest(F.size("_toks") - 1, F.lit(0))
     big = toks.select(
         "doc_id",
         F.explode(
-            F.expr(
-                "transform(sequence(1, size(_toks) - 1), "
-                "i -> struct(_toks[i - 1] AS v, _toks[i] AS wn))"
+            F.zip_with(
+                F.slice("_toks", 1, n1),
+                F.slice("_toks", 2, n1),
+                lambda a, b: F.struct(a.alias("v"), b.alias("wn")),
             )
         ).alias("_b"),
     ).select("doc_id", F.col("_b.v").alias("v"), F.col("_b.wn").alias("wn"))
@@ -538,8 +548,10 @@ def x3_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.9) * F.col("cvw") / F.col("cv")
         + F.lit(0.1) * F.col("cw") / F.col("n")
     )
+    # bc is UNHINTED (content-sized — see docstring); uv/uw/total stay
+    # broadcast hints (vocabulary-bounded / scalar)
     scored = (
-        big.join(F.broadcast(bc), ["v", "wn"])
+        big.join(bc, ["v", "wn"])
         .join(F.broadcast(uv), "v")
         .join(F.broadcast(uw), "wn")
         .crossJoin(F.broadcast(total))

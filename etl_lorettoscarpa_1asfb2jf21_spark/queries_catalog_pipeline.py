@@ -475,6 +475,118 @@ def x1_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# X1 — MAXIMAL duplicated spans (variable-length, gaps-and-islands)
+# =====================================================================
+
+@query(
+    "x1_dup_spans_maximal",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             regexp_split_to_array({_NORM_SQL.format(c='text')}, '\\s+') AS ws
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, u.i AS i,
+             md5(array_to_string(ws[CAST(u.i AS INT):CAST(u.i + 7 AS INT)],
+                                 ' ')) AS fp
+      FROM w, unnest(range(1, len(ws) - 6)) AS u(i)
+      WHERE len(ws) >= 8
+    ),
+    dup AS (
+      SELECT fp FROM pos GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT doc_id, i FROM pos JOIN dup USING (fp)),
+    isl AS (
+      SELECT doc_id, i,
+             i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM hits
+    ),
+    sp AS (
+      SELECT doc_id, MIN(i) AS start_tok,
+             MAX(i) - MIN(i) + 8 AS n_tokens,
+             COUNT(*) AS n_grams
+      FROM isl GROUP BY doc_id, grp
+    )
+    SELECT sp.doc_id,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           md5(array_to_string(
+             w.ws[CAST(start_tok AS INT):CAST(start_tok + n_tokens - 1 AS INT)],
+             ' ')) AS span_fp
+    FROM sp JOIN w USING (doc_id)
+    """,
+)
+def x1_dup_spans_maximal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 VARIABLE-LENGTH exact-substring dedup — the maximal-duplicated-
+    span artifact of Lee et al. 2021 (their suffix array emits maximal
+    repeats; here the same spans come from chain-merging overlapping
+    fixed-8-gram hits). A position i is a *hit* when the 8-gram starting
+    there also appears in another document (x1_dup_ngram_spans'
+    cross-doc signal, kept per-position); a RUN of consecutive hit
+    positions i..j is exactly a duplicated substring of j - i + 8
+    tokens, merged by gaps-and-islands (group key = i - row_number).
+    Output is the per-doc maximal-span manifest — start, token length,
+    contributing gram count, and the md5 of the merged span text (so
+    the merge itself is witnessed: a wrong island boundary changes the
+    hashed text) — what a dedup pass cuts or masks.
+
+    Scale: the per-position fingerprint explode is x1_dup_ngram_spans'
+    shape (16-byte hashes, map-side combine); the duplicated-fp semi
+    join shuffles on fp; the islands window partitions by doc_id
+    (bounded by doc length, never corpus-sized); the final slice join
+    is one doc-keyed hash join back to the token arrays. The token
+    table is lazily checkpointed — the normalize+split pipeline runs
+    once for its two consumers.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(normalized_text_expr("text"), r"\s+")
+    w = (
+        d.select("doc_id", words.alias("ws"))
+        .filter(F.size("ws") >= 8)
+        .localCheckpoint(eager=False)
+    )
+    pos = w.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 7),
+                lambda i: F.md5(F.array_join(F.slice(F.col("ws"), i, 8), " ")),
+            )
+        ).alias("_p", "fp"),
+    ).select("doc_id", (F.col("_p") + 1).alias("i"), "fp")
+    dup = (
+        pos.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("fp")
+    )
+    hits = pos.join(dup, "fp").select("doc_id", "i")
+    win = Window.partitionBy("doc_id").orderBy("i")
+    sp = (
+        hits.withColumn("_grp", F.col("i") - F.row_number().over(win))
+        .groupBy("doc_id", "_grp")
+        .agg(
+            F.min("i").alias("start_tok"),
+            (F.max("i") - F.min("i") + 8).alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+    )
+    return sp.join(w, "doc_id").select(
+        "doc_id",
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.md5(
+            F.array_join(
+                F.slice(F.col("ws"), F.col("start_tok"), F.col("n_tokens")), " "
+            )
+        ).alias("span_fp"),
+    )
+
+
+# =====================================================================
 # DQ1 — single-pass data-quality profile
 # =====================================================================
 
@@ -1315,19 +1427,23 @@ def x3_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate/spam documents that length/stopword heuristics miss.
     A document passes when both fractions stay under their thresholds.
 
-    Distinct-token counting is map-only (array_distinct on the token
-    array, no shuffle); the bigram mode needs one (doc, bigram) hash
-    aggregate then a doc-keyed max — both combine map-side, state is
-    O(distinct bigrams). All counts are exact integers with one IEEE
-    division each, so fractions AND the boolean gate hash-match the
-    oracle exactly.
+    ENTIRELY MAP-ONLY — zero shuffles. Distinct-token counting is
+    array_distinct on the token array; the top-bigram count is the
+    longest equal-adjacent run in the SORTED per-doc bigram array (one
+    array_sort + one linear aggregate() fold per row — bigrams of one
+    doc all live in that row's array, so the per-(doc, bigram) hash
+    aggregate the r6 version shuffled corpus-wide collapses into
+    row-local work; the shuffle of the full bigram-string stream was
+    this query's 17.7× ~sf1 blowup, see SCALING.md). Per-row cost is
+    O(len·log len) on the doc's own tokens — bounded by doc length, the
+    same budget the normalize regex already spends. All counts are
+    exact integers with one IEEE division each, so fractions AND the
+    boolean gate hash-match the oracle exactly.
 
     Bigrams come from zip_with over two shifted slices of the token
     array — positional array walk, no per-element element_at lookups:
     measured 4× cheaper than transform(sequence, i -> element_at(i) ⧺
-    element_at(i+1)) while staying map-only (the window-lead alternative
-    is faster still at toy scale but shuffles the whole token stream —
-    the wrong trade at 100 TB).
+    element_at(i+1)).
     """
     d = load_table(spark, sf_dir, "documents")
     toks = (
@@ -1340,34 +1456,51 @@ def x3_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("_tk").alias("n_tokens"),
         F.size(F.array_distinct("_tk")).alias("n_distinct"),
-        F.zip_with(
-            F.slice("_tk", 1, n1),
-            F.slice("_tk", 2, n1),
-            lambda a, b: F.concat_ws(" ", a, b),
+        F.array_sort(
+            F.zip_with(
+                F.slice("_tk", 1, n1),
+                F.slice("_tk", 2, n1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
         ).alias("_bgs"),
     )
-    agg = (
-        base.select("doc_id", F.explode("_bgs").alias("_b"))
-        .groupBy("doc_id", "_b")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .groupBy("doc_id")
-        .agg(F.max("_c").alias("_top_bg"), F.sum("_c").alias("_n_bg"))
+    # longest equal-adjacent run in the sorted array == max bigram
+    # multiplicity (the oracle's MAX over per-bigram COUNTs); split()
+    # never yields NULL elements so eqNullSafe only fires its null arm
+    # on the fold's NULL-prev start, where the first element opens run=1
+    def _merge(acc, x):
+        run = F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top_bg = F.aggregate(
+        F.col("_bgs"),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        _merge,
+        lambda acc: acc["best"],
     )
-    top_frac = F.coalesce(F.col("_top_bg"), F.lit(0)).cast("double") / F.coalesce(
-        F.col("_n_bg"), F.lit(1)
+    n_bg = F.size("_bgs")
+    top_frac = F.when(n_bg == 0, F.lit(0.0)).otherwise(
+        F.col("_top").cast("double") / n_bg
     )
     dup_frac = (F.col("n_tokens") - F.col("n_distinct")).cast("double") / F.col(
         "n_tokens"
     )
-    return (
-        base.join(agg, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            top_frac.alias("top_bigram_frac"),
-            dup_frac.alias("dup_token_frac"),
-            ((top_frac <= 0.2) & (dup_frac <= 0.5)).alias("passes"),
-        )
+    return base.withColumn("_top", top_bg).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        top_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_token_frac"),
+        ((top_frac <= 0.2) & (dup_frac <= 0.5)).alias("passes"),
     )
 
 
@@ -2021,11 +2154,14 @@ def tp13_curation_funnel_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one data-sized shuffle per stage — the fingerprint groupBy
     (exact), the banded bucket self-join (LSH candidates; bucket-bounded,
-    never all-pairs), the iterative min-label CC on the edge-touched
-    subgraph only (operators/graph.py pointer doubling), and the
+    never all-pairs), large-star/small-star CC (engine="star": O(log² n)
+    edge-local rounds with no label table — on this funnel's inflated
+    ~sf1 duplicate graph the min-label engine's per-round label
+    materializations dominated the whole query, see SCALING.md), and the
     per-source cap window (partitions by source). Quality and token
     stages are map-side. The DuckDB twin replays every rung including
-    the recursive-CTE closure — the funnel is hash-checked end to end.
+    the recursive-CTE closure — the funnel is hash-checked end to end
+    (both CC engines produce the identical min-id labeling).
     """
     from .functions.text import gopher_quality_filter_expr, word_stats_exprs
     from .operators.dedup import exact_dedup, minhash_lsh_pairs
@@ -2037,7 +2173,9 @@ def tp13_curation_funnel_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         surv, "text", "doc_id", num_hashes=16, bands=4,
         jaccard_threshold=0.5, portable=True,
     )
-    clusters = duplicate_clusters(surv, pairs.select("id_a", "id_b"), "doc_id")
+    clusters = duplicate_clusters(
+        surv, pairs.select("id_a", "id_b"), "doc_id", engine="star"
+    )
     nd = surv.join(
         clusters.filter(F.col("is_canonical")).select("doc_id"), "doc_id"
     )

@@ -301,3 +301,48 @@ def test_chunking_boundary_semantics(spark):
         for r in norm.select("doc_id", nc.alias("nc")).collect()
     }
     assert counts == {0: 1, 1: 1, 2: 1, 3: 2, 4: 2, 5: 3}
+
+
+def test_dup_spans_maximal_island_merge(spark):
+    """x1_dup_spans_maximal's gaps-and-islands semantics: (a) a 9-token
+    run shared by two docs = two overlapping duplicated 8-grams that
+    must merge into ONE maximal span (start 1, 9 tokens, 2 grams);
+    (b) two disjoint shared 8-token runs in the same doc stay two
+    islands; (c) a doc with no cross-doc 8-gram emits nothing."""
+    import tempfile
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.queries_catalog_pipeline import (
+        x1_dup_spans_maximal,
+    )
+
+    run9 = " ".join(f"s{i}" for i in range(9))          # 9 shared tokens
+    runa = " ".join(f"a{i}" for i in range(8))           # 8 shared tokens
+    runb = " ".join(f"b{i}" for i in range(8))
+    rows = [
+        (1, run9 + " u1 u2 u3 u4 u5 u6 u7 u8"),          # 9-run + unique tail
+        (2, run9 + " v1 v2 v3 v4 v5 v6 v7 v8"),
+        (3, runa + " x1 x2 x3 x4 x5 x6 x7 x8 " + runb),  # two disjoint runs
+        (4, runa + " y1 y2 y3 y4 y5 y6 y7 y8 " + runb),
+        (5, "z0 z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11"),    # no shared gram
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {
+            (r["doc_id"], r["start_tok"]): r
+            for r in x1_dup_spans_maximal(spark, d).collect()
+        }
+    # (a) merged maximal span, not two 8-token spans
+    for doc in (1, 2):
+        r = out[(doc, 1)]
+        assert (r["n_tokens"], r["n_grams"]) == (9, 2)
+    assert out[(1, 1)]["span_fp"] == out[(2, 1)]["span_fp"]
+    # (b) disjoint islands stay separate: starts 1 and 17, 8 tokens each
+    for doc in (3, 4):
+        assert (out[(doc, 1)]["n_tokens"], out[(doc, 1)]["n_grams"]) == (8, 1)
+        assert (out[(doc, 17)]["n_tokens"], out[(doc, 17)]["n_grams"]) == (8, 1)
+    assert out[(3, 17)]["span_fp"] == out[(4, 17)]["span_fp"]
+    assert out[(3, 1)]["span_fp"] != out[(3, 17)]["span_fp"]
+    # (c) doc 5 absent
+    assert not any(k[0] == 5 for k in out)
+    assert len(out) == 6

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_lorettoscarpa_1asfb2jf21_spark.operators.dedup import (
@@ -44,6 +45,17 @@ def test_surrogate_dense_deterministic(spark):
     assert out1 == out2 == {"a": 1, "b": 2, "c": 3}
     out3 = with_surrogate_key(df, "id", ["name"], offset=10).collect()
     assert sorted(r["id"] for r in out3) == [11, 12, 13]
+
+
+def test_surrogate_dense_refuses_fact_sized_input(spark):
+    # dense = unpartitioned window = single-task global sort: dimension
+    # builds only. The guard must refuse anything above dense_max_rows.
+    big = spark.range(0, 50).selectExpr("CAST(id AS STRING) AS name")
+    with pytest.raises(ValueError, match="dense_max_rows"):
+        with_surrogate_key(big, "id", ["name"], dense_max_rows=10)
+    # sparse has no such bound (fully parallel, non-dense)
+    out = with_surrogate_key(big, "id", ["name"], strategy="sparse").collect()
+    assert len({r["id"] for r in out}) == 50
 
 
 DOCS = [
