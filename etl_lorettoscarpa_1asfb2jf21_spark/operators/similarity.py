@@ -904,6 +904,180 @@ def quantized_kmeans_cells(
     return cents, assign(cents)
 
 
+# ======================================================================
+# Build-once / serve-many: explicit index artifacts
+# ======================================================================
+# A deployment builds an ANN index ONCE (train + encode — the expensive
+# corpus passes) and answers MANY query batches against the materialized
+# artifact, paying only the search term per batch. The one-shot
+# *_topk_quantized / bq / ivfbq pipelines are composed EXACTLY from these
+# build_*/search_* halves, so served results are bit-identical to the
+# oracle-checked monolithic form. An index is a dict of plain DataFrames
+# keyed by small stable names; save_ann_index/load_ann_index round-trip
+# it through parquet. tools/vector_probe.py measures the build/serve
+# split and the batch-count crossover vs the exact scan (SCALING.md).
+
+
+def _rerank_exact(
+    short: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+) -> DataFrame:
+    """Shared exact re-rank tail of every index family: fold-exact double
+    cosine on the ORIGINAL float vectors over the per-query shortlist,
+    ties toward the lower corpus id. The window is bounded (≤ shortlist
+    rows per query), never corpus-sized."""
+    sim = (
+        short.join(F.broadcast(queries), query_id)
+        .join(corpus, corpus_id)
+        .withColumn("sim", cosine_similarity_expr(query_vec, corpus_vec))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "sim", "rank")
+    )
+
+
+def _to_subs(
+    df: DataFrame, id_cs: list[str], arr: str, n_subspaces: int, sub_dim: int
+) -> DataFrame:
+    """Long-form per-subspace view of a quantized vector column: one row
+    per (ids, _sub) with the sub_dim-wide slice as _sv. Slices must read
+    an ALREADY-QUANTIZED column — referencing quantize_expr once per
+    subspace slice inlines n_subspaces copies of the interpreted
+    transform into the plan (measured 78 s just to build the long form
+    at 200k x 128-d; ~8 s via this projection boundary). Id columns ride
+    through as-is (any name/type — no key packing: string-packing would
+    NULL-cast non-integer ids and silently drop rows)."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("_sub"),
+                F.slice(F.col(arr), s * sub_dim + 1, sub_dim).alias("_sv"),
+            )
+            for s in range(n_subspaces)
+        ]
+    )
+    return df.select(*id_cs, F.explode(entries).alias("_e")).select(
+        *id_cs, F.col("_e._sub").alias("_sub"), F.col("_e._sv").alias("_sv")
+    )
+
+
+def save_ann_index(index: dict, path: str) -> None:
+    """Materialize every index artifact frame as parquet under
+    ``path/<name>`` — the build-once half of a served deployment. Plain
+    DataFrame writes: on a cluster this is the same parquet sink as any
+    table (overwrite mode), partitioned however the build plan left it."""
+    import os
+
+    for name, df in index.items():
+        df.write.mode("overwrite").parquet(os.path.join(path, name))
+
+
+def load_ann_index(spark, path: str) -> dict:
+    """Load an index saved by save_ann_index: every subdirectory becomes
+    one artifact frame. Local-path directory listing — a cluster
+    deployment would list via its filesystem client or pass explicit
+    names; the artifact names are the contract either way."""
+    import os
+
+    return {
+        name: spark.read.parquet(os.path.join(path, name))
+        for name in sorted(os.listdir(path))
+        if os.path.isdir(os.path.join(path, name))
+    }
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 3,
+    scale: int = 10**6,
+    corpus_id: str = "c_id",
+    corpus_vec: str = "c_vec",
+    use_arrow: bool = True,
+) -> dict:
+    """Train + encode the IVFFlat index (see ivf_topk_quantized): the
+    integer-exact coarse quantizer plus the cell-assigned quantized
+    vector store. Artifacts: ``centroids`` (_cell, _cvec — n_centroids
+    rows) and ``store`` (corpus_id, _cqv, _cell — one row per corpus
+    vector; the 'flat' part of IVFFlat, scanned per probed cell)."""
+    cents, final_assign = quantized_kmeans_cells(
+        corpus, corpus_id, corpus_vec, n_centroids, n_iter, scale, use_arrow
+    )
+    store = corpus.select(
+        F.col(corpus_id), quantize_expr(corpus_vec, scale).alias("_cqv")
+    ).join(final_assign, corpus_id)
+    return {"centroids": cents, "store": store}
+
+
+def search_ivf_index(
+    queries: DataFrame,
+    corpus: DataFrame,
+    index: dict,
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 50,
+    scale: int = 10**6,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    corpus_id: str = "c_id",
+    corpus_vec: str = "c_vec",
+    use_arrow: bool = True,
+) -> DataFrame:
+    """IVFFlat search against a built/loaded index: probe the nprobe
+    nearest cells, exact-int64 scan of the probed cells' stored vectors,
+    shortlist, exact cosine re-rank on ``corpus`` (the float vectors the
+    index references by id). Per batch this reads ~nprobe/n_centroids of
+    the store and never touches the training path."""
+    cents = index["centroids"]
+    qq = queries.select(
+        F.col(query_id), quantize_expr(query_vec, scale).alias("_qv")
+    )
+    probes = (
+        qq.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(query_id),
+            F.col("_cell"),
+            _int_sqdist_expr("_qv", "_cvec").alias("_d"),
+            F.col("_qv"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(query_id).orderBy("_d", "_cell")
+            ),
+        )
+        .filter(F.col("_rn") <= nprobe)
+        .select(query_id, "_cell", "_qv")
+    )
+    cand = probes.join(index["store"], "_cell")
+    if use_arrow:
+        from ..functions.vectors import int_sqdist_pair_batch_udf
+
+        d2 = int_sqdist_pair_batch_udf()(F.col("_qv"), F.col("_cqv"))
+    else:
+        d2 = _int_sqdist_expr("_qv", "_cqv")
+    # two-phase per-query head over the probed-cell candidates
+    # (nprobe/n_centroids of the corpus per query — still data-sized)
+    short = per_key_topn(
+        cand.select(query_id, corpus_id, d2.alias("_d2")),
+        [query_id],
+        [F.col("_d2"), F.col(corpus_id)],
+        max(k, shortlist),
+    ).select(query_id, corpus_id)
+    return _rerank_exact(
+        short, queries, corpus, k, query_id, query_vec, corpus_id, corpus_vec
+    )
+
+
 def ivf_topk_quantized(
     queries: DataFrame,
     corpus: DataFrame,
@@ -952,56 +1126,12 @@ def ivf_topk_quantized(
     nprobe/n_centroids of the corpus per query; the cosine stage is
     bounded by shortlist·|queries| rows.
     """
-    cents, final_assign = quantized_kmeans_cells(
-        corpus, corpus_id, corpus_vec, n_centroids, n_iter, scale, use_arrow
+    index = build_ivf_index(
+        corpus, n_centroids, n_iter, scale, corpus_id, corpus_vec, use_arrow
     )
-
-    qq = queries.select(F.col(query_id), quantize_expr(query_vec, scale).alias("_qv"))
-    probes = (
-        qq.crossJoin(F.broadcast(cents))
-        .select(
-            F.col(query_id),
-            F.col("_cell"),
-            _int_sqdist_expr("_qv", "_cvec").alias("_d"),
-            F.col("_qv"),
-        )
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy(query_id).orderBy("_d", "_cell")
-            ),
-        )
-        .filter(F.col("_rn") <= nprobe)
-        .select(query_id, "_cell", "_qv")
-    )
-    corpq = corpus.select(
-        F.col(corpus_id), quantize_expr(corpus_vec, scale).alias("_cqv")
-    ).join(final_assign, corpus_id)
-    cand = probes.join(corpq, "_cell")
-    if use_arrow:
-        from ..functions.vectors import int_sqdist_pair_batch_udf
-
-        d2 = int_sqdist_pair_batch_udf()(F.col("_qv"), F.col("_cqv"))
-    else:
-        d2 = _int_sqdist_expr("_qv", "_cqv")
-    # two-phase per-query head over the probed-cell candidates
-    # (nprobe/n_centroids of the corpus per query — still data-sized)
-    short = per_key_topn(
-        cand.select(query_id, corpus_id, d2.alias("_d2")),
-        [query_id],
-        [F.col("_d2"), F.col(corpus_id)],
-        max(k, shortlist),
-    ).select(query_id, corpus_id)
-    sim = (
-        short.join(F.broadcast(queries), query_id)
-        .join(corpus, corpus_id)
-        .withColumn("sim", cosine_similarity_expr(query_vec, corpus_vec))
-    )
-    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id))
-    return (
-        sim.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, corpus_id, "sim", "rank")
+    return search_ivf_index(
+        queries, corpus, index, k, nprobe, shortlist, scale,
+        query_id, query_vec, corpus_id, corpus_vec, use_arrow,
     )
 
 
@@ -1075,83 +1205,35 @@ def semantic_dedup_quantized(
     )
 
 
-def pq_topk_quantized(
-    queries: DataFrame,
+def build_pq_index(
     corpus: DataFrame,
-    k: int = 10,
     n_subspaces: int = 8,
     n_codes: int = 16,
     n_iter: int = 3,
-    shortlist: int | None = None,
     scale: int = 10**6,
     dim: int = 64,
-    query_id: str = "q_id",
-    query_vec: str = "q_vec",
     corpus_id: str = "c_id",
     corpus_vec: str = "c_vec",
     use_arrow: bool = True,
-) -> DataFrame:
-    """PQ/ADC top-k with DISTRIBUTED fixed-point per-subspace codebooks —
-    the oracle-checkable sibling of pq_topk. Each subspace's codebook is
-    the exact integer Lloyd recurrence (same construction as
-    quantized_kmeans_cells, keyed by subspace); encoding is the packed
-    integer argmin; the ADC distance is an exact int64 sum of per-subspace
-    code distances; the shortlist re-rank is the fold-exact double cosine
-    on the ORIGINAL vectors. Every stage reproduces bit-identically in SQL
-    (see _pqq_oracle_sql).
-
-    Scale: codebooks are n_subspaces·n_codes rows (broadcast); training
-    touches the corpus long-form (|corpus|·n_subspaces rows) per
-    iteration with one broadcast-join + one hash-aggregate; ADC scan is
-    one broadcast join of the per-query lookup table against the code
-    table — the corpus vectors themselves are only read again for the
-    shortlist re-rank.
-
-    ``use_arrow=True`` (default) runs each corpus-encode pass through the
-    EXACT-INTEGER Arrow kernel (functions.vectors.pq_codes_int_batch_udf)
-    — pure int64 matmul per subspace with the same tie-break packing, so
-    codes and every oracle hash are bit-identical to the expression path
-    (equality-tested); replaces n_subspaces·n_codes interpreted folds per
-    row with dense matmuls per record batch. Only the
-    n_subspaces·n_codes-row codebook is ever collected.
-
-    ``shortlist=None`` (default) derives the re-rank depth from the corpus
-    (derived_shortlist: max(1000, ceil(n/200))) — the ADC ordering is
-    lossy, so a fixed depth that works at 200k starves at 2M (measured
-    recall@10 0.35 at shortlist 500); the derived depth restores recall
-    while the exact re-rank stays |queries|·n/200 rows.
-    """
-    if shortlist is None:
-        shortlist = derived_shortlist(corpus.count())
+) -> dict:
+    """Train + encode the flat-PQ index (see pq_topk_quantized): exact
+    integer per-subspace Lloyd codebooks, then every corpus vector
+    encoded to n_subspaces small codes. Artifacts: ``codebook`` (_sub,
+    _cell, _cv — n_subspaces·n_codes rows, broadcast at search time) and
+    ``codes`` (corpus_id, _sub, _cell — the 8-byte-per-vector scan table
+    that replaces the float corpus in the ADC stage)."""
     sub_dim = dim // n_subspaces
 
     from ..functions.vectors import _assert_packed_argmin_safe
 
     _assert_packed_argmin_safe(scale, scale, dim, n_codes)
 
-    def to_subs(dfq: DataFrame, id_c: str) -> DataFrame:
-        # slices read the ALREADY-QUANTIZED "_qv" column: quantize_expr is
-        # an interpreted higher-order transform, and referencing it once
-        # per subspace slice inlines n_subspaces copies into the plan —
-        # 16x the interpreted work per row (measured 78 s just to build
-        # `subs` at 200k x 128-d; ~8 s via this projection boundary).
-        entries = F.array(
-            *[
-                F.struct(
-                    F.lit(s).alias("_sub"),
-                    F.slice(F.col("_qv"), s * sub_dim + 1, sub_dim).alias("_sv"),
-                )
-                for s in range(n_subspaces)
-            ]
-        )
-        return dfq.select(F.col(id_c), F.explode(entries).alias("_e")).select(
-            F.col(id_c), F.col("_e._sub").alias("_sub"), F.col("_e._sv").alias("_sv")
-        )
-
     corpq = corpus.select(
         F.col(corpus_id), quantize_expr(corpus_vec, scale).alias("_qv")
     ).localCheckpoint(eager=False)
-    subs = to_subs(corpq, corpus_id).localCheckpoint(eager=False)
+    subs = _to_subs(corpq, [corpus_id], "_qv", n_subspaces, sub_dim).localCheckpoint(
+        eager=False
+    )
 
     w_init = Window.partitionBy("_sub").orderBy(corpus_id)
     cents = (
@@ -1240,13 +1322,40 @@ def pq_topk_quantized(
             .localCheckpoint(eager=False)
         )
 
-    codes = assign(cents)
+    return {"codebook": cents, "codes": assign(cents)}
 
-    qsubs = to_subs(
+
+def search_pq_index(
+    queries: DataFrame,
+    corpus: DataFrame,
+    index: dict,
+    k: int = 10,
+    n_subspaces: int = 8,
+    shortlist: int | None = None,
+    scale: int = 10**6,
+    dim: int = 64,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    corpus_id: str = "c_id",
+    corpus_vec: str = "c_vec",
+) -> DataFrame:
+    """Flat-PQ/ADC search against a built/loaded index: per-query lookup
+    table from the broadcast codebook, exact int64 ADC sums over the
+    code table (the full-corpus scan — 32× smaller rows than floats),
+    shortlist, exact cosine re-rank on ``corpus``. ``shortlist=None``
+    derives the depth from the corpus (derived_shortlist)."""
+    if shortlist is None:
+        shortlist = derived_shortlist(corpus.count())
+    sub_dim = dim // n_subspaces
+    cents = index["codebook"]
+    qsubs = _to_subs(
         queries.select(
             F.col(query_id), quantize_expr(query_vec, scale).alias("_qv")
         ),
-        query_id,
+        [query_id],
+        "_qv",
+        n_subspaces,
+        sub_dim,
     )
     adc = qsubs.join(F.broadcast(cents), "_sub").select(
         F.col(query_id),
@@ -1255,7 +1364,7 @@ def pq_topk_quantized(
         _int_sqdist_expr("_sv", "_cv").alias("_d"),
     )
     approxd = (
-        codes.join(F.broadcast(adc), ["_sub", "_cell"])
+        index["codes"].join(F.broadcast(adc), ["_sub", "_cell"])
         .groupBy(query_id, corpus_id)
         .agg(F.sum("_d").alias("_ad"))
     )
@@ -1264,16 +1373,64 @@ def pq_topk_quantized(
     short = per_key_topn(
         approxd, [query_id], [F.col("_ad"), F.col(corpus_id)], shortlist
     ).select(query_id, corpus_id)
-    sim = (
-        short.join(F.broadcast(queries), query_id)
-        .join(corpus, corpus_id)
-        .withColumn("sim", cosine_similarity_expr(query_vec, corpus_vec))
+    return _rerank_exact(
+        short, queries, corpus, k, query_id, query_vec, corpus_id, corpus_vec
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id))
-    return (
-        sim.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, corpus_id, "sim", "rank")
+
+
+def pq_topk_quantized(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    n_iter: int = 3,
+    shortlist: int | None = None,
+    scale: int = 10**6,
+    dim: int = 64,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    corpus_id: str = "c_id",
+    corpus_vec: str = "c_vec",
+    use_arrow: bool = True,
+) -> DataFrame:
+    """PQ/ADC top-k with DISTRIBUTED fixed-point per-subspace codebooks —
+    the oracle-checkable sibling of pq_topk. Each subspace's codebook is
+    the exact integer Lloyd recurrence (same construction as
+    quantized_kmeans_cells, keyed by subspace); encoding is the packed
+    integer argmin; the ADC distance is an exact int64 sum of per-subspace
+    code distances; the shortlist re-rank is the fold-exact double cosine
+    on the ORIGINAL vectors. Every stage reproduces bit-identically in SQL
+    (see _pqq_oracle_sql).
+
+    Scale: codebooks are n_subspaces·n_codes rows (broadcast); training
+    touches the corpus long-form (|corpus|·n_subspaces rows) per
+    iteration with one broadcast-join + one hash-aggregate; ADC scan is
+    one broadcast join of the per-query lookup table against the code
+    table — the corpus vectors themselves are only read again for the
+    shortlist re-rank.
+
+    ``use_arrow=True`` (default) runs each corpus-encode pass through the
+    EXACT-INTEGER Arrow kernel (functions.vectors.pq_codes_int_batch_udf)
+    — pure int64 matmul per subspace with the same tie-break packing, so
+    codes and every oracle hash are bit-identical to the expression path
+    (equality-tested); replaces n_subspaces·n_codes interpreted folds per
+    row with dense matmuls per record batch. Only the
+    n_subspaces·n_codes-row codebook is ever collected.
+
+    ``shortlist=None`` (default) derives the re-rank depth from the corpus
+    (derived_shortlist: max(1000, ceil(n/200))) — the ADC ordering is
+    lossy, so a fixed depth that works at 200k starves at 2M (measured
+    recall@10 0.35 at shortlist 500); the derived depth restores recall
+    while the exact re-rank stays |queries|·n/200 rows.
+    """
+    index = build_pq_index(
+        corpus, n_subspaces, n_codes, n_iter, scale, dim,
+        corpus_id, corpus_vec, use_arrow,
+    )
+    return search_pq_index(
+        queries, corpus, index, k, n_subspaces, shortlist, scale, dim,
+        query_id, query_vec, corpus_id, corpus_vec,
     )
 
 
@@ -1371,52 +1528,26 @@ def semantic_dedup_incremental_quantized(
     )
 
 
-def ivfpq_topk_quantized(
-    queries: DataFrame,
+def build_ivfpq_index(
     corpus: DataFrame,
-    k: int = 10,
     n_centroids: int = 8,
-    nprobe: int = 4,
     n_subspaces: int = 8,
     n_codes: int = 16,
     n_iter: int = 3,
-    shortlist: int | None = None,
     scale: int = 10**6,
     dim: int = 64,
-    query_id: str = "q_id",
-    query_vec: str = "q_vec",
     corpus_id: str = "c_id",
     corpus_vec: str = "c_vec",
     use_arrow: bool = True,
-) -> DataFrame:
-    """IVF-PQ / IVFADC (Jégou et al. 2011) — the canonical billion-vector
-    index, composed here entirely in EXACT fixed-point arithmetic so the
-    whole pipeline is oracle-checkable: a coarse quantizer
-    (quantized_kmeans_cells) partitions the corpus into cells, each
-    vector's RESIDUAL against its cell centroid is product-quantized
-    with per-subspace integer Lloyd codebooks, and a query probes its
-    ``nprobe`` nearest cells, builds a per-(query, cell) residual ADC
-    lookup table, scans only the probed cells' 8-byte codes with exact
-    int64 ADC sums, and re-ranks a ``shortlist`` with the fold-exact
-    double cosine on the ORIGINAL vectors.
-
-    Why residuals: within a cell, vectors share the centroid's coarse
-    position, so quantizing (v - centroid) spends the codebook's
-    resolution on the locally-varying part — the standard reason IVFADC
-    beats flat PQ at equal code size. Why this composes at 100 TB: the
-    coarse index bounds the ADC scan to nprobe/n_centroids of the
-    corpus, codes are 32× smaller than vectors (memory residency), and
-    every stage is a map pass or a cell-hash join; the corpus is never
-    collected.
-
-    ``shortlist=None`` (default) derives the re-rank depth from the
-    corpus (derived_shortlist) — see pq_topk_quantized; the round-5
-    probe measured recall@10 0.47 at 2M with a fixed 500 while the same
-    coarse index under IVF's near-exact ordering scored 1.00, so the
-    depth, not nprobe, is the binding constraint.
-    """
-    if shortlist is None:
-        shortlist = derived_shortlist(corpus.count())
+) -> dict:
+    """Train + encode the IVFADC index (see ivfpq_topk_quantized): the
+    coarse quantizer, the residual PQ codebooks, and every vector's
+    residual codes TAGGED with its coarse cell. Artifacts: ``centroids``
+    (_cell, _cvec), ``codebook`` (_sub, _cell, _cv — residual-space),
+    ``codes`` (corpus_id, _cell, _sub, _code). The cell tag is folded
+    into the code table at build time — searches filter probed cells
+    straight off the codes; re-joining a separate assignment table per
+    batch was a measured 39 s-per-search cliff at 200k."""
     sub_dim = dim // n_subspaces
 
     # fail fast on the theoretical packing bound (residual components are
@@ -1450,23 +1581,10 @@ def ivfpq_topk_quantized(
     )
 
     # 3. per-subspace codebooks trained on the residuals (same integer
-    #    Lloyd construction as pq_topk_quantized, keyed by subspace)
-    def to_subs(df: DataFrame, id_cs: list[str], arr: str) -> DataFrame:
-        # id columns ride through as-is (any name/type — no key packing)
-        entries = F.array(
-            *[
-                F.struct(
-                    F.lit(s).alias("_sub"),
-                    F.slice(F.col(arr), s * sub_dim + 1, sub_dim).alias("_sv"),
-                )
-                for s in range(n_subspaces)
-            ]
-        )
-        return df.select(*id_cs, F.explode(entries).alias("_e")).select(
-            *id_cs, F.col("_e._sub").alias("_sub"), F.col("_e._sv").alias("_sv")
-        )
-
-    subs = to_subs(res, [corpus_id], "_rv").localCheckpoint(eager=False)
+    #    Lloyd construction as build_pq_index, keyed by subspace)
+    subs = _to_subs(res, [corpus_id], "_rv", n_subspaces, sub_dim).localCheckpoint(
+        eager=False
+    )
     w_init = Window.partitionBy("_sub").orderBy(corpus_id)
     pcents = (
         subs.withColumn("_rn", F.row_number().over(w_init))
@@ -1556,9 +1674,39 @@ def ivfpq_topk_quantized(
             .localCheckpoint(eager=False)
         )
 
-    codes = assign(pcents)
+    return {
+        "centroids": cents,
+        "codebook": pcents,
+        "codes": assign(pcents).join(af, corpus_id),
+    }
 
-    # 4. query side: probe nprobe nearest coarse cells
+
+def search_ivfpq_index(
+    queries: DataFrame,
+    corpus: DataFrame,
+    index: dict,
+    k: int = 10,
+    nprobe: int = 4,
+    n_subspaces: int = 8,
+    shortlist: int | None = None,
+    scale: int = 10**6,
+    dim: int = 64,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    corpus_id: str = "c_id",
+    corpus_vec: str = "c_vec",
+) -> DataFrame:
+    """IVFADC search against a built/loaded index: probe nprobe nearest
+    coarse cells, build the per-(query, cell) residual ADC lookup table
+    from the broadcast codebook, exact-int64 ADC scan of the probed
+    cells' codes only, shortlist, exact cosine re-rank on ``corpus``.
+    ``shortlist=None`` derives the depth from the corpus."""
+    if shortlist is None:
+        shortlist = derived_shortlist(corpus.count())
+    sub_dim = dim // n_subspaces
+    cents, pcents = index["centroids"], index["codebook"]
+
+    # query side: probe nprobe nearest coarse cells
     qq = queries.select(F.col(query_id), quantize_expr(query_vec, scale).alias("_qv"))
     probes = (
         qq.crossJoin(F.broadcast(cents))
@@ -1581,13 +1729,15 @@ def ivfpq_topk_quantized(
         )
     )
 
-    # 5. per-(query, probed cell) residual ADC lookup table — the
+    # per-(query, probed cell) residual ADC lookup table — the
     # (query_id, _cell) key stays as two real columns through the
     # subspace explode, so arbitrary query_id names/types survive
     # (string-packing through concat_ws would NULL-cast non-integer ids
     # and silently drop all of that query's probes).
-    qsubs = to_subs(probes, [query_id, "_cell"], "_qrv")
-    adc = qsubs.join(F.broadcast(pcents.withColumnRenamed("_cell", "_code")), "_sub").select(
+    qsubs = _to_subs(probes, [query_id, "_cell"], "_qrv", n_subspaces, sub_dim)
+    adc = qsubs.join(
+        F.broadcast(pcents.withColumnRenamed("_cell", "_code")), "_sub"
+    ).select(
         F.col(query_id),
         F.col("_cell"),
         "_sub",
@@ -1595,9 +1745,11 @@ def ivfpq_topk_quantized(
         _int_sqdist_expr("_sv", "_cv").alias("_d"),
     )
 
-    # 6. ADC scan over probed cells only, shortlist, exact re-rank
+    # ADC scan over probed cells only, shortlist, exact re-rank — the
+    # code table carries its cell tag, so the probed-cell filter is one
+    # broadcast join against the cell-tagged codes
     approxd = (
-        codes.join(af, corpus_id)
+        index["codes"]
         .join(
             F.broadcast(adc),
             ["_cell", "_sub", "_code"],
@@ -1610,16 +1762,62 @@ def ivfpq_topk_quantized(
     short = per_key_topn(
         approxd, [query_id], [F.col("_ad"), F.col(corpus_id)], shortlist
     ).select(query_id, corpus_id)
-    sim = (
-        short.join(F.broadcast(queries), query_id)
-        .join(corpus, corpus_id)
-        .withColumn("sim", cosine_similarity_expr(query_vec, corpus_vec))
+    return _rerank_exact(
+        short, queries, corpus, k, query_id, query_vec, corpus_id, corpus_vec
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id))
-    return (
-        sim.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, corpus_id, "sim", "rank")
+
+
+def ivfpq_topk_quantized(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 4,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    n_iter: int = 3,
+    shortlist: int | None = None,
+    scale: int = 10**6,
+    dim: int = 64,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    corpus_id: str = "c_id",
+    corpus_vec: str = "c_vec",
+    use_arrow: bool = True,
+) -> DataFrame:
+    """IVF-PQ / IVFADC (Jégou et al. 2011) — the canonical billion-vector
+    index, composed here entirely in EXACT fixed-point arithmetic so the
+    whole pipeline is oracle-checkable: a coarse quantizer
+    (quantized_kmeans_cells) partitions the corpus into cells, each
+    vector's RESIDUAL against its cell centroid is product-quantized
+    with per-subspace integer Lloyd codebooks, and a query probes its
+    ``nprobe`` nearest cells, builds a per-(query, cell) residual ADC
+    lookup table, scans only the probed cells' 8-byte codes with exact
+    int64 ADC sums, and re-ranks a ``shortlist`` with the fold-exact
+    double cosine on the ORIGINAL vectors.
+
+    Why residuals: within a cell, vectors share the centroid's coarse
+    position, so quantizing (v - centroid) spends the codebook's
+    resolution on the locally-varying part — the standard reason IVFADC
+    beats flat PQ at equal code size. Why this composes at 100 TB: the
+    coarse index bounds the ADC scan to nprobe/n_centroids of the
+    corpus, codes are 32× smaller than vectors (memory residency), and
+    every stage is a map pass or a cell-hash join; the corpus is never
+    collected.
+
+    ``shortlist=None`` (default) derives the re-rank depth from the
+    corpus (derived_shortlist) — see pq_topk_quantized; the round-5
+    probe measured recall@10 0.47 at 2M with a fixed 500 while the same
+    coarse index under IVF's near-exact ordering scored 1.00, so the
+    depth, not nprobe, is the binding constraint.
+    """
+    index = build_ivfpq_index(
+        corpus, n_centroids, n_subspaces, n_codes, n_iter, scale, dim,
+        corpus_id, corpus_vec, use_arrow,
+    )
+    return search_ivfpq_index(
+        queries, corpus, index, k, nprobe, n_subspaces, shortlist, scale,
+        dim, query_id, query_vec, corpus_id, corpus_vec,
     )
 
 
@@ -1657,6 +1855,67 @@ def hamming_words_expr(a: str, b: str):
         ),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
+    )
+
+
+def build_bq_index(
+    corpus: DataFrame,
+    dim: int = 64,
+    word_bits: int = 32,
+    corpus_id: str = "c_id",
+    corpus_vec: str = "c_vec",
+) -> dict:
+    """Encode the binary-quantization index (see bq_topk): each corpus
+    vector's coordinate signs packed into dim/word_bits int64 words —
+    32× smaller than float32. One artifact: ``codes`` (corpus_id, _cw).
+    No training pass; build cost is one map over the corpus."""
+    return {
+        "codes": spread(
+            corpus.select(
+                F.col(corpus_id),
+                sign_words_expr(corpus_vec, dim, word_bits).alias("_cw"),
+            )
+        )
+    }
+
+
+def search_bq_index(
+    queries: DataFrame,
+    corpus: DataFrame,
+    index: dict,
+    k: int = 10,
+    dim: int = 64,
+    shortlist: int | None = None,
+    word_bits: int = 32,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    corpus_id: str = "c_id",
+    corpus_vec: str = "c_vec",
+) -> DataFrame:
+    """BQ search against a built/loaded index: XOR/POPCNT Hamming scan of
+    the full code table (32× smaller rows than the float corpus),
+    shortlist, exact cosine re-rank on ``corpus``. ``shortlist=None``
+    derives the depth from the corpus (derived_shortlist)."""
+    if shortlist is None:
+        shortlist = derived_shortlist(corpus.count())
+    qw = F.broadcast(
+        queries.select(
+            F.col(query_id), sign_words_expr(query_vec, dim, word_bits).alias("_qw")
+        )
+    )
+    ham = index["codes"].crossJoin(qw).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        hamming_words_expr("_qw", "_cw").alias("_ham"),
+    )
+    # two-phase per-query head: the Hamming scan scores EVERY corpus row
+    # per query, so a plain per-query window is a corpus-sized
+    # single-task sort (per_key_topn docstring)
+    short = per_key_topn(
+        ham, [query_id], [F.col("_ham"), F.col(corpus_id)], max(k, shortlist)
+    ).select(query_id, corpus_id)
+    return _rerank_exact(
+        short, queries, corpus, k, query_id, query_vec, corpus_id, corpus_vec
     )
 
 
@@ -1704,39 +1963,100 @@ def bq_topk(
     the family (round-5 probe: recall@10 0.74 at 2M with a fixed 2000),
     so the corpus-scaled depth matters most here.
     """
+    index = build_bq_index(corpus, dim, word_bits, corpus_id, corpus_vec)
+    return search_bq_index(
+        queries, corpus, index, k, dim, shortlist, word_bits,
+        query_id, query_vec, corpus_id, corpus_vec,
+    )
+
+
+def build_ivfbq_index(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    n_iter: int = 3,
+    dim: int = 64,
+    word_bits: int = 32,
+    scale: int = 10**6,
+    corpus_id: str = "c_id",
+    corpus_vec: str = "c_vec",
+    use_arrow: bool = True,
+) -> dict:
+    """Train + encode the IVF-BQ index (see ivfbq_topk): integer-exact
+    coarse quantizer plus cell-tagged sign codes. Artifacts:
+    ``centroids`` (_cell, _cvec) and ``codes`` (corpus_id, _cw, _cell —
+    the per-cell Hamming scan table)."""
+    cents, af = quantized_kmeans_cells(
+        corpus, corpus_id, corpus_vec, n_centroids, n_iter, scale, use_arrow
+    )
+    cw = corpus.select(
+        F.col(corpus_id),
+        sign_words_expr(corpus_vec, dim, word_bits).alias("_cw"),
+    ).join(af, corpus_id)
+    return {"centroids": cents, "codes": cw}
+
+
+def search_ivfbq_index(
+    queries: DataFrame,
+    corpus: DataFrame,
+    index: dict,
+    k: int = 10,
+    nprobe: int = 4,
+    dim: int = 64,
+    shortlist: int | None = None,
+    word_bits: int = 32,
+    scale: int = 10**6,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    corpus_id: str = "c_id",
+    corpus_vec: str = "c_vec",
+) -> DataFrame:
+    """IVF-BQ search against a built/loaded index: probe nprobe nearest
+    cells, XOR/POPCNT Hamming scan of the probed cells' codes only,
+    shortlist, exact cosine re-rank on ``corpus``. ``shortlist=None``
+    derives the depth from the corpus."""
     if shortlist is None:
         shortlist = derived_shortlist(corpus.count())
+    cents = index["centroids"]
+    qq = queries.select(
+        F.col(query_id), quantize_expr(query_vec, scale).alias("_qv")
+    )
+    probes = (
+        qq.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(query_id),
+            F.col("_cell"),
+            _int_sqdist_expr("_qv", "_cvec").alias("_d"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(query_id).orderBy("_d", "_cell")
+            ),
+        )
+        .filter(F.col("_rn") <= nprobe)
+        .select(query_id, "_cell")
+    )
     qw = F.broadcast(
         queries.select(
-            F.col(query_id), sign_words_expr(query_vec, dim, word_bits).alias("_qw")
+            F.col(query_id),
+            sign_words_expr(query_vec, dim, word_bits).alias("_qw"),
         )
     )
-    cw = spread(
-        corpus.select(
-            F.col(corpus_id), sign_words_expr(corpus_vec, dim, word_bits).alias("_cw")
+    ham = (
+        F.broadcast(probes)
+        .join(index["codes"], "_cell")
+        .join(qw, query_id)
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            hamming_words_expr("_qw", "_cw").alias("_ham"),
         )
     )
-    ham = cw.crossJoin(qw).select(
-        F.col(query_id),
-        F.col(corpus_id),
-        hamming_words_expr("_qw", "_cw").alias("_ham"),
-    )
-    # two-phase per-query head: the Hamming scan scores EVERY corpus row
-    # per query, so a plain per-query window is a corpus-sized
-    # single-task sort (per_key_topn docstring)
     short = per_key_topn(
         ham, [query_id], [F.col("_ham"), F.col(corpus_id)], max(k, shortlist)
     ).select(query_id, corpus_id)
-    sim = (
-        short.join(F.broadcast(queries), query_id)
-        .join(corpus, corpus_id)
-        .withColumn("sim", cosine_similarity_expr(query_vec, corpus_vec))
-    )
-    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id))
-    return (
-        sim.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, corpus_id, "sim", "rank")
+    return _rerank_exact(
+        short, queries, corpus, k, query_id, query_vec, corpus_id, corpus_vec
     )
 
 
@@ -1779,61 +2099,11 @@ def ivfbq_topk(
     per_key_topn (no corpus-sized single-task sort); the exact re-rank
     touches shortlist·|queries| rows.
     """
-    if shortlist is None:
-        shortlist = derived_shortlist(corpus.count())
-    cents, af = quantized_kmeans_cells(
-        corpus, corpus_id, corpus_vec, n_centroids, n_iter, scale, use_arrow
+    index = build_ivfbq_index(
+        corpus, n_centroids, n_iter, dim, word_bits, scale,
+        corpus_id, corpus_vec, use_arrow,
     )
-    qq = queries.select(
-        F.col(query_id), quantize_expr(query_vec, scale).alias("_qv")
-    )
-    probes = (
-        qq.crossJoin(F.broadcast(cents))
-        .select(
-            F.col(query_id),
-            F.col("_cell"),
-            _int_sqdist_expr("_qv", "_cvec").alias("_d"),
-        )
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy(query_id).orderBy("_d", "_cell")
-            ),
-        )
-        .filter(F.col("_rn") <= nprobe)
-        .select(query_id, "_cell")
-    )
-    cw = corpus.select(
-        F.col(corpus_id),
-        sign_words_expr(corpus_vec, dim, word_bits).alias("_cw"),
-    ).join(af, corpus_id)
-    qw = F.broadcast(
-        queries.select(
-            F.col(query_id),
-            sign_words_expr(query_vec, dim, word_bits).alias("_qw"),
-        )
-    )
-    ham = (
-        F.broadcast(probes)
-        .join(cw, "_cell")
-        .join(qw, query_id)
-        .select(
-            F.col(query_id),
-            F.col(corpus_id),
-            hamming_words_expr("_qw", "_cw").alias("_ham"),
-        )
-    )
-    short = per_key_topn(
-        ham, [query_id], [F.col("_ham"), F.col(corpus_id)], max(k, shortlist)
-    ).select(query_id, corpus_id)
-    sim = (
-        short.join(F.broadcast(queries), query_id)
-        .join(corpus, corpus_id)
-        .withColumn("sim", cosine_similarity_expr(query_vec, corpus_vec))
-    )
-    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id))
-    return (
-        sim.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, corpus_id, "sim", "rank")
+    return search_ivfbq_index(
+        queries, corpus, index, k, nprobe, dim, shortlist, word_bits, scale,
+        query_id, query_vec, corpus_id, corpus_vec,
     )
