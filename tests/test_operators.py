@@ -1017,3 +1017,68 @@ def test_ivfbq_recall_and_determinism(spark, sf_small):
     # nprobe/n_centroids = half the corpus scanned, derived shortlist
     # >= corpus at this sf -> recall loss comes only from unprobed cells
     assert len(hits) / len(exact) >= 0.4
+
+
+def test_ann_served_equals_one_shot(spark, sf_small):
+    """Build/serve split contract: for every index family, building the
+    index, round-tripping it through parquet (save_ann_index /
+    load_ann_index) and searching the LOADED artifacts returns exactly
+    the one-shot *_topk pipeline's rows — the property that lets a
+    deployment amortize the build while keeping the oracle-checked
+    semantics."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators import similarity as s
+    from etl_lorettoscarpa_1asfb2jf21_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_small, "embeddings")
+    q = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    fams = {
+        "ivf": (
+            lambda: s.ivf_topk_quantized(q, c, k=5, n_centroids=4, nprobe=2),
+            lambda: s.build_ivf_index(c, n_centroids=4),
+            lambda ix: s.search_ivf_index(q, c, ix, k=5, nprobe=2),
+        ),
+        "pq": (
+            lambda: s.pq_topk_quantized(q, c, k=5, n_codes=8, shortlist=64),
+            lambda: s.build_pq_index(c, n_codes=8),
+            lambda ix: s.search_pq_index(q, c, ix, k=5, shortlist=64),
+        ),
+        "ivfpq": (
+            lambda: s.ivfpq_topk_quantized(
+                q, c, k=5, n_centroids=4, nprobe=2, n_codes=8, shortlist=64
+            ),
+            lambda: s.build_ivfpq_index(c, n_centroids=4, n_codes=8),
+            lambda ix: s.search_ivfpq_index(
+                q, c, ix, k=5, nprobe=2, shortlist=64
+            ),
+        ),
+        "bq": (
+            lambda: s.bq_topk(q, c, k=5, shortlist=64),
+            lambda: s.build_bq_index(c),
+            lambda ix: s.search_bq_index(q, c, ix, k=5, shortlist=64),
+        ),
+        "ivfbq": (
+            lambda: s.ivfbq_topk(
+                q, c, k=5, n_centroids=4, nprobe=2, shortlist=64
+            ),
+            lambda: s.build_ivfbq_index(c, n_centroids=4),
+            lambda ix: s.search_ivfbq_index(
+                q, c, ix, k=5, nprobe=2, shortlist=64
+            ),
+        ),
+    }
+    with tempfile.TemporaryDirectory() as d:
+        for fam, (one_shot, build, search) in fams.items():
+            expected = {
+                (r.q_id, r.c_id, r.rank) for r in one_shot().collect()
+            }
+            s.save_ann_index(build(), f"{d}/{fam}")
+            ix = s.load_ann_index(spark, f"{d}/{fam}")
+            served = {(r.q_id, r.c_id, r.rank) for r in search(ix).collect()}
+            assert served == expected, fam
