@@ -547,6 +547,23 @@ def x1_dup_spans_maximal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("ws") >= 8)
         .localCheckpoint(eager=False)
     )
+    sp = _maximal_dup_spans(w)
+    return sp.select(
+        "doc_id",
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        "span_fp",
+    )
+
+
+def _maximal_dup_spans(w: DataFrame) -> DataFrame:
+    """Shared span engine for x1_dup_spans_maximal / x1_dedup_cut_spans:
+    given (doc_id, ws token array), return the per-doc MAXIMAL duplicated
+    spans (doc_id, start_tok, n_tokens, n_grams, span_fp) — consecutive
+    cross-doc duplicated 8-gram positions merged by gaps-and-islands,
+    span_fp = md5 of the merged span text (see x1_dup_spans_maximal's
+    docstring for the scale design)."""
     pos = w.select(
         "doc_id",
         F.posexplode(
@@ -575,14 +592,147 @@ def x1_dup_spans_maximal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sp.join(w, "doc_id").select(
         "doc_id",
-        F.col("start_tok").cast("long").alias("start_tok"),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.col("n_grams").cast("long").alias("n_grams"),
+        "start_tok",
+        "n_tokens",
+        "n_grams",
         F.md5(
             F.array_join(
                 F.slice(F.col("ws"), F.col("start_tok"), F.col("n_tokens")), " "
             )
         ).alias("span_fp"),
+    )
+
+
+# =====================================================================
+# X1 — apply the maximal spans: cut duplicated text (Lee et al.'s action)
+# =====================================================================
+
+@query(
+    "x1_dedup_cut_spans",
+    f"""
+    WITH nz AS (
+      SELECT doc_id, {_NORM_SQL.format(c='text')} AS t FROM documents
+    ), w AS (
+      SELECT doc_id, regexp_split_to_array(t, '\\s+') AS ws
+      FROM nz WHERE len(t) > 0
+    ),
+    pos AS (
+      SELECT doc_id, u.i AS i,
+             md5(array_to_string(ws[CAST(u.i AS INT):CAST(u.i + 7 AS INT)],
+                                 ' ')) AS fp
+      FROM w, unnest(range(1, len(ws) - 6)) AS u(i)
+      WHERE len(ws) >= 8
+    ),
+    dup AS (
+      SELECT fp FROM pos GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT doc_id, i FROM pos JOIN dup USING (fp)),
+    isl AS (
+      SELECT doc_id, i,
+             i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM hits
+    ),
+    sp AS (
+      SELECT doc_id, MIN(i) AS start_tok, MAX(i) - MIN(i) + 8 AS n_tokens
+      FROM isl GROUP BY doc_id, grp
+    ),
+    spfp AS (
+      SELECT sp.doc_id, start_tok, n_tokens,
+             md5(array_to_string(
+               w.ws[CAST(start_tok AS INT):CAST(start_tok + n_tokens - 1
+                                                AS INT)], ' ')) AS span_fp
+      FROM sp JOIN w USING (doc_id)
+    ),
+    keep AS (
+      SELECT span_fp, MIN(doc_id) AS keeper, COUNT(*) AS n_occ
+      FROM spfp GROUP BY span_fp
+    ),
+    masked AS (
+      SELECT s.doc_id, s.start_tok, s.n_tokens
+      FROM spfp s JOIN keep k USING (span_fp)
+      WHERE k.n_occ >= 2 AND s.doc_id <> k.keeper
+    ),
+    tok AS (
+      SELECT doc_id, u.i AS i, ws[CAST(u.i AS INT)] AS t
+      FROM w, unnest(range(1, len(ws) + 1)) AS u(i)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.i, t.t
+      FROM tok t LEFT JOIN masked m
+        ON m.doc_id = t.doc_id
+       AND t.i >= m.start_tok AND t.i < m.start_tok + m.n_tokens
+      WHERE m.doc_id IS NULL
+    ),
+    ka AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             md5(string_agg(t, ' ' ORDER BY i)) AS kept_digest
+      FROM kept GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(len(w.ws) AS BIGINT) AS n_tokens,
+           CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept,
+           (coalesce(ka.n_kept, 0) < len(w.ws)) AS is_modified,
+           coalesce(ka.kept_digest, md5('')) AS kept_digest
+    FROM w LEFT JOIN ka USING (doc_id)
+    """,
+)
+def x1_dedup_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 span-cut dedup — APPLY x1_dup_spans_maximal's spans, the
+    variable-length dedup action of Lee et al. 2021: for every distinct
+    maximal duplicated span, the lowest-doc_id occurrence survives and
+    every other occurrence's tokens are CUT from its document. Output is
+    the per-doc cut manifest: original/kept token counts, whether the
+    doc was modified, and the md5 of the kept text (so the exact cut
+    positions are hash-witnessed — an off-by-one mask changes the
+    digest).
+
+    Scale: the span pipeline is _maximal_dup_spans (see
+    x1_dup_spans_maximal); the keeper election is one span_fp-keyed
+    aggregate over the (small) span table; the mask application is
+    MAP-ONLY — each doc's masked ranges are collected to an array
+    (rows = spans, per-doc counts tiny) and the cut is a higher-order
+    filter over the doc's own token array with an exists() probe per
+    token, so the corpus token stream is never exploded or shuffled
+    (the oracle's token unnest + anti-join is the SQL mirror only).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", normalized_text_expr("text").alias("_t")).filter(
+        F.length("_t") > 0
+    )
+    w = base.select("doc_id", F.split("_t", r"\s+").alias("ws")).localCheckpoint(
+        eager=False
+    )
+    sp = _maximal_dup_spans(w.filter(F.size("ws") >= 8))
+    keep = sp.groupBy("span_fp").agg(
+        F.min("doc_id").alias("_keeper"), F.count(F.lit(1)).alias("_nocc")
+    )
+    masked = (
+        sp.join(keep, "span_fp")
+        .filter((F.col("_nocc") >= 2) & (F.col("doc_id") != F.col("_keeper")))
+        .select("doc_id", "start_tok", "n_tokens")
+    )
+    ranges = masked.groupBy("doc_id").agg(
+        F.collect_list(F.struct("start_tok", "n_tokens")).alias("_rs")
+    )
+    # positions are 0-based in the higher-order filter, spans 1-based
+    in_any_span = lambda x, i: F.exists(  # noqa: E731
+        F.col("_rs"),
+        lambda r: (i + 1 >= r["start_tok"])
+        & (i + 1 < r["start_tok"] + r["n_tokens"]),
+    )
+    kept_arr = F.when(F.col("_rs").isNull(), F.col("ws")).otherwise(
+        F.filter("ws", lambda x, i: ~in_any_span(x, i))
+    )
+    return (
+        w.join(ranges, "doc_id", "left")
+        .withColumn("_kept", kept_arr)
+        .select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_tokens"),
+            F.size("_kept").cast("long").alias("n_kept"),
+            (F.size("_kept") < F.size("ws")).alias("is_modified"),
+            F.md5(F.array_join("_kept", " ")).alias("kept_digest"),
+        )
     )
 
 

@@ -346,3 +346,44 @@ def test_dup_spans_maximal_island_merge(spark):
     # (c) doc 5 absent
     assert not any(k[0] == 5 for k in out)
     assert len(out) == 6
+
+
+def test_dedup_cut_spans_keeps_first_occurrence(spark):
+    """x1_dedup_cut_spans semantics on the island-merge fixture: the
+    lowest-doc occurrence of each maximal span survives untouched, the
+    other occurrence loses exactly the span's tokens, docs without
+    cross-doc spans are unmodified."""
+    import tempfile
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.queries_catalog_pipeline import (
+        x1_dedup_cut_spans,
+    )
+
+    run9 = " ".join(f"s{i}" for i in range(9))
+    runa = " ".join(f"a{i}" for i in range(8))
+    runb = " ".join(f"b{i}" for i in range(8))
+    rows = [
+        (1, run9 + " u1 u2 u3 u4 u5 u6 u7 u8"),
+        (2, run9 + " v1 v2 v3 v4 v5 v6 v7 v8"),
+        (3, runa + " x1 x2 x3 x4 x5 x6 x7 x8 " + runb),
+        (4, runa + " y1 y2 y3 y4 y5 y6 y7 y8 " + runb),
+        (5, "z0 z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {r["doc_id"]: r for r in x1_dedup_cut_spans(spark, d).collect()}
+    # keepers and untouched docs are unmodified
+    for doc in (1, 3, 5):
+        assert not out[doc]["is_modified"]
+        assert out[doc]["n_kept"] == out[doc]["n_tokens"]
+    # doc 2 loses the 9-token run, keeps its 8-token tail
+    assert (out[2]["n_tokens"], out[2]["n_kept"]) == (17, 8)
+    assert out[2]["is_modified"]
+    # doc 4 loses both 8-token runs, keeps the 8 middle tokens
+    assert (out[4]["n_tokens"], out[4]["n_kept"]) == (24, 8)
+    import hashlib
+
+    assert out[4]["kept_digest"] == hashlib.md5(
+        " ".join(f"y{i}" for i in range(1, 9)).encode()
+    ).hexdigest()

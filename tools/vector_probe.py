@@ -329,6 +329,39 @@ def main() -> None:
             )
         lines.append("")
 
+    # batch-width evidence at 2M: exact scales ~linearly in queries, the
+    # index search sub-linearly (corpus-side scan dominates) — the trend
+    # that decides serving economics at any real query volume
+    wide = {}
+    for name, fn in (
+        ("exact", lambda q: sim.brute_force_topk(q, cb, k=K, use_arrow=True)),
+        (
+            "ivfbq",
+            lambda q: sim.search_ivfbq_index(
+                q, cb,
+                sim.load_ann_index(spark, os.path.join(IDX_ROOT, "ivfbq_2M")),
+                k=K, nprobe=16, dim=dim,
+                shortlist=sim.derived_shortlist(n_big),
+            ),
+        ),
+    ):
+        from pyspark.sql import functions as Fx
+
+        eb = spark.read.parquet(os.path.join(big, "embeddings.parquet"))
+        q64 = (
+            eb.filter((Fx.col("vec_id") >= 1000) & (Fx.col("vec_id") < 1064))
+            .select(
+                Fx.col("vec_id").alias("q_id"),
+                Fx.col("embedding").alias("q_vec"),
+            )
+            .localCheckpoint()
+        )
+        fn(q64).collect()  # warm the width-64 plan
+        t0 = time.perf_counter()
+        fn(q64).collect()
+        wide[name] = time.perf_counter() - t0
+        print(f"[2M] width-64 {name}: {wide[name]:.1f}s")
+
     ex2 = served[("2M", "exact")]["search"]
     winners = sorted(
         (
@@ -365,10 +398,15 @@ def main() -> None:
         "serving-grade configuration (6.25% scan). Both the corpus-size",
         "and batch-width trends favor the indexes: the scan term grows",
         "with the corpus while the per-batch floor amortizes across",
-        "queries — at 100 TB the crossovers shrink, not grow. A",
-        "cell-partitioned store (partitionBy _cell) was measured and",
-        "does NOT help at this size: the cost is the distance kernel +",
-        "per-query head, not parquet I/O.",
+        "queries — at 100 TB the crossovers shrink, not grow. Batch-width",
+        f"measured at 2M (64-query batch, warm): exact {wide['exact']:.1f} s"
+        f" vs ivfbq {wide['ivfbq']:.1f} s — "
+        f"{wide['exact'] / wide['ivfbq']:.1f}× at 8× the width, because",
+        "exact pays 8× the cosine work while the index's corpus-side scan",
+        "is shared across the batch. A cell-partitioned store",
+        "(partitionBy _cell) was measured and does NOT help at this size:",
+        "the cost is the distance kernel + per-query head, not parquet",
+        "I/O.",
     ]
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
