@@ -27,14 +27,16 @@ import threading
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Guards the session-global constraintPropagation toggle below: catalog
+# Guards the session-scoped constraintPropagation toggle below: catalog
 # pipelines run queries concurrently (ThreadPoolExecutor in per-round
 # tooling), and an unguarded save/restore pair can race — one caller
 # "saving" the other's temporary false and restoring it permanently.
-# Refcounted: the conf flips on first entry and back on last exit.
+# Refcounted PER SESSION (keyed by the SparkSession identity): two
+# interleaving sessions each get their own depth/saved-value, so the
+# second session's first entrant still disables ITS conf and the last
+# exiter of each session restores that session's own saved value.
 _CP_LOCK = threading.Lock()
-_CP_DEPTH = 0
-_CP_SAVED: str | None = None
+_CP_STATE: dict[int, list] = {}  # id(spark) -> [depth, saved_value]
 
 
 class _constraint_propagation_off:
@@ -49,20 +51,23 @@ class _constraint_propagation_off:
         self._key = "spark.sql.constraintPropagation.enabled"
 
     def __enter__(self):
-        global _CP_DEPTH, _CP_SAVED
         with _CP_LOCK:
-            if _CP_DEPTH == 0:
-                _CP_SAVED = self._spark.conf.get(self._key, "true")
+            state = _CP_STATE.get(id(self._spark))
+            if state is None:
+                saved = self._spark.conf.get(self._key, "true")
                 self._spark.conf.set(self._key, "false")
-            _CP_DEPTH += 1
+                _CP_STATE[id(self._spark)] = [1, saved]
+            else:
+                state[0] += 1
         return self
 
     def __exit__(self, *exc):
-        global _CP_DEPTH
         with _CP_LOCK:
-            _CP_DEPTH -= 1
-            if _CP_DEPTH == 0:
-                self._spark.conf.set(self._key, _CP_SAVED or "true")
+            state = _CP_STATE[id(self._spark)]
+            state[0] -= 1
+            if state[0] == 0:
+                del _CP_STATE[id(self._spark)]
+                self._spark.conf.set(self._key, state[1] or "true")
         return False
 
 
@@ -217,7 +222,7 @@ def duplicate_clusters(
     id_col: str,
     pair_a: str = "id_a",
     pair_b: str = "id_b",
-    engine: str = "minlabel",
+    engine: str = "star",
 ) -> DataFrame:
     """Cluster near-duplicate pairs into groups; canonical = min id.
 
@@ -225,11 +230,14 @@ def duplicate_clusters(
     ``is_canonical`` rows — one survivor per duplicate group, singletons
     survive trivially (their cluster is themselves).
 
-    ``engine``: "minlabel" (default — shortcutted label propagation) or
-    "star" (large-star/small-star, O(log² n) rounds edge-locally — no
-    label table to join, no per-round eager label materialization;
-    faster on dense duplicate graphs). Both produce the identical
-    component = min-reachable-id labeling, so oracles are engine-blind.
+    ``engine``: "star" (default — large-star/small-star, O(log² n)
+    rounds edge-locally: no label table to join, no per-round eager
+    label materialization; measured stable 25-28 s at ~sf1 where
+    min-label swung 37-170 s under session block pressure) or
+    "minlabel" (shortcutted label propagation — kept as the alternative
+    for property tests and for graphs where its per-round cost wins).
+    Both produce the identical component = min-reachable-id labeling,
+    so oracles are engine-blind.
     """
     if engine == "minlabel":
         cc = connected_components
@@ -258,14 +266,14 @@ def connected_components_star(
     """Connected components via alternating large-star/small-star rounds
     (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond").
 
-    Same contract as :func:`connected_components`; kept as the ALTERNATIVE
-    engine for adversarial graphs — provably O(log² n) rounds regardless
-    of diameter, and every round is edge-local (two groupBy aggregations,
-    no label table to join), so per-round cost is O(|edges|) with no
-    auxiliary state. Min-label propagation (the default) is faster on the
-    tiny-clique graphs near-dup dedup actually produces; this one wins
-    when a pathological chain/expander sneaks in. Property-tested equal
-    to the default engine and to sequential union-find.
+    Same contract as :func:`connected_components`; the DEFAULT engine for
+    :func:`duplicate_clusters` since round 8 — provably O(log² n) rounds
+    regardless of diameter, and every round is edge-local (two groupBy
+    aggregations, no label table to join), so per-round cost is O(|edges|)
+    with no auxiliary state. Measured stable (25-28 s at ~sf1) where
+    min-label propagation swung 37-170 s with session state; min-label is
+    kept as the alternative engine. Property-tested equal to min-label
+    and to sequential union-find.
 
     Mechanics per Kiveris: maintain a parent pointer as an edge list
     (u, parent). large-star: for every node u, connect every STRICTLY

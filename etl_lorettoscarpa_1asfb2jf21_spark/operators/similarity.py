@@ -970,15 +970,67 @@ def _to_subs(
     )
 
 
+def _index_meta(corpus: DataFrame, family: str, **params) -> DataFrame:
+    """One-row build-parameters artifact stored alongside the index
+    frames. Carries the corpus row count (so ``shortlist=None`` searches
+    derive their re-rank depth WITHOUT a full corpus scan per served
+    batch) and every build parameter a search must agree on — a
+    mismatched ``n_subspaces``/``dim``/``scale`` would silently return
+    wrong neighbors (partial ``_sub`` join, mis-sliced query vectors),
+    so searches validate against this row and fail fast instead."""
+    spark = corpus.sparkSession
+    n = corpus.count()
+    cols = [F.lit(family).alias("family"), F.lit(n).cast("long").alias("n_corpus")]
+    for key, val in sorted(params.items()):
+        cols.append(F.lit(int(val)).cast("long").alias(key))
+    return spark.range(1).select(*cols)
+
+
+def _validate_index_meta(index: dict, family: str, **params) -> dict | None:
+    """Check the search call's parameters against the index's build-time
+    ``meta`` artifact; returns the meta row as a plain dict (memoized in
+    the index dict — the 1-row collect happens once per loaded index,
+    not once per served batch). Indexes saved before the meta artifact
+    existed return None — callers then fall back to legacy behavior."""
+    if "meta" not in index:
+        return None
+    row = index.get("_meta_cache")
+    if row is None:
+        collected = index["meta"].collect()
+        if len(collected) != 1:
+            raise ValueError(
+                f"ANN index meta artifact must be one row, got {len(collected)}"
+            )
+        row = collected[0].asDict()
+        index["_meta_cache"] = row
+    if row.get("family") != family:
+        raise ValueError(
+            f"ANN index family mismatch: index built as {row.get('family')!r}, "
+            f"searched as {family!r}"
+        )
+    for key, val in params.items():
+        built = row.get(key)
+        if built is not None and int(built) != int(val):
+            raise ValueError(
+                f"ANN index parameter mismatch on {key!r}: built with "
+                f"{built}, searched with {val} — a silent mismatch would "
+                "return wrong neighbors, so this fails fast instead"
+            )
+    return row
+
+
 def save_ann_index(index: dict, path: str) -> None:
     """Materialize every index artifact frame as parquet under
     ``path/<name>`` — the build-once half of a served deployment. Plain
     DataFrame writes: on a cluster this is the same parquet sink as any
-    table (overwrite mode), partitioned however the build plan left it."""
+    table (overwrite mode), partitioned however the build plan left it.
+    Non-DataFrame entries (the memoized ``_meta_cache`` dict) are
+    runtime-only and skipped."""
     import os
 
     for name, df in index.items():
-        df.write.mode("overwrite").parquet(os.path.join(path, name))
+        if isinstance(df, DataFrame):
+            df.write.mode("overwrite").parquet(os.path.join(path, name))
 
 
 def load_ann_index(spark, path: str) -> dict:
@@ -1015,7 +1067,8 @@ def build_ivf_index(
     store = corpus.select(
         F.col(corpus_id), quantize_expr(corpus_vec, scale).alias("_cqv")
     ).join(final_assign, corpus_id)
-    return {"centroids": cents, "store": store}
+    meta = _index_meta(corpus, "ivf", n_centroids=n_centroids, scale=scale)
+    return {"centroids": cents, "store": store, "meta": meta}
 
 
 def search_ivf_index(
@@ -1037,6 +1090,7 @@ def search_ivf_index(
     shortlist, exact cosine re-rank on ``corpus`` (the float vectors the
     index references by id). Per batch this reads ~nprobe/n_centroids of
     the store and never touches the training path."""
+    _validate_index_meta(index, "ivf", scale=scale)
     cents = index["centroids"]
     qq = queries.select(
         F.col(query_id), quantize_expr(query_vec, scale).alias("_qv")
@@ -1322,7 +1376,10 @@ def build_pq_index(
             .localCheckpoint(eager=False)
         )
 
-    return {"codebook": cents, "codes": assign(cents)}
+    meta = _index_meta(
+        corpus, "pq", n_subspaces=n_subspaces, n_codes=n_codes, scale=scale, dim=dim
+    )
+    return {"codebook": cents, "codes": assign(cents), "meta": meta}
 
 
 def search_pq_index(
@@ -1343,9 +1400,17 @@ def search_pq_index(
     table from the broadcast codebook, exact int64 ADC sums over the
     code table (the full-corpus scan — 32× smaller rows than floats),
     shortlist, exact cosine re-rank on ``corpus``. ``shortlist=None``
-    derives the depth from the corpus (derived_shortlist)."""
+    derives the depth from the index's stored corpus count (falling back
+    to a corpus scan only for pre-meta indexes); build params are
+    validated against the index meta — a silent n_subspaces/dim/scale
+    mismatch would return wrong neighbors."""
+    meta = _validate_index_meta(
+        index, "pq", n_subspaces=n_subspaces, scale=scale, dim=dim
+    )
     if shortlist is None:
-        shortlist = derived_shortlist(corpus.count())
+        shortlist = derived_shortlist(
+            meta["n_corpus"] if meta else corpus.count()
+        )
     sub_dim = dim // n_subspaces
     cents = index["codebook"]
     qsubs = _to_subs(
@@ -1678,6 +1743,10 @@ def build_ivfpq_index(
         "centroids": cents,
         "codebook": pcents,
         "codes": assign(pcents).join(af, corpus_id),
+        "meta": _index_meta(
+            corpus, "ivfpq", n_centroids=n_centroids,
+            n_subspaces=n_subspaces, n_codes=n_codes, scale=scale, dim=dim,
+        ),
     }
 
 
@@ -1700,9 +1769,16 @@ def search_ivfpq_index(
     coarse cells, build the per-(query, cell) residual ADC lookup table
     from the broadcast codebook, exact-int64 ADC scan of the probed
     cells' codes only, shortlist, exact cosine re-rank on ``corpus``.
-    ``shortlist=None`` derives the depth from the corpus."""
+    ``shortlist=None`` derives the depth from the index's stored corpus
+    count (no per-batch corpus scan); n_subspaces/scale/dim are validated
+    against the index meta."""
+    meta = _validate_index_meta(
+        index, "ivfpq", n_subspaces=n_subspaces, scale=scale, dim=dim
+    )
     if shortlist is None:
-        shortlist = derived_shortlist(corpus.count())
+        shortlist = derived_shortlist(
+            meta["n_corpus"] if meta else corpus.count()
+        )
     sub_dim = dim // n_subspaces
     cents, pcents = index["centroids"], index["codebook"]
 
@@ -1875,7 +1951,8 @@ def build_bq_index(
                 F.col(corpus_id),
                 sign_words_expr(corpus_vec, dim, word_bits).alias("_cw"),
             )
-        )
+        ),
+        "meta": _index_meta(corpus, "bq", dim=dim, word_bits=word_bits),
     }
 
 
@@ -1895,9 +1972,13 @@ def search_bq_index(
     """BQ search against a built/loaded index: XOR/POPCNT Hamming scan of
     the full code table (32× smaller rows than the float corpus),
     shortlist, exact cosine re-rank on ``corpus``. ``shortlist=None``
-    derives the depth from the corpus (derived_shortlist)."""
+    derives the depth from the index's stored corpus count (no per-batch
+    corpus scan); dim/word_bits are validated against the index meta."""
+    meta = _validate_index_meta(index, "bq", dim=dim, word_bits=word_bits)
     if shortlist is None:
-        shortlist = derived_shortlist(corpus.count())
+        shortlist = derived_shortlist(
+            meta["n_corpus"] if meta else corpus.count()
+        )
     qw = F.broadcast(
         queries.select(
             F.col(query_id), sign_words_expr(query_vec, dim, word_bits).alias("_qw")
@@ -1992,7 +2073,11 @@ def build_ivfbq_index(
         F.col(corpus_id),
         sign_words_expr(corpus_vec, dim, word_bits).alias("_cw"),
     ).join(af, corpus_id)
-    return {"centroids": cents, "codes": cw}
+    meta = _index_meta(
+        corpus, "ivfbq", n_centroids=n_centroids, dim=dim,
+        word_bits=word_bits, scale=scale,
+    )
+    return {"centroids": cents, "codes": cw, "meta": meta}
 
 
 def search_ivfbq_index(
@@ -2013,9 +2098,15 @@ def search_ivfbq_index(
     """IVF-BQ search against a built/loaded index: probe nprobe nearest
     cells, XOR/POPCNT Hamming scan of the probed cells' codes only,
     shortlist, exact cosine re-rank on ``corpus``. ``shortlist=None``
-    derives the depth from the corpus."""
+    derives the depth from the index's stored corpus count (no per-batch
+    corpus scan); dim/word_bits/scale are validated against the meta."""
+    meta = _validate_index_meta(
+        index, "ivfbq", dim=dim, word_bits=word_bits, scale=scale
+    )
     if shortlist is None:
-        shortlist = derived_shortlist(corpus.count())
+        shortlist = derived_shortlist(
+            meta["n_corpus"] if meta else corpus.count()
+        )
     cents = index["centroids"]
     qq = queries.select(
         F.col(query_id), quantize_expr(query_vec, scale).alias("_qv")

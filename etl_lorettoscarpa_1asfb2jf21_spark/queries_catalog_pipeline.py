@@ -686,6 +686,16 @@ def x1_dedup_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions are hash-witnessed — an off-by-one mask changes the
     digest).
 
+    Coverage limitation (shared with the oracle — engine and SQL agree):
+    cuts apply only where the identical maximal extent (same span_fp)
+    occurs in >= 2 docs. Cross-doc duplicated text whose maximal extents
+    differ per doc (e.g. one doc merges two overlapping shared grams
+    into one longer island, so its span_fp is unique) is left uncut in
+    EVERY doc — a same-extent approximation of Lee et al.'s cut action,
+    not full duplicated-gram-level cutting. Electing keepers at the
+    duplicated-gram level would close this at the cost of a token-level
+    (rather than span-level) keeper join.
+
     Scale: the span pipeline is _maximal_dup_spans (see
     x1_dup_spans_maximal); the keeper election is one span_fp-keyed
     aggregate over the (small) span table; the mask application is
