@@ -3065,3 +3065,48 @@ def x2_topk_ivfbq(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, corpus, k=10, n_centroids=8, nprobe=4, dim=64, shortlist=None
     ).withColumn("rank", F.col("rank").cast("long"))
     return _with_exact_rank(approx, queries, corpus)
+
+
+@query("x2_served_topk", _ivfbq_oracle_sql())
+def x2_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 build-once/serve-many round-trip, gate-visible: build the
+    IVF-BQ index, SAVE it to parquet, LOAD it back, and serve one query
+    batch against the loaded artifacts — the deployment shape the
+    one-shot x2_topk_ivfbq composes inline. Exact composition: serving
+    a loaded index is bit-identical to the one-shot pipeline (pinned in
+    tests/test_operators.py), so this reuses x2_topk_ivfbq's FULL
+    DuckDB oracle, and a hash mismatch here isolates the persistence
+    layer (save_ann_index/load_ann_index, including the round-7 meta
+    artifact: stored corpus count for the derived shortlist + build-
+    param validation) rather than the search math.
+
+    Scale: the save is a plain partitioned parquet sink (the artifacts
+    are the cell-tagged code table + n_centroids centroid rows + one
+    meta row); the serve path reads nprobe/n_centroids of the code
+    table per batch and never re-touches training.
+    """
+    import shutil
+
+    from .operators.similarity import (
+        build_ivfbq_index,
+        load_ann_index,
+        save_ann_index,
+        search_ivfbq_index,
+    )
+    from .queries_catalog import _scratch_dir
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    path = _scratch_dir("served_ivfbq")
+    shutil.rmtree(path, ignore_errors=True)
+    save_ann_index(
+        build_ivfbq_index(corpus, n_centroids=8, dim=64), path
+    )
+    served = load_ann_index(spark, path)
+    approx = search_ivfbq_index(
+        queries, corpus, served, k=10, nprobe=4, dim=64, shortlist=None
+    ).withColumn("rank", F.col("rank").cast("long"))
+    return _with_exact_rank(approx, queries, corpus)

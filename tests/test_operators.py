@@ -1082,3 +1082,48 @@ def test_ann_served_equals_one_shot(spark, sf_small):
             ix = s.load_ann_index(spark, f"{d}/{fam}")
             served = {(r.q_id, r.c_id, r.rank) for r in search(ix).collect()}
             assert served == expected, fam
+
+
+def test_ann_index_meta_validation(spark, sf_small):
+    """The index meta artifact (round 8): searches fail fast on build-
+    parameter mismatches that would silently return wrong neighbors,
+    the family tag is checked, the stored corpus count feeds the
+    derived shortlist without a per-batch corpus scan, and the meta
+    survives the parquet round-trip."""
+    import tempfile
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators import similarity as s
+    from etl_lorettoscarpa_1asfb2jf21_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_small, "embeddings")
+    q = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    n_corpus = c.count()
+
+    ix = s.build_pq_index(c, n_subspaces=8, n_codes=8)
+    meta = {r["family"]: r for r in ix["meta"].collect()}
+    assert meta["pq"]["n_corpus"] == n_corpus
+    assert meta["pq"]["n_subspaces"] == 8
+
+    # wrong n_subspaces at search time: partial _sub join -> fail fast
+    with pytest.raises(ValueError, match="n_subspaces"):
+        s.search_pq_index(q, c, ix, k=5, n_subspaces=16)
+    # wrong family: a bq search against a pq index
+    with pytest.raises(ValueError, match="family"):
+        s.search_bq_index(q, c, ix, k=5)
+    # matching params pass, shortlist=None derives from the stored count
+    assert s.search_pq_index(q, c, ix, k=5, n_subspaces=8).count() > 0
+    assert ix["_meta_cache"]["n_corpus"] == n_corpus  # memoized, no rescan
+
+    # meta round-trips through save/load and still validates
+    with tempfile.TemporaryDirectory() as d:
+        s.save_ann_index(ix, f"{d}/pq")
+        loaded = s.load_ann_index(spark, f"{d}/pq")
+        assert "meta" in loaded
+        with pytest.raises(ValueError, match="n_subspaces"):
+            s.search_pq_index(q, c, loaded, k=5, n_subspaces=4)
