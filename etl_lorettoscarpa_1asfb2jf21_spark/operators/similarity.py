@@ -1274,8 +1274,11 @@ def build_pq_index(
     integer per-subspace Lloyd codebooks, then every corpus vector
     encoded to n_subspaces small codes. Artifacts: ``codebook`` (_sub,
     _cell, _cv — n_subspaces·n_codes rows, broadcast at search time) and
-    ``codes`` (corpus_id, _sub, _cell — the 8-byte-per-vector scan table
-    that replaces the float corpus in the ADC stage)."""
+    ``codes`` (corpus_id, _codes — ONE row per vector carrying the
+    n_subspaces-code array; round 8 widened this from the long
+    (corpus_id, _sub, _cell) form so the ADC scan is a row-local LUT
+    fold instead of an n_subspaces× explode join + corpus-sized hash
+    aggregate — see search_pq_index)."""
     sub_dim = dim // n_subspaces
 
     from ..functions.vectors import _assert_packed_argmin_safe
@@ -1379,7 +1382,36 @@ def build_pq_index(
     meta = _index_meta(
         corpus, "pq", n_subspaces=n_subspaces, n_codes=n_codes, scale=scale, dim=dim
     )
-    return {"codebook": cents, "codes": assign(cents), "meta": meta}
+    # wide code table: one row per vector, array position = subspace.
+    # The Arrow kernel already emits the per-vector code array (one map
+    # pass); the expression path groups its long-form assignment once
+    # at build time — either way the SEARCH-side scan never explodes.
+    if use_arrow:
+        from ..functions.vectors import pq_codes_int_batch_udf
+
+        cb_rows = [
+            (int(r["_sub"]), int(r["_cell"]), [int(x) for x in r["_cv"]])
+            for r in cents.collect()
+        ]
+        kern = pq_codes_int_batch_udf(cb_rows, n_codes, sub_dim)
+        codes_wide = corpq.select(
+            F.col(corpus_id), kern(F.col("_qv")).alias("_codes")
+        )
+    else:
+        codes_wide = (
+            assign(cents)
+            .groupBy(corpus_id)
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("_sub", "_cell"))
+                ).alias("_ps")
+            )
+            .select(
+                F.col(corpus_id),
+                F.transform("_ps", lambda p: p["_cell"]).alias("_codes"),
+            )
+        )
+    return {"codebook": cents, "codes": codes_wide, "meta": meta}
 
 
 def search_pq_index(
@@ -1428,11 +1460,52 @@ def search_pq_index(
         "_cell",
         _int_sqdist_expr("_sv", "_cv").alias("_d"),
     )
-    approxd = (
-        index["codes"].join(F.broadcast(adc), ["_sub", "_cell"])
-        .groupBy(query_id, corpus_id)
-        .agg(F.sum("_d").alias("_ad"))
-    )
+    if "_codes" in index["codes"].columns:
+        # wide code table (round 8): flatten each query's lookup table
+        # to one array indexed by _sub*n_codes+_code, broadcast it, and
+        # fold the ADC sum ROW-LOCALLY over the per-vector code array —
+        # no n_subspaces× explode join, no corpus-sized hash aggregate
+        # (integer addition is order-free, so the sums are bit-identical
+        # to the long-form join+agg).
+        n_codes = (
+            int(meta["n_codes"])
+            if meta and meta.get("n_codes") is not None
+            else cents.count() // n_subspaces
+        )
+        lut = (
+            adc.groupBy(query_id)
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (F.col("_sub") * n_codes + F.col("_cell")).alias("_i"),
+                            F.col("_d"),
+                        )
+                    )
+                ).alias("_ps")
+            )
+            .select(
+                F.col(query_id),
+                F.transform("_ps", lambda p: p["_d"]).alias("_lut"),
+            )
+        )
+        approxd = index["codes"].crossJoin(F.broadcast(lut)).select(
+            F.col(query_id),
+            F.col(corpus_id),
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, s: acc
+                + F.get("_lut", s * F.lit(n_codes) + F.get("_codes", s)),
+            ).alias("_ad"),
+        )
+    else:
+        # legacy long-form code table (pre-round-8 saved indexes)
+        approxd = (
+            index["codes"].join(F.broadcast(adc), ["_sub", "_cell"])
+            .groupBy(query_id, corpus_id)
+            .agg(F.sum("_d").alias("_ad"))
+        )
     # two-phase per-query head: flat-PQ ADC scores EVERY corpus row per
     # query, the largest scan stage in the family (per_key_topn)
     short = per_key_topn(
@@ -1609,10 +1682,13 @@ def build_ivfpq_index(
     coarse quantizer, the residual PQ codebooks, and every vector's
     residual codes TAGGED with its coarse cell. Artifacts: ``centroids``
     (_cell, _cvec), ``codebook`` (_sub, _cell, _cv — residual-space),
-    ``codes`` (corpus_id, _cell, _sub, _code). The cell tag is folded
-    into the code table at build time — searches filter probed cells
-    straight off the codes; re-joining a separate assignment table per
-    batch was a measured 39 s-per-search cliff at 200k."""
+    ``codes`` (corpus_id, _cell, _codes — one row per vector with the
+    n_subspaces-code array; round 8 widened this from the long
+    per-subspace form so the ADC scan folds row-locally). The cell tag
+    is folded into the code table at build time — searches filter
+    probed cells straight off the codes; re-joining a separate
+    assignment table per batch was a measured 39 s-per-search cliff at
+    200k."""
     sub_dim = dim // n_subspaces
 
     # fail fast on the theoretical packing bound (residual components are
@@ -1739,10 +1815,42 @@ def build_ivfpq_index(
             .localCheckpoint(eager=False)
         )
 
+    # wide cell-tagged code table (round 8): one row per vector with the
+    # n_subspaces-code array + its coarse cell — the search-side ADC
+    # scan folds row-locally instead of exploding by subspace (see
+    # search_ivfpq_index). The Arrow path emits the array in one map
+    # pass over the residuals (which already carry the cell tag); the
+    # expression path groups its long-form assignment once.
+    if use_arrow:
+        from ..functions.vectors import pq_codes_int_batch_udf
+
+        cb_rows = [
+            (int(r["_sub"]), int(r["_cell"]), [int(x) for x in r["_cv"]])
+            for r in pcents.collect()
+        ]
+        kern = pq_codes_int_batch_udf(cb_rows, n_codes, sub_dim)
+        codes_wide = res.select(
+            F.col(corpus_id), "_cell", kern(F.col("_rv")).alias("_codes")
+        )
+    else:
+        codes_wide = (
+            assign(pcents)
+            .groupBy(corpus_id)
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("_sub", "_code"))
+                ).alias("_ps")
+            )
+            .select(
+                F.col(corpus_id),
+                F.transform("_ps", lambda p: p["_code"]).alias("_codes"),
+            )
+            .join(af, corpus_id)
+        )
     return {
         "centroids": cents,
         "codebook": pcents,
-        "codes": assign(pcents).join(af, corpus_id),
+        "codes": codes_wide,
         "meta": _index_meta(
             corpus, "ivfpq", n_centroids=n_centroids,
             n_subspaces=n_subspaces, n_codes=n_codes, scale=scale, dim=dim,
@@ -1824,15 +1932,56 @@ def search_ivfpq_index(
     # ADC scan over probed cells only, shortlist, exact re-rank — the
     # code table carries its cell tag, so the probed-cell filter is one
     # broadcast join against the cell-tagged codes
-    approxd = (
-        index["codes"]
-        .join(
-            F.broadcast(adc),
-            ["_cell", "_sub", "_code"],
+    if "_codes" in index["codes"].columns:
+        # wide code table (round 8): one flattened residual LUT per
+        # (query, probed cell), broadcast; the ADC sum is a row-local
+        # fold over each vector's code array — no n_subspaces× explode
+        # join, no (query, corpus)-sized hash aggregate. Bit-identical
+        # sums (order-free integer addition).
+        n_codes = (
+            int(meta["n_codes"])
+            if meta and meta.get("n_codes") is not None
+            else pcents.count() // n_subspaces
         )
-        .groupBy(query_id, corpus_id)
-        .agg(F.sum("_d").alias("_ad"))
-    )
+        lut = (
+            adc.groupBy(query_id, "_cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (F.col("_sub") * n_codes + F.col("_code")).alias("_i"),
+                            F.col("_d"),
+                        )
+                    )
+                ).alias("_ps")
+            )
+            .select(
+                F.col(query_id),
+                "_cell",
+                F.transform("_ps", lambda p: p["_d"]).alias("_lut"),
+            )
+        )
+        approxd = index["codes"].join(F.broadcast(lut), "_cell").select(
+            F.col(query_id),
+            F.col(corpus_id),
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, s: acc
+                + F.get("_lut", s * F.lit(n_codes) + F.get("_codes", s)),
+            ).alias("_ad"),
+        )
+    else:
+        # legacy long-form code table (pre-round-8 saved indexes)
+        approxd = (
+            index["codes"]
+            .join(
+                F.broadcast(adc),
+                ["_cell", "_sub", "_code"],
+            )
+            .groupBy(query_id, corpus_id)
+            .agg(F.sum("_d").alias("_ad"))
+        )
     # two-phase per-query head over the probed-cell ADC sums
     # (nprobe/n_centroids of the corpus per query — data-sized)
     short = per_key_topn(
