@@ -13,17 +13,19 @@ engine ships REAL parsers for them:
   sub-block reassembly, and a full spec LZW codec (variable-width codes,
   CLEAR/EOI, dictionary growth, the KwKwK case) — see the GIF section.
 * JPEG (ITU-T T.81: baseline sequential grayscale, YCbCr 4:2:0 color,
-  restart intervals, and progressive spectral selection): canonical-
-  Huffman entropy decode with byte unstuffing, DC prediction + EXTEND,
-  zigzag, dequantization, full 2-D IDCT — see the JPEG section below for
-  the textured-block construction that makes it exactly oracle-checkable.
+  restart intervals, and FULL progressive — spectral selection AND
+  successive approximation, i.e. the complete Annex G Huffman
+  progressive feature set): canonical-Huffman entropy decode with byte
+  unstuffing, DC prediction + EXTEND, zigzag, dequantization, full 2-D
+  IDCT — see the JPEG section below for the textured-block construction
+  that makes it exactly oracle-checkable.
 * AVI/MJPEG video: real RIFF container walk (nested LISTs, word
   alignment, avih/strh/strf headers, idx1 index validation) over
   per-frame baseline JPEGs — see the MJPEG-in-AVI section.
 
-Formats outside these profiles (successive-approximation progressive
-JPEG, MP3, inter-coded video, …) raise in decode.py — those need
-Pillow/libav, which this container does not ship.
+Formats outside these profiles (MP3, inter-coded video, WebP, …) raise
+in decode.py — those need Pillow/libav, which this container does not
+ship.
 
 The deterministic generators (``make_bmp``/``make_wav``) synthesize valid
 files whose pixel/sample values follow pure integer formulas, which makes
@@ -783,8 +785,8 @@ def encode_jpeg_progressive(
     ZRL inside the band and EOBRUN batching (EOBn symbols: r extra bits
     encode a run of 2^r + extra all-zero-band blocks), which is what a
     real progressive encoder emits when most blocks have no energy in a
-    band. Successive approximation (Ah/Al) is out of profile for both
-    encoder and decoder."""
+    band. For successive approximation (Ah/Al bit-plane scans) see
+    encode_jpeg_progressive_sa."""
     h, w = img.shape
     if h % 8 or w % 8:
         img = np.pad(
@@ -878,6 +880,253 @@ def encode_jpeg_progressive(
     for ss, se in bands:
         out += _seg(0xDA, bytes([1, 1, 0x00, ss, se, 0])) + ac_scan(ss, se)
     return out + b"\xff\xd9"
+
+
+def encode_jpeg_progressive_sa(
+    img: np.ndarray,
+    qtable: np.ndarray = _JPEG_QTABLE,
+    bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+    dc_al: int = 1,
+    ac_al: int = 2,
+) -> bytes:
+    """Progressive (SOF2) grayscale JPEG encoder, SUCCESSIVE
+    APPROXIMATION mode (T.81 Annex G full progressive feature set, round
+    8): the scan script sends coefficient bit-planes coarse-to-fine —
+
+      1. DC first scan at Al=``dc_al`` (diffs of the arithmetic-shifted
+         DC values, baseline DC coding);
+      2. one AC first scan per ``bands`` entry at Al=``ac_al`` (the
+         spectral-selection machinery — ZRL, EOBRUN — over the
+         truncated-toward-zero point transform |v|>>Al);
+      3. AC refinement scans (Ah=Al+1) per band, one bit-plane at a
+         time down to Al=0: newly-significant coefficients code
+         (run<<4)|1 + a sign bit, already-nonzero coefficients emit
+         buffered CORRECTION BITS (after the next symbol — including
+         after EOBn, whose run carries the correction bits of every
+         block it spans), per libjpeg's encode_mcu_AC_refine emit
+         discipline;
+      4. DC refinement scans: one raw bit per block per plane.
+
+    Because every plane down to Al=0 is sent, the decoder reconstructs
+    the EXACT integer coefficients of the sequential encoding — so the
+    pixels (and the closed-form oracle) are identical to
+    encode_jpeg_gray/encode_jpeg_progressive on the same image."""
+    h, w = img.shape
+    if h % 8 or w % 8:
+        img = np.pad(
+            img, ((0, (8 - h % 8) % 8), (0, (8 - w % 8) % 8)), mode="edge"
+        )
+    ph, pw = img.shape
+    dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_SYMS)
+    ac_codes = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_SYMS)
+    qr = _qtable_raster(qtable)
+    f = img.astype(np.float64) - 128.0
+    nby, nbx = ph // 8, pw // 8
+    n_blocks = nby * nbx
+    zz = np.zeros((n_blocks, 64), dtype=np.int64)
+    for by in range(nby):
+        for bx in range(nbx):
+            blk = f[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            Fq = np.round((_JPEG_A @ blk @ _JPEG_A.T) / qr).astype(np.int64)
+            zz[by * nbx + bx] = [Fq[r, c] for r, c in _JPEG_ZZ]
+
+    def dc_first(al: int) -> bytes:
+        # Python >> on negatives is arithmetic shift — T.81's DC point
+        # transform exactly
+        bw = _BitWriter()
+        prev = 0
+        for b in range(n_blocks):
+            v = int(zz[b, 0]) >> al
+            diff = v - prev
+            prev = v
+            sz, extra = _magnitude(diff) if diff else (0, 0)
+            code, ln = dc_codes[sz]
+            bw.write(code, ln)
+            if sz:
+                bw.write(extra, sz)
+        bw.flush()
+        return bytes(bw.out)
+
+    def dc_refine(al: int) -> bytes:
+        # bit Al of the TWO'S-COMPLEMENT value (arithmetic shift): the
+        # decoder ORs it into the arithmetic-shifted first-scan value,
+        # which reconstructs negatives exactly (magnitude bits would not)
+        bw = _BitWriter()
+        for b in range(n_blocks):
+            bw.write((int(zz[b, 0]) >> al) & 1, 1)
+        bw.flush()
+        return bytes(bw.out)
+
+    def ac_first(ss: int, se: int, al: int) -> bytes:
+        # spectral-selection coding of the point transform: AC uses
+        # truncation TOWARD ZERO (|v|>>al with the sign re-applied),
+        # not the DC arithmetic shift
+        bw = _BitWriter()
+        eobrun = 0
+
+        def flush_eobrun() -> None:
+            nonlocal eobrun
+            while eobrun > 0:
+                r = 0
+                while (1 << (r + 1)) <= eobrun and r < 14:
+                    r += 1
+                n = min(eobrun, (1 << (r + 1)) - 1)
+                code, ln = ac_codes[r << 4]
+                bw.write(code, ln)
+                if r:
+                    bw.write(n - (1 << r), r)
+                eobrun -= n
+
+        for b in range(n_blocks):
+            tvals = [
+                (abs(int(v)) >> al) * (1 if int(v) >= 0 else -1)
+                for v in zz[b, ss : se + 1]
+            ]
+            nz = [i for i, t in enumerate(tvals) if t]
+            if not nz:
+                eobrun += 1
+                continue
+            flush_eobrun()
+            run = 0
+            for i in range(nz[-1] + 1):
+                t = tvals[i]
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                sz, extra = _magnitude(t)
+                code, ln = ac_codes[(run << 4) | sz]
+                bw.write(code, ln)
+                bw.write(extra, sz)
+                run = 0
+            if nz[-1] < se - ss:
+                eobrun += 1
+        flush_eobrun()
+        bw.flush()
+        return bytes(bw.out)
+
+    def ac_refine(ss: int, se: int, al: int) -> bytes:
+        # Two correction-bit buffers, as in libjpeg's encode_mcu_AC_refine
+        # (its BE vs BR counters): bits belonging to the PENDING EOB RUN
+        # (accumulated at completed-block boundaries) are emitted right
+        # after the EOBn symbol — the decoder reads them walking the run's
+        # blocks — while the CURRENT block's bits since the last symbol
+        # are emitted after the next coefficient/ZRL symbol, where the
+        # decoder's advance walk reads them. Conflating the two puts raw
+        # bits in front of a Huffman symbol and desyncs the stream.
+        bw = _BitWriter()
+        eobrun = 0
+        pend_eob: list[int] = []  # correction bits riding the EOB run
+        pend_cur: list[int] = []  # current block's bits since last symbol
+
+        def emit_cur() -> None:
+            for bit in pend_cur:
+                bw.write(bit, 1)
+            pend_cur.clear()
+
+        def emit_eobrun() -> None:
+            nonlocal eobrun
+            if eobrun > 0:
+                r = eobrun.bit_length() - 1
+                code, ln = ac_codes[r << 4]
+                bw.write(code, ln)
+                if r:
+                    bw.write(eobrun - (1 << r), r)
+                eobrun = 0
+                for bit in pend_eob:
+                    bw.write(bit, 1)
+                pend_eob.clear()
+
+        for b in range(n_blocks):
+            absv = [abs(int(v)) >> al for v in zz[b, ss : se + 1]]
+            # last newly-significant position: ZRLs are only emitted up
+            # to here (trailing zero runs fold into the EOB run instead)
+            eob_idx = max((i for i, t in enumerate(absv) if t == 1), default=-1)
+            run = 0
+            for i, t in enumerate(absv):
+                if t == 0:
+                    run += 1
+                    continue
+                # flush pending ZRLs at ANY nonzero coefficient (libjpeg
+                # discipline): this keeps each ZRL's trailing correction
+                # bits positioned before the decoder's advance walk
+                # needs them — flushing only at newly-significant sites
+                # strands correction bits in front of the next Huffman
+                # symbol and desyncs the stream
+                while run > 15 and i <= eob_idx:
+                    emit_eobrun()
+                    code, ln = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                    emit_cur()
+                if t > 1:
+                    # already significant in a coarser plane: one
+                    # correction bit, buffered behind the next symbol
+                    pend_cur.append(t & 1)
+                    continue
+                # t == 1: newly significant — (run<<4)|1 + sign bit
+                emit_eobrun()
+                code, ln = ac_codes[(run << 4) | 1]
+                bw.write(code, ln)
+                bw.write(1 if int(zz[b, ss + i]) >= 0 else 0, 1)
+                emit_cur()
+                run = 0
+            if run > 0 or pend_cur:
+                # the block's tail joins an EOB run; its correction
+                # bits ride along and are emitted with the EOBn symbol
+                eobrun += 1
+                pend_eob.extend(pend_cur)
+                pend_cur.clear()
+        emit_eobrun()
+        bw.flush()
+        return bytes(bw.out)
+
+    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+        return _seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    dqt = _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in qtable))
+    sof = _seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = _seg(
+        0xC4,
+        bytes([0x00])
+        + bytes(_JPEG_DC_BITS)
+        + bytes(_JPEG_DC_SYMS)
+        + bytes([0x10])
+        + bytes(_JPEG_AC_BITS)
+        + bytes(_JPEG_AC_SYMS),
+    )
+    out = b"\xff\xd8" + dqt + sof + dht
+    out += sos(0, 0, 0, dc_al) + dc_first(dc_al)
+    for ss, se in bands:
+        out += sos(ss, se, 0, ac_al) + ac_first(ss, se, ac_al)
+    for al in range(ac_al - 1, -1, -1):
+        for ss, se in bands:
+            out += sos(ss, se, al + 1, al) + ac_refine(ss, se, al)
+    for al in range(dc_al - 1, -1, -1):
+        out += sos(0, 0, al + 1, al) + dc_refine(al)
+    return out + b"\xff\xd9"
+
+
+def make_jpeg_prog_sa(doc_id: int) -> bytes:
+    """The grayscale textured payload of make_jpeg, written as a FULL
+    progressive stream: spectral selection AND successive approximation
+    (encode_jpeg_progressive_sa's coarse-to-fine scan script). All bit-
+    planes are sent, so the decoded pixels equal the baseline/spectral-
+    selection encodings of the same image — the x4_jpeg_prog_sa_decode
+    oracle is the identical closed form."""
+    bwn, bhn = jpeg_blocks(doc_id)
+    basis = np.array(jpeg_ac_basis())
+    img = np.zeros((bhn * 8, bwn * 8), dtype=np.uint8)
+    for b in range(bwn * bhn):
+        by, bx = divmod(b, bwn)
+        row = np.round(
+            jpeg_block_value(doc_id, b) + jpeg_block_amp(doc_id, b) * basis
+        ).astype(np.uint8)
+        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = row
+    return encode_jpeg_progressive_sa(img)
 
 
 def jpeg420_mcus(doc_id: int) -> tuple[int, int]:
@@ -1042,10 +1291,13 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     MCU-interleaved scan walk (4 Y + Cb + Cr blocks per MCU at 4:2:0),
     replication chroma upsampling, JFIF YCbCr→RGB conversion, level
     shift/clamp, crop to the SOF dims. DRI/RSTn restart intervals and
-    progressive (SOF2) spectral-selection scans (grayscale) decode for
-    real. Remaining descopes raise ValueError: successive-approximation
-    progressive (Ah/Al ≠ 0), progressive color, sampling layouts other
-    than 1x1/2x2 (e.g. 4:2:2), arithmetic coding, 12-bit precision."""
+    FULL progressive (SOF2) grayscale — spectral selection AND
+    successive approximation (Ah/Al bit-plane first + refinement scans,
+    T.81 Annex G: DC raw-bit refinement, AC newly-significant ±1
+    coding, correction bits through EOBRUN regions) — decode for real.
+    Remaining descopes raise ValueError: progressive color, sampling
+    layouts other than 1x1/2x2 (e.g. 4:2:2), arithmetic coding, 12-bit
+    precision."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -1141,14 +1393,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         elif marker == 0xDA and progressive:  # one scan of a SOF2 stream
             ss, se = data[3], data[4]
             ah, al = data[5] >> 4, data[5] & 15
-            if ah or al:
-                raise ValueError(
-                    "successive approximation (Ah/Al) out of profile"
-                )
             td, ta = data[2] >> 4, data[2] & 15
             br = _BitReader(payload, pos)
             n_blocks = prog_zz.shape[0]
-            if ss == 0:  # DC scan: baseline DC coding over all blocks
+            if ss == 0 and ah == 0:  # DC first scan (Al-shifted domain)
                 if se != 0:
                     raise ValueError("progressive DC scan must have Se=0")
                 dcd = dc_dec[td]
@@ -1157,8 +1405,14 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                     sz = dcd(br)
                     diff = _extend(br.bits(sz), sz) if sz else 0
                     pred += diff
-                    prog_zz[b, 0] = pred
-            else:  # AC band scan with EOBRUN semantics
+                    prog_zz[b, 0] = pred << al
+            elif ss == 0:  # DC refinement: one raw bit per block at Al
+                # OR into the arithmetic-shifted value — exact for
+                # negatives in two's complement (T.81 G.1.2.1)
+                for b in range(n_blocks):
+                    if br.bits(1):
+                        prog_zz[b, 0] |= 1 << al
+            elif ah == 0:  # AC first scan (EOBRUN semantics, Al shift)
                 acd = ac_dec[ta]
                 prog_eobrun = 0
                 for b in range(n_blocks):
@@ -1180,8 +1434,63 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                         i += r
                         if i > se:
                             raise ValueError("AC run past band end")
-                        prog_zz[b, i] = _extend(br.bits(sz), sz)
+                        prog_zz[b, i] = _extend(br.bits(sz), sz) << al
                         i += 1
+            else:  # AC refinement scan (T.81 G.1.2.3 / libjpeg
+                # decode_mcu_AC_refine): newly-significant coefficients
+                # arrive as (run<<4)|1 + sign bit, already-nonzero ones
+                # read one correction bit each — including through
+                # EOBRUN regions, whose blocks still carry correction
+                # bits for their nonzero band coefficients.
+                acd = ac_dec[ta]
+                p1 = 1 << al
+                prog_eobrun = 0
+
+                def _correct(b: int, k: int) -> None:
+                    if br.bits(1) and (abs(int(prog_zz[b, k])) & p1) == 0:
+                        prog_zz[b, k] += p1 if prog_zz[b, k] > 0 else -p1
+
+                for b in range(n_blocks):
+                    k = ss
+                    if prog_eobrun == 0:
+                        while k <= se:
+                            rs = acd(br)
+                            r, sz = rs >> 4, rs & 15
+                            val = 0
+                            if sz == 0:
+                                if r < 15:  # EOBn: run includes this block
+                                    prog_eobrun = 1 << r
+                                    if r:
+                                        prog_eobrun += br.bits(r)
+                                    break
+                                # ZRL: r=15 → skip 16 zero-history slots
+                            else:
+                                if sz != 1:
+                                    raise ValueError(
+                                        "AC refinement size must be 1"
+                                    )
+                                val = p1 if br.bits(1) else -p1
+                            # advance over r zero-history coefficients,
+                            # correcting the nonzero ones passed over
+                            while k <= se:
+                                if prog_zz[b, k] != 0:
+                                    _correct(b, k)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val and k <= se:
+                                prog_zz[b, k] = val
+                            k += 1
+                    if prog_eobrun > 0:
+                        # correction bits for the rest of the band,
+                        # then consume one block of the EOB run
+                        while k <= se:
+                            if prog_zz[b, k] != 0:
+                                _correct(b, k)
+                            k += 1
+                        prog_eobrun -= 1
             # resync to the next marker (skip stuffed 0xFF00 pairs)
             pp = br.pos
             while pp + 1 < len(payload) and not (

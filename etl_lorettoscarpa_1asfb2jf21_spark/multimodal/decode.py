@@ -149,9 +149,9 @@ def decode_image_batch(
         # palette + variable-width LZW incl. interlace for GIF;
         # canonical-Huffman entropy decode + dequant + 2-D IDCT for
         # JPEG, covering grayscale, YCbCr 4:4:4 and 4:2:0, DRI/RSTn
-        # restarts, and progressive spectral selection). Formats outside
-        # those profiles (successive-approximation progressive JPEG,
-        # 4:2:2, WebP, ...) still raise.
+        # restarts, and FULL progressive — spectral selection and
+        # successive approximation). Formats outside those profiles
+        # (progressive color, 4:2:2, WebP, ...) still raise.
         if bytes(payload[:2]) == b"BM":
             from .codecs import decode_bmp
 
@@ -172,8 +172,8 @@ def decode_image_batch(
             raise NotImplementedError(
                 "unrecognized media container (supported native codecs: "
                 "BMP, PNG, GIF incl. interlace, JPEG — baseline "
-                "gray/4:4:4/4:2:0, restarts, progressive spectral "
-                "selection — PCM + G.711 WAV) — "
+                "gray/4:4:4/4:2:0, restarts, full progressive incl. "
+                "successive approximation — PCM + G.711 WAV) — "
                 "pass use_fake_decoder=True for plumbing tests"
             )
         feats = (img.reshape(-1, c).mean(axis=0)[:3] / 255.0).astype(float)

@@ -874,7 +874,8 @@ def x4_jpeg_prog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     is empty by construction. The oracle is the identical closed form as
     the baseline query: same pixels, different entropy layout — which is
     precisely the claim progressive JPEG makes. Successive approximation
-    (Ah/Al) and progressive color remain documented out-of-profile."""
+    is covered by x4_jpeg_prog_sa_decode (round 8); progressive color
+    remains documented out-of-profile."""
     import pandas as pd
 
     from .multimodal.codecs import decode_jpeg, make_jpeg_progressive
@@ -889,6 +890,88 @@ def x4_jpeg_prog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for i in pdf["doc_id"]:
                 w, h, c, img = decode_jpeg(make_jpeg_progressive(int(i)))
+                flat = img.reshape(-1).astype("int64")
+                rows.append(
+                    {
+                        "doc_id": int(i), "width": w, "height": h,
+                        "n_channels": c, "sum_px": int(flat.sum()),
+                        "min_px": int(flat.min()), "max_px": int(flat.max()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        gen_decode,
+        "doc_id long, width long, height long, n_channels long, "
+        "sum_px long, min_px long, max_px long",
+    )
+
+
+# =====================================================================
+# X4 — real FULL-progressive JPEG decode (successive approximation)
+# =====================================================================
+
+@query(
+    "x4_jpeg_prog_sa_decode",
+    f"""
+    WITH dims AS (
+      SELECT doc_id, CAST(1 + doc_id % 4 AS BIGINT) AS bw,
+             CAST(1 + doc_id % 3 AS BIGINT) AS bh
+      FROM documents
+    ), blk AS (
+      SELECT doc_id, bw, bh, unnest(range(0, bw * bh)) AS b
+      FROM dims
+    ), px AS (
+      SELECT doc_id, bw, bh,
+             28 + (doc_id * 13 + b * 29) % 201 AS g,
+             (doc_id * 7 + b * 11) % 15 - 7 AS a,
+             unnest(range(0, 8)) AS x
+      FROM blk
+    ), vals AS (
+      SELECT doc_id, bw, bh,
+             CAST(ROUND(g + a * list_extract(
+               LIST_VALUE({{basis}}), x + 1)) AS BIGINT) AS p
+      FROM px
+    )
+    SELECT doc_id, CAST(bw * 8 AS BIGINT) AS width,
+           CAST(bh * 8 AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(SUM(p) * 8 AS BIGINT) AS sum_px,
+           CAST(MIN(p) AS BIGINT) AS min_px,
+           CAST(MAX(p) AS BIGINT) AS max_px
+    FROM vals
+    GROUP BY doc_id, bw, bh
+    """.replace("{basis}", _JPEG_BASIS),
+)
+def x4_jpeg_prog_sa_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 real FULL-progressive JPEG decode (round 8): the same
+    exactly-invertible textured payloads, written with SPECTRAL
+    SELECTION **and** SUCCESSIVE APPROXIMATION — the complete T.81
+    Annex G Huffman progressive feature set. The scan script sends
+    coefficient bit-planes coarse-to-fine (DC first at Al=1 + raw-bit
+    refinement; AC band first scans at Al=2 + two refinement plane
+    scans each), so every SA decode path is on the hash-checked route:
+    newly-significant ±1 coding, buffered correction bits (emitted
+    after the next symbol, riding EOBn runs across blocks), ZRL inside
+    refinement scans, and the two's-complement DC bit OR. All planes
+    down to Al=0 are sent, so the reconstructed coefficients — and the
+    oracle — are IDENTICAL to the baseline/spectral-selection queries:
+    same closed form, third entropy layout. Progressive color remains
+    the one documented JPEG descope."""
+    import pandas as pd
+
+    from .multimodal.codecs import decode_jpeg, make_jpeg_prog_sa
+
+    # spread(): the doc_id spine is a ~1-file scan, but the decode below
+    # is CPU-bound Python — widen to cluster parallelism (no-op when
+    # the scan is already wide; see operators/partitioning.py)
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen_decode(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                w, h, c, img = decode_jpeg(make_jpeg_prog_sa(int(i)))
                 flat = img.reshape(-1).astype("int64")
                 rows.append(
                     {

@@ -513,14 +513,107 @@ def test_jpeg_progressive_generator_exact():
         ).all()
 
 
-def test_jpeg_progressive_rejects_successive_approximation():
-    payload = bytearray(make_jpeg_progressive(3))
-    # find the first AC SOS (Ss=1): header ... [ns=1, cid, tdta, Ss, Se, AhAl]
-    i = payload.find(bytes([0xFF, 0xDA]))
-    i = payload.find(bytes([0xFF, 0xDA]), i + 2)  # second scan (AC band)
-    payload[i + 9] = 0x01  # Al=1
-    with pytest.raises(ValueError):
-        decode_jpeg(bytes(payload))
+# ------------------------------------ successive approximation (round 8)
+
+from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (  # noqa: E402
+    encode_jpeg_progressive_sa,
+    make_jpeg_prog_sa,
+)
+
+
+def test_jpeg_progressive_sa_matches_baseline_pixels():
+    """FULL progressive streams (spectral selection + successive
+    approximation) decode to the identical pixels as the baseline
+    encoding — all bit-planes down to Al=0 are sent, so reconstruction
+    is exact. The image classes stress every SA path: random (dense
+    correction-bit traffic), flat-with-patch (EOBn runs carrying
+    correction bits across blocks), gradients (newly-significant
+    coding), and sparse (ZRL inside refinement scans)."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(31)
+    imgs = [rng.integers(0, 256, s, dtype=np.uint8) for s in ((8, 8), (16, 24), (24, 40))]
+    flat = np.full((32, 16), 252, dtype=np.uint8)
+    flat[:4, :4] = 60
+    yy, xx = np.mgrid[0:24, 0:32]
+    grad = ((yy * 3 + xx * 5) % 256).astype(np.uint8)
+    sparse = np.full((40, 64), 120, dtype=np.uint8)
+    sparse[3, 5] = 250
+    for img in imgs + [flat, grad, sparse]:
+        base = decode_jpeg(encode_jpeg_gray(img))[3]
+        sa = decode_jpeg(encode_jpeg_progressive_sa(img))[3]
+        assert (base == sa).all(), img.shape
+
+
+def test_jpeg_progressive_sa_al_levels():
+    """Exactness holds at every Ah/Al scan-script depth (1-3 DC planes x
+    1-4 AC planes) — the refinement loop, not a lucky single level."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(47)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg_gray(img))[3]
+    for dc_al in (1, 2, 3):
+        for ac_al in (1, 2, 3, 4):
+            sa = decode_jpeg(
+                encode_jpeg_progressive_sa(img, dc_al=dc_al, ac_al=ac_al)
+            )[3]
+            assert (base == sa).all(), (dc_al, ac_al)
+
+
+def test_jpeg_progressive_sa_generator_exact():
+    from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (
+        make_jpeg,
+    )
+
+    for d in (0, 11, 255):
+        assert (
+            decode_jpeg(make_jpeg_prog_sa(d))[3]
+            == decode_jpeg(make_jpeg(d))[3]
+        ).all()
+
+
+def test_jpeg_progressive_sa_scan_script():
+    """The generator's stream really is successive approximation: first
+    scans carry Al>0 point transforms and refinement scans (Ah>0)
+    follow, ending at Al=0 for every band (the exactness precondition)."""
+    import struct
+
+    payload = make_jpeg_prog_sa(7)
+    scans = []
+    i = 2
+    while i + 2 <= len(payload):
+        if payload[i] != 0xFF:
+            i += 1
+            continue
+        m = payload[i + 1]
+        if m == 0xDA:
+            (ln,) = struct.unpack_from(">H", payload, i + 2)
+            data = payload[i + 4 : i + 2 + ln]
+            scans.append((data[3], data[4], data[5] >> 4, data[5] & 15))
+            i += 2 + ln
+        elif m == 0xD9:
+            break
+        elif m in (0x01,) or 0xD0 <= m <= 0xD7:
+            i += 2
+        else:
+            (ln,) = struct.unpack_from(">H", payload, i + 2)
+            i += 2 + ln
+    firsts = [s for s in scans if s[2] == 0]
+    refines = [s for s in scans if s[2] > 0]
+    assert any(s[3] > 0 for s in firsts), scans  # point-transformed firsts
+    assert refines, scans  # refinement scans present
+    for ss, se, ah, al in refines:
+        assert ah == al + 1, scans  # single-plane refinement steps
+    # every band's last scan lands at Al=0
+    last_al = {}
+    for ss, se, ah, al in scans:
+        last_al[(ss, se)] = al
+    assert all(v == 0 for v in last_al.values()), last_al
 
 
 # ------------------------------------------------------------- G.711

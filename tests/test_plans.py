@@ -80,6 +80,7 @@ MAP_IN_PANDAS_QUERIES = {
     "x4_jpeg420_decode",
     "x4_gif_decode",
     "x4_jpeg_prog_decode",
+    "x4_jpeg_prog_sa_decode",
     "x4_wav_g711_decode",
     "x4_video_frames",
     "x4_image_dhash",
