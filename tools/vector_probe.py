@@ -344,6 +344,18 @@ def main() -> None:
                 shortlist=sim.derived_shortlist(n_big),
             ),
         ),
+        (
+            # round 8: the wide-code batch-shared LUT — one broadcast
+            # LUT per (query, probed cell), row-local ADC fold, so the
+            # probed-cell scan amortizes across the batch like ivfbq's
+            "ivfpq",
+            lambda q: sim.search_ivfpq_index(
+                q, cb,
+                sim.load_ann_index(spark, os.path.join(IDX_ROOT, "ivfpq_2M")),
+                k=K, nprobe=16, n_subspaces=16, dim=dim,
+                shortlist=sim.derived_shortlist(n_big),
+            ),
+        ),
     ):
         from pyspark.sql import functions as Fx
 
@@ -400,10 +412,13 @@ def main() -> None:
         "with the corpus while the per-batch floor amortizes across",
         "queries — at 100 TB the crossovers shrink, not grow. Batch-width",
         f"measured at 2M (64-query batch, warm): exact {wide['exact']:.1f} s"
-        f" vs ivfbq {wide['ivfbq']:.1f} s — "
-        f"{wide['exact'] / wide['ivfbq']:.1f}× at 8× the width, because",
-        "exact pays 8× the cosine work while the index's corpus-side scan",
-        "is shared across the batch. A cell-partitioned store",
+        f" vs ivfbq {wide['ivfbq']:.1f} s"
+        f" ({wide['exact'] / wide['ivfbq']:.1f}×) and ivfpq"
+        f" {wide['ivfpq']:.1f} s"
+        f" ({wide['exact'] / wide['ivfpq']:.1f}×) at 8× the width, because",
+        "exact pays 8× the cosine work while each index's corpus-side",
+        "scan (Hamming codes / the round-8 batch-shared ADC LUT fold) is",
+        "shared across the batch. A cell-partitioned store",
         "(partitionBy _cell) was measured and does NOT help at this size:",
         "the cost is the distance kernel + per-query head, not parquet",
         "I/O.",
