@@ -882,6 +882,190 @@ def encode_jpeg_progressive(
     return out + b"\xff\xd9"
 
 
+def _jpeg_zz_of(img: np.ndarray, qtable: np.ndarray) -> np.ndarray:
+    """Quantized zigzag coefficients of an (already MCU-padded) plane:
+    one (n_blocks, 64) int64 row per 8x8 block in raster block order."""
+    qr = _qtable_raster(qtable)
+    f = img.astype(np.float64) - 128.0
+    nby, nbx = img.shape[0] // 8, img.shape[1] // 8
+    zz = np.zeros((nby * nbx, 64), dtype=np.int64)
+    for by in range(nby):
+        for bx in range(nbx):
+            blk = f[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            Fq = np.round((_JPEG_A @ blk @ _JPEG_A.T) / qr).astype(np.int64)
+            zz[by * nbx + bx] = [Fq[r, c] for r, c in _JPEG_ZZ]
+    return zz
+
+
+def _sa_dc_first_scan(zzs: list[np.ndarray], al: int, dc_codes) -> bytes:
+    """DC first scan at Al over one or more components, INTERLEAVED in
+    MCU order (all-1x1 sampling: one block per component per MCU) —
+    Python >> on negatives is arithmetic shift, T.81's DC point
+    transform exactly. Per-component predictors."""
+    bw = _BitWriter()
+    preds = [0] * len(zzs)
+    for b in range(zzs[0].shape[0]):
+        for ci, zz in enumerate(zzs):
+            v = int(zz[b, 0]) >> al
+            diff = v - preds[ci]
+            preds[ci] = v
+            sz, extra = _magnitude(diff) if diff else (0, 0)
+            code, ln = dc_codes[sz]
+            bw.write(code, ln)
+            if sz:
+                bw.write(extra, sz)
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _sa_dc_refine_scan(zzs: list[np.ndarray], al: int) -> bytes:
+    """DC refinement: bit Al of the TWO'S-COMPLEMENT value (arithmetic
+    shift) per block per component, interleaved — the decoder ORs it
+    into the arithmetic-shifted first-scan value, which reconstructs
+    negatives exactly (magnitude bits would not)."""
+    bw = _BitWriter()
+    for b in range(zzs[0].shape[0]):
+        for zz in zzs:
+            bw.write((int(zz[b, 0]) >> al) & 1, 1)
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _sa_ac_first_scan(
+    zz: np.ndarray, ss: int, se: int, al: int, ac_codes
+) -> bytes:
+    """AC band first scan at Al (single component, per T.81's
+    progressive constraint): spectral-selection coding of the point
+    transform — truncation TOWARD ZERO (|v|>>al with the sign
+    re-applied), not the DC arithmetic shift."""
+    bw = _BitWriter()
+    eobrun = 0
+
+    def flush_eobrun() -> None:
+        nonlocal eobrun
+        while eobrun > 0:
+            r = 0
+            while (1 << (r + 1)) <= eobrun and r < 14:
+                r += 1
+            n = min(eobrun, (1 << (r + 1)) - 1)
+            code, ln = ac_codes[r << 4]
+            bw.write(code, ln)
+            if r:
+                bw.write(n - (1 << r), r)
+            eobrun -= n
+
+    for b in range(zz.shape[0]):
+        tvals = [
+            (abs(int(v)) >> al) * (1 if int(v) >= 0 else -1)
+            for v in zz[b, ss : se + 1]
+        ]
+        nz = [i for i, t in enumerate(tvals) if t]
+        if not nz:
+            eobrun += 1
+            continue
+        flush_eobrun()
+        run = 0
+        for i in range(nz[-1] + 1):
+            t = tvals[i]
+            if t == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            sz, extra = _magnitude(t)
+            code, ln = ac_codes[(run << 4) | sz]
+            bw.write(code, ln)
+            bw.write(extra, sz)
+            run = 0
+        if nz[-1] < se - ss:
+            eobrun += 1
+    flush_eobrun()
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _sa_ac_refine_scan(
+    zz: np.ndarray, ss: int, se: int, al: int, ac_codes
+) -> bytes:
+    """AC refinement scan (single component). Two correction-bit
+    buffers, as in libjpeg's encode_mcu_AC_refine (its BE vs BR
+    counters): bits belonging to the PENDING EOB RUN (accumulated at
+    completed-block boundaries) are emitted right after the EOBn symbol
+    — the decoder reads them walking the run's blocks — while the
+    CURRENT block's bits since the last symbol are emitted after the
+    next coefficient/ZRL symbol, where the decoder's advance walk reads
+    them. Conflating the two puts raw bits in front of a Huffman symbol
+    and desyncs the stream."""
+    bw = _BitWriter()
+    eobrun = 0
+    pend_eob: list[int] = []  # correction bits riding the EOB run
+    pend_cur: list[int] = []  # current block's bits since last symbol
+
+    def emit_cur() -> None:
+        for bit in pend_cur:
+            bw.write(bit, 1)
+        pend_cur.clear()
+
+    def emit_eobrun() -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            bw.write(code, ln)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            eobrun = 0
+            for bit in pend_eob:
+                bw.write(bit, 1)
+            pend_eob.clear()
+
+    for b in range(zz.shape[0]):
+        absv = [abs(int(v)) >> al for v in zz[b, ss : se + 1]]
+        # last newly-significant position: ZRLs are only emitted up
+        # to here (trailing zero runs fold into the EOB run instead)
+        eob_idx = max((i for i, t in enumerate(absv) if t == 1), default=-1)
+        run = 0
+        for i, t in enumerate(absv):
+            if t == 0:
+                run += 1
+                continue
+            # flush pending ZRLs at ANY nonzero coefficient (libjpeg
+            # discipline): this keeps each ZRL's trailing correction
+            # bits positioned before the decoder's advance walk
+            # needs them — flushing only at newly-significant sites
+            # strands correction bits in front of the next Huffman
+            # symbol and desyncs the stream
+            while run > 15 and i <= eob_idx:
+                emit_eobrun()
+                code, ln = ac_codes[0xF0]
+                bw.write(code, ln)
+                run -= 16
+                emit_cur()
+            if t > 1:
+                # already significant in a coarser plane: one
+                # correction bit, buffered behind the next symbol
+                pend_cur.append(t & 1)
+                continue
+            # t == 1: newly significant — (run<<4)|1 + sign bit
+            emit_eobrun()
+            code, ln = ac_codes[(run << 4) | 1]
+            bw.write(code, ln)
+            bw.write(1 if int(zz[b, ss + i]) >= 0 else 0, 1)
+            emit_cur()
+            run = 0
+        if run > 0 or pend_cur:
+            # the block's tail joins an EOB run; its correction
+            # bits ride along and are emitted with the EOBn symbol
+            eobrun += 1
+            pend_eob.extend(pend_cur)
+            pend_cur.clear()
+    emit_eobrun()
+    bw.flush()
+    return bytes(bw.out)
+
+
 def encode_jpeg_progressive_sa(
     img: np.ndarray,
     qtable: np.ndarray = _JPEG_QTABLE,
@@ -916,173 +1100,21 @@ def encode_jpeg_progressive_sa(
         img = np.pad(
             img, ((0, (8 - h % 8) % 8), (0, (8 - w % 8) % 8)), mode="edge"
         )
-    ph, pw = img.shape
     dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_SYMS)
     ac_codes = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_SYMS)
-    qr = _qtable_raster(qtable)
-    f = img.astype(np.float64) - 128.0
-    nby, nbx = ph // 8, pw // 8
-    n_blocks = nby * nbx
-    zz = np.zeros((n_blocks, 64), dtype=np.int64)
-    for by in range(nby):
-        for bx in range(nbx):
-            blk = f[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            Fq = np.round((_JPEG_A @ blk @ _JPEG_A.T) / qr).astype(np.int64)
-            zz[by * nbx + bx] = [Fq[r, c] for r, c in _JPEG_ZZ]
+    zz = _jpeg_zz_of(img, qtable)
 
     def dc_first(al: int) -> bytes:
-        # Python >> on negatives is arithmetic shift — T.81's DC point
-        # transform exactly
-        bw = _BitWriter()
-        prev = 0
-        for b in range(n_blocks):
-            v = int(zz[b, 0]) >> al
-            diff = v - prev
-            prev = v
-            sz, extra = _magnitude(diff) if diff else (0, 0)
-            code, ln = dc_codes[sz]
-            bw.write(code, ln)
-            if sz:
-                bw.write(extra, sz)
-        bw.flush()
-        return bytes(bw.out)
+        return _sa_dc_first_scan([zz], al, dc_codes)
 
     def dc_refine(al: int) -> bytes:
-        # bit Al of the TWO'S-COMPLEMENT value (arithmetic shift): the
-        # decoder ORs it into the arithmetic-shifted first-scan value,
-        # which reconstructs negatives exactly (magnitude bits would not)
-        bw = _BitWriter()
-        for b in range(n_blocks):
-            bw.write((int(zz[b, 0]) >> al) & 1, 1)
-        bw.flush()
-        return bytes(bw.out)
+        return _sa_dc_refine_scan([zz], al)
 
     def ac_first(ss: int, se: int, al: int) -> bytes:
-        # spectral-selection coding of the point transform: AC uses
-        # truncation TOWARD ZERO (|v|>>al with the sign re-applied),
-        # not the DC arithmetic shift
-        bw = _BitWriter()
-        eobrun = 0
-
-        def flush_eobrun() -> None:
-            nonlocal eobrun
-            while eobrun > 0:
-                r = 0
-                while (1 << (r + 1)) <= eobrun and r < 14:
-                    r += 1
-                n = min(eobrun, (1 << (r + 1)) - 1)
-                code, ln = ac_codes[r << 4]
-                bw.write(code, ln)
-                if r:
-                    bw.write(n - (1 << r), r)
-                eobrun -= n
-
-        for b in range(n_blocks):
-            tvals = [
-                (abs(int(v)) >> al) * (1 if int(v) >= 0 else -1)
-                for v in zz[b, ss : se + 1]
-            ]
-            nz = [i for i, t in enumerate(tvals) if t]
-            if not nz:
-                eobrun += 1
-                continue
-            flush_eobrun()
-            run = 0
-            for i in range(nz[-1] + 1):
-                t = tvals[i]
-                if t == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]
-                    bw.write(code, ln)
-                    run -= 16
-                sz, extra = _magnitude(t)
-                code, ln = ac_codes[(run << 4) | sz]
-                bw.write(code, ln)
-                bw.write(extra, sz)
-                run = 0
-            if nz[-1] < se - ss:
-                eobrun += 1
-        flush_eobrun()
-        bw.flush()
-        return bytes(bw.out)
+        return _sa_ac_first_scan(zz, ss, se, al, ac_codes)
 
     def ac_refine(ss: int, se: int, al: int) -> bytes:
-        # Two correction-bit buffers, as in libjpeg's encode_mcu_AC_refine
-        # (its BE vs BR counters): bits belonging to the PENDING EOB RUN
-        # (accumulated at completed-block boundaries) are emitted right
-        # after the EOBn symbol — the decoder reads them walking the run's
-        # blocks — while the CURRENT block's bits since the last symbol
-        # are emitted after the next coefficient/ZRL symbol, where the
-        # decoder's advance walk reads them. Conflating the two puts raw
-        # bits in front of a Huffman symbol and desyncs the stream.
-        bw = _BitWriter()
-        eobrun = 0
-        pend_eob: list[int] = []  # correction bits riding the EOB run
-        pend_cur: list[int] = []  # current block's bits since last symbol
-
-        def emit_cur() -> None:
-            for bit in pend_cur:
-                bw.write(bit, 1)
-            pend_cur.clear()
-
-        def emit_eobrun() -> None:
-            nonlocal eobrun
-            if eobrun > 0:
-                r = eobrun.bit_length() - 1
-                code, ln = ac_codes[r << 4]
-                bw.write(code, ln)
-                if r:
-                    bw.write(eobrun - (1 << r), r)
-                eobrun = 0
-                for bit in pend_eob:
-                    bw.write(bit, 1)
-                pend_eob.clear()
-
-        for b in range(n_blocks):
-            absv = [abs(int(v)) >> al for v in zz[b, ss : se + 1]]
-            # last newly-significant position: ZRLs are only emitted up
-            # to here (trailing zero runs fold into the EOB run instead)
-            eob_idx = max((i for i, t in enumerate(absv) if t == 1), default=-1)
-            run = 0
-            for i, t in enumerate(absv):
-                if t == 0:
-                    run += 1
-                    continue
-                # flush pending ZRLs at ANY nonzero coefficient (libjpeg
-                # discipline): this keeps each ZRL's trailing correction
-                # bits positioned before the decoder's advance walk
-                # needs them — flushing only at newly-significant sites
-                # strands correction bits in front of the next Huffman
-                # symbol and desyncs the stream
-                while run > 15 and i <= eob_idx:
-                    emit_eobrun()
-                    code, ln = ac_codes[0xF0]
-                    bw.write(code, ln)
-                    run -= 16
-                    emit_cur()
-                if t > 1:
-                    # already significant in a coarser plane: one
-                    # correction bit, buffered behind the next symbol
-                    pend_cur.append(t & 1)
-                    continue
-                # t == 1: newly significant — (run<<4)|1 + sign bit
-                emit_eobrun()
-                code, ln = ac_codes[(run << 4) | 1]
-                bw.write(code, ln)
-                bw.write(1 if int(zz[b, ss + i]) >= 0 else 0, 1)
-                emit_cur()
-                run = 0
-            if run > 0 or pend_cur:
-                # the block's tail joins an EOB run; its correction
-                # bits ride along and are emitted with the EOBn symbol
-                eobrun += 1
-                pend_eob.extend(pend_cur)
-                pend_cur.clear()
-        emit_eobrun()
-        bw.flush()
-        return bytes(bw.out)
+        return _sa_ac_refine_scan(zz, ss, se, al, ac_codes)
 
     def sos(ss: int, se: int, ah: int, al: int) -> bytes:
         return _seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
@@ -1127,6 +1159,107 @@ def make_jpeg_prog_sa(doc_id: int) -> bytes:
         ).astype(np.uint8)
         img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = row
     return encode_jpeg_progressive_sa(img)
+
+
+def encode_jpeg_progressive_color(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    qtable: np.ndarray = _JPEG_QTABLE,
+    bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+    dc_al: int = 1,
+    ac_al: int = 2,
+) -> bytes:
+    """Progressive (SOF2) 4:4:4 COLOR JPEG encoder with successive
+    approximation (round 8 — the last JPEG profile): full-resolution
+    YCbCr planes, all components 1x1 sampled, one shared quant table.
+    The scan script follows T.81's progressive constraints — DC scans
+    are INTERLEAVED over all three components (MCU order; per-component
+    predictors), AC scans are SINGLE-COMPONENT (one first scan per
+    component per band at Al=``ac_al``, then per-component refinement
+    planes down to Al=0), DC refinement interleaved raw bits. All
+    planes are sent, so reconstruction is exact — the decoded RGB is
+    the same fixed-point YCbCr conversion as the baseline color path."""
+    h, w = y.shape
+    pad_r, pad_c = (8 - h % 8) % 8, (8 - w % 8) % 8
+    if pad_r or pad_c:
+        y, cb, cr = (
+            np.pad(a, ((0, pad_r), (0, pad_c)), mode="edge")
+            for a in (y, cb, cr)
+        )
+    dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_SYMS)
+    ac_codes = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_SYMS)
+    zzs = [_jpeg_zz_of(plane, qtable) for plane in (y, cb, cr)]
+
+    def sos1(cid: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        return _seg(0xDA, bytes([1, cid, 0x00, ss, se, (ah << 4) | al]))
+
+    def sos3(ss: int, se: int, ah: int, al: int) -> bytes:
+        return _seg(
+            0xDA,
+            bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, ss, se, (ah << 4) | al]),
+        )
+
+    dqt = _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in qtable))
+    sof = _seg(
+        0xC2,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = _seg(
+        0xC4,
+        bytes([0x00])
+        + bytes(_JPEG_DC_BITS)
+        + bytes(_JPEG_DC_SYMS)
+        + bytes([0x10])
+        + bytes(_JPEG_AC_BITS)
+        + bytes(_JPEG_AC_SYMS),
+    )
+    out = b"\xff\xd8" + dqt + sof + dht
+    out += sos3(0, 0, 0, dc_al) + _sa_dc_first_scan(zzs, dc_al, dc_codes)
+    for ci, zz in enumerate(zzs):
+        for ss, se in bands:
+            out += sos1(ci + 1, ss, se, 0, ac_al) + _sa_ac_first_scan(
+                zz, ss, se, ac_al, ac_codes
+            )
+    for al in range(ac_al - 1, -1, -1):
+        for ci, zz in enumerate(zzs):
+            for ss, se in bands:
+                out += sos1(ci + 1, ss, se, al + 1, al) + _sa_ac_refine_scan(
+                    zz, ss, se, al, ac_codes
+                )
+    for al in range(dc_al - 1, -1, -1):
+        out += sos3(0, 0, al + 1, al) + _sa_dc_refine_scan(zzs, al)
+    return out + b"\xff\xd9"
+
+
+def make_jpeg_prog_color(doc_id: int) -> bytes:
+    """A progressive 4:4:4 COLOR JPEG in the exactly-invertible payload
+    class: Y blocks carry the proven textured DC+AC(0,1) construction
+    (the same formulas as the grayscale generators), chroma is FLAT per
+    8x8 BLOCK (values from jpeg420_chroma with m = block index) — a
+    flat block's DCT is a pure DC coefficient at quant step 8, so
+    encode/decode round-trips exactly with no subsampling involved, and
+    the decoded RGB is the closed-form fixed-point conversion of the
+    formulas (query x4_jpeg_prog_color_decode)."""
+    bwn, bhn = jpeg_blocks(doc_id)
+    basis = np.array(jpeg_ac_basis())
+    y = np.zeros((bhn * 8, bwn * 8), dtype=np.uint8)
+    cb = np.zeros_like(y)
+    cr = np.zeros_like(y)
+    for b in range(bwn * bhn):
+        by, bx = divmod(b, bwn)
+        row = np.round(
+            jpeg_block_value(doc_id, b) + jpeg_block_amp(doc_id, b) * basis
+        ).astype(np.uint8)
+        y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = row
+        cb[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = jpeg420_chroma(
+            doc_id, b, 0
+        )
+        cr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = jpeg420_chroma(
+            doc_id, b, 1
+        )
+    return encode_jpeg_progressive_color(y, cb, cr)
 
 
 def jpeg420_mcus(doc_id: int) -> tuple[int, int]:
@@ -1295,9 +1428,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     successive approximation (Ah/Al bit-plane first + refinement scans,
     T.81 Annex G: DC raw-bit refinement, AC newly-significant ±1
     coding, correction bits through EOBRUN regions) — decode for real.
-    Remaining descopes raise ValueError: progressive color, sampling
-    layouts other than 1x1/2x2 (e.g. 4:2:2), arithmetic coding, 12-bit
-    precision."""
+    Progressive COLOR (4:4:4, interleaved
+    DC scans + per-component AC scans, round 8) decodes too. Remaining
+    descopes raise ValueError: sampling layouts other than 1x1/2x2
+    (e.g. 4:2:2), arithmetic coding, 12-bit precision."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -1317,25 +1451,41 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         pos += 2
         if marker == 0xD9:  # EOI
             if progressive and prog_zz is not None:
-                q = _qtable_raster(qtables[comps[0][3]])
                 nbx = (w + 7) // 8
                 nby = (h + 7) // 8
-                n_blocks = nby * nbx
-                Fd = np.zeros((n_blocks, 8, 8), dtype=np.float64)
-                for i, (r, c) in enumerate(_JPEG_ZZ):
-                    Fd[:, r, c] = prog_zz[:, i] * q[r, c]
-                blks = np.clip(
-                    np.round(np.einsum("ij,njk,kl->nil", _JPEG_A.T, Fd, _JPEG_A))
-                    + 128,
-                    0,
-                    255,
-                ).astype(np.uint8)
-                img = (
-                    blks.reshape(nby, nbx, 8, 8)
-                    .transpose(0, 2, 1, 3)
-                    .reshape(nby * 8, nbx * 8)
+                planes = {}
+                for cid, _h, _v, tq in comps:
+                    q = _qtable_raster(qtables[tq])
+                    zzc = prog_zz[cid]
+                    Fd = np.zeros((zzc.shape[0], 8, 8), dtype=np.float64)
+                    for i, (r, c) in enumerate(_JPEG_ZZ):
+                        Fd[:, r, c] = zzc[:, i] * q[r, c]
+                    blks = np.clip(
+                        np.round(
+                            np.einsum("ij,njk,kl->nil", _JPEG_A.T, Fd, _JPEG_A)
+                        )
+                        + 128,
+                        0,
+                        255,
+                    ).astype(np.uint8)
+                    planes[cid] = (
+                        blks.reshape(nby, nbx, 8, 8)
+                        .transpose(0, 2, 1, 3)
+                        .reshape(nby * 8, nbx * 8)[:h, :w]
+                    )
+                if len(comps) == 1:
+                    return w, h, 1, planes[comps[0][0]].reshape(h, w, 1)
+                # 4:4:4 progressive color: no upsampling; the same
+                # fixed-point YCbCr→RGB as the baseline color path
+                y = planes[comps[0][0]].astype(np.int64)
+                cb = planes[comps[1][0]].astype(np.int64) - 128
+                cr = planes[comps[2][0]].astype(np.int64) - 128
+                r = np.clip(y + ((91881 * cr + 32768) >> 16), 0, 255)
+                g = np.clip(
+                    y + ((-22554 * cb - 46802 * cr + 32768) >> 16), 0, 255
                 )
-                return w, h, 1, img[:h, :w].reshape(h, w, 1)
+                b = np.clip(y + ((116130 * cb + 32768) >> 16), 0, 255)
+                return w, h, 3, np.stack([r, g, b], axis=-1).astype(np.uint8)
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn: bare
             continue
@@ -1361,15 +1511,22 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                 syms = list(data[i + 17 : i + 17 + cnt])
                 (dc_dec if tc == 0 else ac_dec)[th] = _huff_decoder(bits, syms)
                 i += 17 + cnt
-        elif marker == 0xC2:  # SOF2 progressive (spectral selection only)
+        elif marker == 0xC2:  # SOF2 progressive (grayscale or 4:4:4 color)
             prec, h, w, nc = struct.unpack_from(">BHHB", data, 0)
-            if prec != 8 or nc != 1 or data[7] != 0x11:
+            if prec != 8 or nc not in (1, 3):
                 raise ValueError(
-                    "progressive profile is 8-bit single-component 1x1 only"
+                    "progressive profile is 8-bit 1/3-component only"
                 )
-            comps = [(data[6], 1, 1, data[8])]
+            comps = []
+            for ci in range(nc):
+                if data[7 + 3 * ci] != 0x11:
+                    raise ValueError(
+                        "progressive sampling must be 1x1 (4:4:4)"
+                    )
+                comps.append((data[6 + 3 * ci], 1, 1, data[8 + 3 * ci]))
             progressive = True
-            prog_zz = np.zeros((((h + 7) // 8) * ((w + 7) // 8), 64), np.int64)
+            nb = ((h + 7) // 8) * ((w + 7) // 8)
+            prog_zz = {cid: np.zeros((nb, 64), np.int64) for cid, *_ in comps}
         elif marker == 0xC0:  # SOF0 baseline sequential
             prec, h, w, nc = struct.unpack_from(">BHHB", data, 0)
             if prec != 8 or nc not in (1, 3):
@@ -1391,28 +1548,44 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", data, 0)
         elif marker == 0xDA and progressive:  # one scan of a SOF2 stream
-            ss, se = data[3], data[4]
-            ah, al = data[5] >> 4, data[5] & 15
-            td, ta = data[2] >> 4, data[2] & 15
+            ns = data[0]
+            scomps = [
+                (data[1 + 2 * ci], data[2 + 2 * ci] >> 4, data[2 + 2 * ci] & 15)
+                for ci in range(ns)
+            ]  # (cid, td, ta)
+            ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+            ahal = data[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
             br = _BitReader(payload, pos)
-            n_blocks = prog_zz.shape[0]
+            n_blocks = next(iter(prog_zz.values())).shape[0]
             if ss == 0 and ah == 0:  # DC first scan (Al-shifted domain)
+                # multi-component DC scans are INTERLEAVED in MCU order
+                # (all-1x1 sampling: one block per component per MCU),
+                # per-component predictors — T.81 progressive allows
+                # interleave only for DC
                 if se != 0:
                     raise ValueError("progressive DC scan must have Se=0")
-                dcd = dc_dec[td]
-                pred = 0
+                preds = {cid: 0 for cid, _td, _ta in scomps}
                 for b in range(n_blocks):
-                    sz = dcd(br)
-                    diff = _extend(br.bits(sz), sz) if sz else 0
-                    pred += diff
-                    prog_zz[b, 0] = pred << al
+                    for cid, td, _ta in scomps:
+                        sz = dc_dec[td](br)
+                        diff = _extend(br.bits(sz), sz) if sz else 0
+                        preds[cid] += diff
+                        prog_zz[cid][b, 0] = preds[cid] << al
             elif ss == 0:  # DC refinement: one raw bit per block at Al
                 # OR into the arithmetic-shifted value — exact for
                 # negatives in two's complement (T.81 G.1.2.1)
                 for b in range(n_blocks):
-                    if br.bits(1):
-                        prog_zz[b, 0] |= 1 << al
+                    for cid, _td, _ta in scomps:
+                        if br.bits(1):
+                            prog_zz[cid][b, 0] |= 1 << al
             elif ah == 0:  # AC first scan (EOBRUN semantics, Al shift)
+                if ns != 1:
+                    raise ValueError(
+                        "progressive AC scans are single-component (T.81)"
+                    )
+                cid, _td, ta = scomps[0]
+                zzc = prog_zz[cid]
                 acd = ac_dec[ta]
                 prog_eobrun = 0
                 for b in range(n_blocks):
@@ -1434,7 +1607,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                         i += r
                         if i > se:
                             raise ValueError("AC run past band end")
-                        prog_zz[b, i] = _extend(br.bits(sz), sz) << al
+                        zzc[b, i] = _extend(br.bits(sz), sz) << al
                         i += 1
             else:  # AC refinement scan (T.81 G.1.2.3 / libjpeg
                 # decode_mcu_AC_refine): newly-significant coefficients
@@ -1442,13 +1615,19 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                 # read one correction bit each — including through
                 # EOBRUN regions, whose blocks still carry correction
                 # bits for their nonzero band coefficients.
+                if ns != 1:
+                    raise ValueError(
+                        "progressive AC scans are single-component (T.81)"
+                    )
+                cid, _td, ta = scomps[0]
+                prog_zz_c = prog_zz[cid]
                 acd = ac_dec[ta]
                 p1 = 1 << al
                 prog_eobrun = 0
 
                 def _correct(b: int, k: int) -> None:
-                    if br.bits(1) and (abs(int(prog_zz[b, k])) & p1) == 0:
-                        prog_zz[b, k] += p1 if prog_zz[b, k] > 0 else -p1
+                    if br.bits(1) and (abs(int(prog_zz_c[b, k])) & p1) == 0:
+                        prog_zz_c[b, k] += p1 if prog_zz_c[b, k] > 0 else -p1
 
                 for b in range(n_blocks):
                     k = ss
@@ -1473,7 +1652,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                             # advance over r zero-history coefficients,
                             # correcting the nonzero ones passed over
                             while k <= se:
-                                if prog_zz[b, k] != 0:
+                                if prog_zz_c[b, k] != 0:
                                     _correct(b, k)
                                 else:
                                     if r == 0:
@@ -1481,13 +1660,13 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                                     r -= 1
                                 k += 1
                             if val and k <= se:
-                                prog_zz[b, k] = val
+                                prog_zz_c[b, k] = val
                             k += 1
                     if prog_eobrun > 0:
                         # correction bits for the rest of the band,
                         # then consume one block of the EOB run
                         while k <= se:
-                            if prog_zz[b, k] != 0:
+                            if prog_zz_c[b, k] != 0:
                                 _correct(b, k)
                             k += 1
                         prog_eobrun -= 1

@@ -874,8 +874,8 @@ def x4_jpeg_prog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     is empty by construction. The oracle is the identical closed form as
     the baseline query: same pixels, different entropy layout — which is
     precisely the claim progressive JPEG makes. Successive approximation
-    is covered by x4_jpeg_prog_sa_decode (round 8); progressive color
-    remains documented out-of-profile."""
+    and progressive color are covered by x4_jpeg_prog_sa_decode and
+    x4_jpeg_prog_color_decode (round 8)."""
     import pandas as pd
 
     from .multimodal.codecs import decode_jpeg, make_jpeg_progressive
@@ -956,8 +956,8 @@ def x4_jpeg_prog_sa_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     refinement scans, and the two's-complement DC bit OR. All planes
     down to Al=0 are sent, so the reconstructed coefficients — and the
     oracle — are IDENTICAL to the baseline/spectral-selection queries:
-    same closed form, third entropy layout. Progressive color remains
-    the one documented JPEG descope."""
+    same closed form, third entropy layout. Progressive COLOR is covered
+    by x4_jpeg_prog_color_decode."""
     import pandas as pd
 
     from .multimodal.codecs import decode_jpeg, make_jpeg_prog_sa
@@ -986,6 +986,94 @@ def x4_jpeg_prog_sa_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen_decode,
         "doc_id long, width long, height long, n_channels long, "
         "sum_px long, min_px long, max_px long",
+    )
+
+
+# =====================================================================
+# X4 — real progressive COLOR JPEG decode (4:4:4 + SA, round 8)
+# =====================================================================
+
+@query(
+    "x4_jpeg_prog_color_decode",
+    f"""
+    WITH dims AS (
+      SELECT doc_id, CAST(1 + doc_id % 4 AS BIGINT) AS bw,
+             CAST(1 + doc_id % 3 AS BIGINT) AS bh
+      FROM documents
+    ), blk AS (
+      SELECT doc_id, bw, bh, unnest(range(0, bw * bh)) AS b
+      FROM dims
+    ), px AS (
+      SELECT doc_id, bw, bh,
+             28 + (doc_id * 13 + b * 29) % 201 AS g,
+             (doc_id * 7 + b * 11) % 15 - 7 AS a,
+             (64 + (doc_id * 17 + b * 37) % 128) - 128 AS kb,
+             (64 + (doc_id * 23 + b * 41) % 128) - 128 AS kr,
+             unnest(range(0, 8)) AS x
+      FROM blk
+    ), vals AS (
+      SELECT doc_id, bw, bh, kb, kr,
+             CAST(ROUND(g + a * list_extract(
+               LIST_VALUE({{basis}}), x + 1)) AS BIGINT) AS yv
+      FROM px
+    )
+    SELECT doc_id, CAST(bw * 8 AS BIGINT) AS width,
+           CAST(bh * 8 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS n_channels,
+           CAST(8 * SUM(LEAST(255, GREATEST(0,
+             yv + ((91881 * kr + 32768) >> 16)))) AS BIGINT) AS sum_r,
+           CAST(8 * SUM(LEAST(255, GREATEST(0,
+             yv + ((-22554 * kb - 46802 * kr + 32768) >> 16)))) AS BIGINT) AS sum_g,
+           CAST(8 * SUM(LEAST(255, GREATEST(0,
+             yv + ((116130 * kb + 32768) >> 16)))) AS BIGINT) AS sum_b
+    FROM vals
+    GROUP BY doc_id, bw, bh
+    """.replace("{basis}", _JPEG_BASIS),
+)
+def x4_jpeg_prog_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 real progressive COLOR JPEG decode (round 8 — the final JPEG
+    profile): 4:4:4 YCbCr SOF2 streams with successive approximation —
+    INTERLEAVED multi-component DC scans (per-component predictors, the
+    one interleave T.81 progressive allows) + single-component AC band
+    scans with full SA refinement, reconstructed per component and
+    converted with the same fixed-point YCbCr→RGB as the baseline color
+    path. Payloads stay in the exactly-invertible class: textured Y
+    (the proven DC+AC(0,1) construction) and per-block FLAT chroma
+    (flat-block DCT = pure DC at quant step 8 — exact), so the DuckDB
+    twin recomputes the decoded RGB sums in closed form (the jpeg420
+    oracle's conversion with per-block chroma and no subsampling).
+    With this, every JPEG entropy layout the engine claims — baseline
+    gray/4:4:4/4:2:0, restarts, spectral selection, SA gray, SA color —
+    is hash-checked; remaining JPEG descopes are sampling layouts other
+    than 1x1/2x2, arithmetic coding, and 12-bit precision."""
+    import pandas as pd
+
+    from .multimodal.codecs import decode_jpeg, make_jpeg_prog_color
+
+    # spread(): the doc_id spine is a ~1-file scan, but the decode below
+    # is CPU-bound Python — widen to cluster parallelism (no-op when
+    # the scan is already wide; see operators/partitioning.py)
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen_decode(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                w, h, c, img = decode_jpeg(make_jpeg_prog_color(int(i)))
+                s = img.reshape(-1, 3).astype("int64").sum(axis=0)
+                rows.append(
+                    {
+                        "doc_id": int(i), "width": w, "height": h,
+                        "n_channels": c, "sum_r": int(s[0]),
+                        "sum_g": int(s[1]), "sum_b": int(s[2]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        gen_decode,
+        "doc_id long, width long, height long, n_channels long, "
+        "sum_r long, sum_g long, sum_b long",
     )
 
 

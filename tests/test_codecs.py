@@ -616,6 +616,103 @@ def test_jpeg_progressive_sa_scan_script():
     assert all(v == 0 for v in last_al.values()), last_al
 
 
+# ------------------------------------- progressive color (round 8)
+
+from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (  # noqa: E402
+    encode_jpeg_progressive_color,
+    make_jpeg_prog_color,
+)
+
+
+def test_jpeg_progressive_color_matches_baseline_444():
+    """4:4:4 progressive color streams (interleaved DC scans +
+    per-component AC scans with SA refinement) decode to the identical
+    RGB as the baseline sequential 4:4:4 encoding of the same planes."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (
+        encode_jpeg_ycbcr420,
+    )
+
+    rng = np.random.default_rng(53)
+    for shape in ((8, 8), (16, 24), (24, 16)):
+        y = rng.integers(0, 256, shape, dtype=np.uint8)
+        cb = rng.integers(0, 256, shape, dtype=np.uint8)
+        cr = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg_ycbcr420(y, cb, cr, subsample=False))[3]
+        prog = decode_jpeg(encode_jpeg_progressive_color(y, cb, cr))[3]
+        assert (base == prog).all(), shape
+
+
+def test_jpeg_progressive_color_generator_closed_form():
+    """The generator's decoded RGB equals the closed-form fixed-point
+    conversion of the Y/chroma formulas — the exactness claim the
+    x4_jpeg_prog_color_decode oracle relies on."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (
+        jpeg420_chroma,
+        jpeg_ac_basis,
+        jpeg_block_amp,
+        jpeg_block_value,
+        jpeg_blocks,
+    )
+
+    basis = np.array(jpeg_ac_basis())
+    for d in (0, 7, 23, 255):
+        w, h, c, img = decode_jpeg(make_jpeg_prog_color(d))
+        bwn, bhn = jpeg_blocks(d)
+        assert (w, h, c) == (bwn * 8, bhn * 8, 3)
+        for b in range(bwn * bhn):
+            by, bx = divmod(b, bwn)
+            yv = np.round(
+                jpeg_block_value(d, b) + jpeg_block_amp(d, b) * basis
+            ).astype(np.int64)
+            kb = jpeg420_chroma(d, b, 0) - 128
+            kr = jpeg420_chroma(d, b, 1) - 128
+            r = np.clip(yv + ((91881 * kr + 32768) >> 16), 0, 255)
+            g = np.clip(yv + ((-22554 * kb - 46802 * kr + 32768) >> 16), 0, 255)
+            bl = np.clip(yv + ((116130 * kb + 32768) >> 16), 0, 255)
+            exp = np.stack(
+                [np.tile(r, (8, 1)), np.tile(g, (8, 1)), np.tile(bl, (8, 1))],
+                axis=-1,
+            )
+            got = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.int64)
+            assert np.array_equal(got, exp), (d, b)
+
+
+def test_jpeg_progressive_color_scan_constraints():
+    """T.81 progressive constraints hold in the emitted scan script:
+    DC scans are the only multi-component (interleaved) ones, every AC
+    scan names exactly one component, and all three components' AC
+    bands reach Al=0."""
+    import struct
+
+    payload = make_jpeg_prog_color(5)
+    i = 2
+    ac_comps = set()
+    while i + 2 <= len(payload):
+        if payload[i] != 0xFF:
+            i += 1
+            continue
+        m = payload[i + 1]
+        if m == 0xDA:
+            (ln,) = struct.unpack_from(">H", payload, i + 2)
+            data = payload[i + 4 : i + 2 + ln]
+            ns = data[0]
+            ss = data[1 + 2 * ns]
+            if ss == 0:
+                assert ns == 3  # interleaved DC over all components
+            else:
+                assert ns == 1  # AC scans single-component
+                ac_comps.add(data[1])
+            i += 2 + ln
+        elif m == 0xD9:
+            break
+        elif m in (0x01,) or 0xD0 <= m <= 0xD7:
+            i += 2
+        else:
+            (ln,) = struct.unpack_from(">H", payload, i + 2)
+            i += 2 + ln
+    assert ac_comps == {1, 2, 3}
+
+
 # ------------------------------------------------------------- G.711
 
 from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (  # noqa: E402

@@ -81,6 +81,7 @@ MAP_IN_PANDAS_QUERIES = {
     "x4_gif_decode",
     "x4_jpeg_prog_decode",
     "x4_jpeg_prog_sa_decode",
+    "x4_jpeg_prog_color_decode",
     "x4_wav_g711_decode",
     "x4_video_frames",
     "x4_image_dhash",
