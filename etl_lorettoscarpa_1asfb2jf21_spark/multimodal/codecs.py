@@ -23,9 +23,14 @@ engine ships REAL parsers for them:
   alignment, avih/strh/strf headers, idx1 index validation) over
   per-frame baseline JPEGs — see the MJPEG-in-AVI section.
 
-Formats outside these profiles (MP3, inter-coded video, WebP, …) raise
-in decode.py — those need Pillow/libav, which this container does not
-ship.
+* AVI/MRLE INTER-CODED video: Microsoft RLE8 (BI_RLE8) streams whose
+  delta/skip escapes inherit pixels from the PREVIOUS frame — real
+  temporal prediction, decoded with a persistent canvas — see the
+  MS-RLE8 section.
+
+Formats outside these profiles (MP3, motion-compensated DCT video à la
+MPEG/H.26x, WebP, …) raise in decode.py — those need Pillow/libav,
+which this container does not ship.
 
 The deterministic generators (``make_bmp``/``make_wav``) synthesize valid
 files whose pixel/sample values follow pure integer formulas, which makes
@@ -2261,6 +2266,257 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, int, list[bytes]]:
         if fr[:2] != b"\xff\xd8":
             raise ValueError("movi chunk is not a JPEG (no SOI)")
     return int(w), int(h), int(us_per_frame), frames
+
+
+# ----------------------------------------- MS-RLE8 INTER-coded video (AVI)
+#
+# Microsoft RLE8 (BI_RLE8 / 'MRLE') is the documented inter-coded video
+# codec of the AVI ecosystem: every frame is an RLE8 bitstream whose
+# DELTA (00 02 dx dy) and end-of-line/bitmap escapes SKIP pixels — and a
+# skipped pixel keeps its value from the PREVIOUS frame. That is real
+# temporal prediction: decoding frame k requires the decoded state of
+# frame k-1, which is exactly the "inter-coded video" property MJPEG
+# (all-intra) lacks, and it closes that descope with a fully documented
+# public format (Windows BITMAPINFOHEADER biCompression=1 semantics).
+#
+# The generator writes a keyframe (every row run-length coded) and then
+# one inter frame per step that repaints ONLY row (j mod h) — rows are
+# skipped via an up-delta, so almost every pixel of every inter frame is
+# temporally predicted. Row values and the 256-entry palette follow pure
+# integer formulas, so the sampled frames' decoded RGB sums have a
+# closed-form DuckDB twin (x4_video_inter_frames): the last writer of
+# bottom-up row r by frame k is j = k - ((k - r) mod h) when positive,
+# else the keyframe.
+
+def mrle_dims(doc_id: int) -> tuple[int, int]:
+    return 6 + doc_id % 9, 4 + doc_id % 7  # w in [6,14], h in [4,10]
+
+
+def mrle_index(doc_id: int, j: int, r: int) -> int:
+    """Palette index painted by frame j onto bottom-up row r."""
+    return (doc_id * 11 + j * 29 + r * 17) % 256
+
+
+def mrle_palette(doc_id: int) -> np.ndarray:
+    """(256, 3) uint8 RGB palette — same formula family as the GIF
+    oracle's, mirrored in the SQL twin."""
+    i = np.arange(256, dtype=np.int64)
+    return np.stack(
+        [
+            (i * 7 + doc_id) % 256,
+            (i * 11 + doc_id * 3) % 256,
+            (i * 13 + doc_id * 5) % 256,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def _rle8_keyframe(doc_id: int, w: int, h: int) -> bytes:
+    out = bytearray()
+    for r in range(h):  # RLE8 rows are BOTTOM-UP, like BMP
+        out += bytes([w, mrle_index(doc_id, 0, r)])
+        out += b"\x00\x00"  # EOL
+    out += b"\x00\x01"  # end of bitmap
+    return bytes(out)
+
+
+def _rle8_inter_frame(doc_id: int, j: int, w: int, h: int) -> bytes:
+    """Repaint only row (j mod h); every other pixel is inherited from
+    the previous frame via the delta skip. Every third frame paints its
+    row in ABSOLUTE mode (escape 00 n + n literal bytes, word-padded) so
+    both RLE8 pixel paths stay exercised."""
+    r = j % h
+    out = bytearray()
+    if r:
+        out += bytes([0, 2, 0, r])  # delta: right 0, up r rows
+    val = mrle_index(doc_id, j, r)
+    if j % 3 == 0:
+        out += bytes([0, w]) + bytes([val] * w)  # absolute mode (w >= 6 >= 3)
+        if w & 1:
+            out += b"\x00"  # absolute runs are word-aligned
+    else:
+        out += bytes([w, val])  # encoded run
+    out += b"\x00\x01"
+    return bytes(out)
+
+
+def make_avi_mrle(doc_id: int) -> bytes:
+    """A valid AVI/MRLE (BI_RLE8) clip: 8-bit palettized stream — strf
+    carries the BITMAPINFOHEADER (biCompression=1) plus the 256-entry
+    RGBQUAD palette — one keyframe then inter frames, with idx1 marking
+    only the keyframe AVIIF_KEYFRAME."""
+    w, h = mrle_dims(doc_id)
+    n = avi_n_frames(doc_id)
+    frames = [_rle8_keyframe(doc_id, w, h)] + [
+        _rle8_inter_frame(doc_id, j, w, h) for j in range(1, n)
+    ]
+    bufsz = max(len(fr) for fr in frames)
+
+    avih = struct.pack(
+        "<14I",
+        AVI_US_PER_FRAME, bufsz * 10, 0, 0x10, n, 0, 1, bufsz, w, h,
+        0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids", b"MRLE", 0, 0, 0, 0, 1, 10, 0, n, bufsz, 10_000, 0,
+        0, 0, w, h,
+    )
+    pal = mrle_palette(doc_id)
+    rgbquads = b"".join(
+        bytes([int(b), int(g), int(r), 0]) for r, g, b in pal
+    )  # RGBQUAD order is blue, green, red, reserved
+    strf = (
+        struct.pack(
+            "<IiiHH4sIiiII",
+            40, w, h, 1, 8, b"\x01\x00\x00\x00",  # biCompression = BI_RLE8
+            w * h, 0, 0, 256, 256,
+        )
+        + rgbquads
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(
+            b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
+        ),
+    )
+    movi_data = b""
+    idx = b""
+    for fi, fr in enumerate(frames):
+        flags = 0x10 if fi == 0 else 0  # AVIIF_KEYFRAME on the intra frame
+        idx += struct.pack("<4sIII", b"00dc", flags, 4 + len(movi_data), len(fr))
+        movi_data += _riff_chunk(b"00dc", fr)
+    movi = _riff_list(b"movi", movi_data)
+    idx1 = _riff_chunk(b"idx1", idx)
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def _rle8_apply(data: bytes, canvas: np.ndarray) -> None:
+    """Decode one RLE8 frame INTO the persistent canvas (bottom-up row
+    order) — pixels not written keep their previous-frame values, which
+    is the codec's temporal prediction. Handles encoded runs, EOL, end
+    of bitmap, delta skips, and word-aligned absolute runs."""
+    h, w = canvas.shape
+    x = y = 0
+    i = 0
+    while True:
+        if i + 2 > len(data):
+            raise ValueError("RLE8 stream ended without end-of-bitmap")
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt > 0:  # encoded run
+            if y >= h or x + cnt > w:
+                raise ValueError("RLE8 run out of bounds")
+            canvas[y, x : x + cnt] = val
+            x += cnt
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            return
+        elif val == 2:  # delta: skip right/up (temporal inheritance)
+            if i + 2 > len(data):
+                raise ValueError("truncated RLE8 delta")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+            if y > h or x > w:
+                raise ValueError("RLE8 delta out of bounds")
+        else:  # absolute mode: val literal pixels, word-aligned
+            if i + val > len(data):
+                raise ValueError("truncated RLE8 absolute run")
+            if y >= h or x + val > w:
+                raise ValueError("RLE8 absolute run out of bounds")
+            canvas[y, x : x + val] = np.frombuffer(
+                data[i : i + val], dtype=np.uint8
+            )
+            x += val
+            i += val + (val & 1)
+
+
+def decode_avi_mrle(
+    payload: bytes,
+) -> tuple[int, int, int, np.ndarray, list[np.ndarray]]:
+    """REAL AVI/MRLE parse -> (width, height, us_per_frame, palette
+    (256,3) RGB, frames as TOP-DOWN (h,w) uint8 palette-index arrays).
+    Same RIFF walk and idx1 cross-check as decode_avi_mjpeg, plus the
+    BI_RLE8 stream decode with a persistent canvas — each frame starts
+    from the previous frame's pixels (inter coding), keyframe from
+    zeros."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    end = 8 + riff_size
+    if end > len(payload):
+        raise ValueError("truncated RIFF payload")
+
+    avih = strh = strf_hdr = None
+    palette = None
+    frames_raw: list[bytes] = []
+    offsets: list[int] = []
+    idx_raw = None
+    for fourcc, ds, size in _avi_walk(payload, 12, end):
+        if fourcc == b"LIST":
+            ltype = payload[ds : ds + 4]
+            if ltype == b"hdrl":
+                for f2, ds2, sz2 in _avi_walk(payload, ds + 4, ds + size):
+                    if f2 == b"avih":
+                        avih = struct.unpack("<14I", payload[ds2 : ds2 + 56])
+                    elif f2 == b"LIST" and payload[ds2 : ds2 + 4] == b"strl":
+                        for f3, ds3, sz3 in _avi_walk(
+                            payload, ds2 + 4, ds2 + sz2
+                        ):
+                            if f3 == b"strh":
+                                strh = struct.unpack(
+                                    "<4s4sIHHIIIIIIII4h",
+                                    payload[ds3 : ds3 + 56],
+                                )
+                            elif f3 == b"strf":
+                                strf_hdr = struct.unpack(
+                                    "<IiiHH4sIiiII", payload[ds3 : ds3 + 40]
+                                )
+                                quads = payload[ds3 + 40 : ds3 + 40 + 1024]
+                                if len(quads) != 1024:
+                                    raise ValueError("RLE8 palette truncated")
+                                q = np.frombuffer(quads, np.uint8).reshape(
+                                    256, 4
+                                )
+                                palette = q[:, [2, 1, 0]].copy()  # BGRx -> RGB
+            elif ltype == b"movi":
+                for f2, ds2, sz2 in _avi_walk(payload, ds + 4, ds + size):
+                    if f2 in (b"00dc", b"00db"):
+                        frames_raw.append(payload[ds2 : ds2 + sz2])
+                        offsets.append(ds2 - 8 - ds)
+        elif fourcc == b"idx1":
+            idx_raw = payload[ds : ds + size]
+
+    if avih is None or strh is None or strf_hdr is None or palette is None:
+        raise ValueError("AVI missing avih/strh/strf headers")
+    if strh[0] != b"vids" or strh[1] != b"MRLE":
+        raise ValueError(f"unsupported AVI stream {strh[0]!r}/{strh[1]!r}")
+    if strf_hdr[5] != b"\x01\x00\x00\x00" or strf_hdr[4] != 8:
+        raise ValueError("stream is not 8-bit BI_RLE8")
+    us_per_frame, n_declared, w, h = avih[0], avih[4], avih[8], avih[9]
+    if (strf_hdr[1], strf_hdr[2]) != (w, h):
+        raise ValueError("strf dims disagree with avih")
+    if len(frames_raw) != n_declared or strh[9] != n_declared:
+        raise ValueError("frame count mismatch")
+    if idx_raw is not None:
+        if len(idx_raw) != 16 * len(frames_raw):
+            raise ValueError("idx1 entry count != frame count")
+        for i, fr in enumerate(frames_raw):
+            ckid, flags, off, sz = struct.unpack(
+                "<4sIII", idx_raw[16 * i : 16 * i + 16]
+            )
+            if ckid not in (b"00dc", b"00db") or sz != len(fr) or off != offsets[i]:
+                raise ValueError(f"idx1 entry {i} disagrees with movi chunk")
+
+    canvas = np.zeros((h, w), dtype=np.uint8)  # bottom-up rows
+    frames: list[np.ndarray] = []
+    for fr in frames_raw:
+        _rle8_apply(fr, canvas)  # persistent canvas = temporal prediction
+        frames.append(canvas[::-1].copy())  # top-down image orientation
+    return int(w), int(h), int(us_per_frame), palette, frames
 
 
 # ------------------------------------------------- perceptual hash (dHash)

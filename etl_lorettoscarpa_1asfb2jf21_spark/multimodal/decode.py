@@ -265,6 +265,68 @@ def decode_video_frames(
     return df.select(id_col, payload_col).mapInPandas(decode, DECODED_FRAME_SCHEMA)
 
 
+DECODED_INTER_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("us_per_frame", LongType(), False),
+        StructField("sum_r", LongType(), False),
+        StructField("sum_g", LongType(), False),
+        StructField("sum_b", LongType(), False),
+    ]
+)
+
+
+def decode_inter_video_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_n: int = 2,
+) -> DataFrame:
+    """REAL inter-coded video frame sampling (AVI/MRLE, BI_RLE8): walk
+    the RIFF container, decode the RLE8 stream with a persistent canvas
+    — every frame starts from the previous frame's pixels, so sampling
+    frame k still requires decoding frames 0..k (the defining property
+    of temporal prediction; an all-intra codec could seek) — take every
+    ``every_n``-th DECODED state, map palette indices to RGB, and emit
+    one row per sampled frame with its channel sums. Arrow mapInPandas;
+    the per-frame fan-out happens inside the batch (sample-then-emit,
+    never per-frame shuffled binary rows)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import decode_avi_mrle
+
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, us, pal, frames = decode_avi_mrle(bytes(payload))
+                pal64 = pal.astype("int64")
+                for f in range(0, len(frames), every_n):
+                    rgb = pal64[frames[f]]  # (h, w, 3)
+                    s = rgb.reshape(-1, 3).sum(axis=0)
+                    rows.append(
+                        {
+                            "doc_id": int(i),
+                            "frame_idx": f,
+                            "n_frames": len(frames),
+                            "width": w,
+                            "height": h,
+                            "us_per_frame": us,
+                            "sum_r": int(s[0]),
+                            "sum_g": int(s[1]),
+                            "sum_b": int(s[2]),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        decode, DECODED_INTER_FRAME_SCHEMA
+    )
+
+
 def sample_video_frames(
     df: DataFrame,
     id_col: str = "doc_id",

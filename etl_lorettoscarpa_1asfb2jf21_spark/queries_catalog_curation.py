@@ -1320,6 +1320,85 @@ def x4_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# X4 — real INTER-CODED video decode (AVI/MRLE, BI_RLE8 — round 8)
+# =====================================================================
+
+@query(
+    "x4_video_inter_frames",
+    """
+    WITH dims AS (
+      SELECT doc_id, CAST(6 + doc_id % 9 AS BIGINT) AS w,
+             CAST(4 + doc_id % 7 AS BIGINT) AS h,
+             CAST(3 + doc_id % 6 AS BIGINT) AS nf
+      FROM documents
+    ), frm AS (
+      SELECT doc_id, w, h, nf, unnest(range(0, nf, 2)) AS f
+      FROM dims
+    ), rws AS (
+      SELECT doc_id, w, h, nf, f, unnest(range(0, h)) AS r
+      FROM frm
+    ), writer AS (
+      -- last frame <= f that painted bottom-up row r: frame j paints
+      -- row (j mod h); anything earlier than frame 1 is the keyframe
+      SELECT doc_id, w, h, nf, f, r,
+             GREATEST(f - ((f - r) % h + h) % h, 0) AS jw
+      FROM rws
+    ), idx AS (
+      SELECT doc_id, w, h, nf, f, r,
+             (doc_id * 11 + jw * 29 + r * 17) % 256 AS i
+      FROM writer
+    )
+    SELECT doc_id, f AS frame_idx, nf AS n_frames,
+           w AS width, h AS height,
+           CAST(100000 AS BIGINT) AS us_per_frame,
+           CAST(SUM(w * ((i * 7 + doc_id) % 256)) AS BIGINT) AS sum_r,
+           CAST(SUM(w * ((i * 11 + doc_id * 3) % 256)) AS BIGINT) AS sum_g,
+           CAST(SUM(w * ((i * 13 + doc_id * 5) % 256)) AS BIGINT) AS sum_b
+    FROM idx
+    GROUP BY doc_id, f, nf, w, h
+    """,
+)
+def x4_video_inter_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 real INTER-CODED video decode (round 8 — closes the
+    temporal-prediction descope): synthesize a valid AVI/MRLE (BI_RLE8)
+    clip per document — Microsoft's documented run-length video codec,
+    whose delta/EOL escapes SKIP pixels that then keep their values from
+    the PREVIOUS frame (real inter coding: decoding frame k requires the
+    decoded state of frames 0..k-1, unlike all-intra MJPEG) — then run
+    the real pipeline (multimodal/decode.py:decode_inter_video_frames):
+    RIFF walk + idx1 cross-check (keyframe flagged AVIIF_KEYFRAME), RLE8
+    decode with a persistent canvas (encoded runs, absolute mode with
+    word alignment, delta skips), palette mapping, every-2nd-frame
+    sampling, per-frame RGB channel sums. Payloads: keyframe paints all
+    rows, each inter frame repaints only row (j mod h) — every third
+    one in absolute mode — so the DuckDB twin recomputes each sampled
+    frame's sums in closed form from the last-writer recurrence without
+    seeing a byte: a wrong delta offset, canvas reset, palette order, or
+    sampling index breaks the hash."""
+    import pandas as pd
+
+    from .multimodal.codecs import make_avi_mrle
+    from .multimodal.decode import decode_inter_video_frames
+
+    # spread(): the doc_id spine is a ~1-file scan, but the decode below
+    # is CPU-bound Python — widen to cluster parallelism (no-op when
+    # the scan is already wide; see operators/partitioning.py)
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": [make_avi_mrle(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    clips = d.mapInPandas(gen, "doc_id long, payload binary")
+    return decode_inter_video_frames(clips, every_n=2)
+
+
+# =====================================================================
 # X4 — image perceptual-hash near-dup (dHash + Hamming)
 # =====================================================================
 

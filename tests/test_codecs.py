@@ -922,3 +922,79 @@ def test_dhash_brightness_invariance():
     rng = np.random.default_rng(7)
     img = rng.integers(10, 200, (17, 23, 3)).astype(np.uint8)
     assert dhash63(img) == dhash63(img + 20)
+
+
+# ------------------------------- MS-RLE8 inter-coded video (round 8)
+
+from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (  # noqa: E402
+    avi_n_frames,
+    decode_avi_mrle,
+    make_avi_mrle,
+    mrle_dims,
+    mrle_index,
+    mrle_palette,
+)
+
+
+def test_mrle_closed_form_exact():
+    """Every decoded frame equals the last-writer closed form the
+    x4_video_inter_frames oracle recomputes: bottom-up row r of frame k
+    carries mrle_index(d, j, r) for j = max(k - ((k - r) mod h), 0)."""
+    for d in (0, 3, 9, 17, 255):
+        w, h, us, pal, frames = decode_avi_mrle(make_avi_mrle(d))
+        assert (w, h) == mrle_dims(d)
+        assert us == 100_000
+        assert len(frames) == avi_n_frames(d)
+        for k, img in enumerate(frames):
+            for r in range(h):
+                jw = max(k - ((k - r) % h), 0)
+                assert (img[h - 1 - r] == mrle_index(d, jw, r)).all(), (d, k, r)
+        assert (pal == mrle_palette(d)).all()
+
+
+def test_mrle_frames_are_temporally_predicted():
+    """The inter property itself: decoding frame k from a ZERO canvas
+    (instead of frame k-1's pixels) produces different pixels — the
+    skipped rows genuinely inherit previous-frame state, so these
+    streams cannot be decoded intra-only."""
+    import numpy as np
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (
+        _rle8_apply,
+        _rle8_inter_frame,
+    )
+
+    d = 9
+    w, h = mrle_dims(d)
+    _, _, _, _, frames = decode_avi_mrle(make_avi_mrle(d))
+    # frame 1 decoded against a fresh zero canvas loses every inherited row
+    fresh = np.zeros((h, w), np.uint8)
+    _rle8_apply(_rle8_inter_frame(d, 1, w, h), fresh)
+    assert not (fresh[::-1] == frames[1]).all()
+    # and consecutive decoded frames differ in at most the repainted row
+    for k in range(1, len(frames)):
+        assert (frames[k] != frames[k - 1]).any(axis=1).sum() <= 1
+
+
+def test_mrle_stream_validation():
+    """Malformed RLE8 streams fail fast: runs past the row end, deltas
+    off the canvas, truncation without end-of-bitmap."""
+    import numpy as np
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (
+        _rle8_apply,
+    )
+
+    canvas = np.zeros((4, 6), np.uint8)
+    with pytest.raises(ValueError):
+        _rle8_apply(bytes([7, 5, 0, 1]), canvas.copy())  # run > width
+    with pytest.raises(ValueError):
+        _rle8_apply(bytes([0, 2, 9, 9, 0, 1]), canvas.copy())  # delta off canvas
+    with pytest.raises(ValueError):
+        _rle8_apply(bytes([3, 5]), canvas.copy())  # no end-of-bitmap
+    # idx1 tamper: flipping a size breaks the container check
+    payload = bytearray(make_avi_mrle(3))
+    i = payload.rindex(b"idx1")
+    payload[i + 8 + 12] ^= 0xFF  # first entry's size field
+    with pytest.raises(ValueError):
+        decode_avi_mrle(bytes(payload))
