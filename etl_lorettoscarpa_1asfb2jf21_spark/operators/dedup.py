@@ -16,7 +16,10 @@ hot path) so they scale to 10^9+ documents:
 Scale notes: every strategy is shuffle-bound on a hash key (doc id, band
 bucket, block key) — no global sorts, no driver collects. MinHash bands and
 SimHash chunks are classic pigeonhole LSH: candidate generation is linear in
-corpus size, verification quadratic only within a bucket.
+corpus size, verification quadratic only within a bucket — and the minhash
+path bounds even that: band buckets beyond DEFAULT_MAX_BUCKET members fall
+back to linear star-topology candidates (see bucket_pairs), so boilerplate
+mega-buckets cannot blow up enumeration or the verify stage.
 """
 
 from __future__ import annotations
@@ -75,27 +78,69 @@ def _hashed_ngrams_from_norm(n: int, distinct: bool = True, portable: bool = Fal
     return F.transform(grams, lambda g: _gram_hash(g, portable))
 
 
-def bucket_pairs(buckets: DataFrame, id_col: str, bucket_cols: list[str]) -> DataFrame:
+# Default oversized-bucket guard for minhash_lsh_pairs: full pair
+# enumeration is quadratic in bucket size, so a cap² = ~0.5M-pair ceiling
+# per bucket bounds the candidate volume while leaving every sanely-sized
+# LSH bucket on the exact path. Catalog oracles import this so the SQL
+# twins can't drift from the engine rule.
+DEFAULT_MAX_BUCKET = 1024
+
+
+def bucket_pairs(
+    buckets: DataFrame,
+    id_col: str,
+    bucket_cols: list[str],
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any bucket.
 
     groupBy-collect + per-bucket pair enumeration instead of a bucket
     self-join: one pass over the (expensive) bucket input rather than two
     plan branches recomputing it, and one shuffle on the bucket key instead
     of a join + distinct. Bucket membership lists stay small by LSH design,
-    so the in-array combination enumeration is cheap; a pathological
-    mega-bucket would surface here as a hot key — cap it upstream (more
-    bands/planes) rather than here.
+    so the in-array combination enumeration is cheap.
+
+    ``max_bucket`` guards the pathological mega-bucket (crawl boilerplate:
+    thousands-to-millions of near-identical documents landing in ONE band
+    bucket — the norm at 100 TB, not an edge case). Full enumeration of an
+    m-sized bucket materializes an m²/2-element struct array in a single
+    row before the explode — at m = 10⁶ that is an executor OOM plus
+    5·10¹¹ downstream verify rows. With a cap, buckets of at most
+    ``max_bucket`` members keep the exact enumeration and larger buckets
+    fall back to a STAR topology: every member pairs with the bucket's
+    minimum id only (m−1 pairs, linear). For a true duplicate set — which
+    is what a mega-bucket is — the verified star edges produce connected
+    components identical to full enumeration's; the approximation only
+    loses x~y edges where neither x nor y resembles the bucket minimum,
+    and such mixed buckets at mega size indicate too few bands, not a
+    pair-enumeration problem. The CASE branches evaluate lazily per row,
+    so small buckets never build the star array and oversized ones never
+    build the quadratic one. Residual bound: the collect_set buffer and
+    the star array are m-sized (8·m bytes of ids) — linear, spill-less;
+    corpora where one band bucket exceeds ~10⁷ ids should exact-hash
+    pre-collapse identical documents before LSH (exact_dedup upstream,
+    as the curation funnel does).
     """
     grouped = (
         buckets.groupBy(*bucket_cols)
         .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("_ids"))
         .filter(F.size("_ids") > 1)
     )
-    pairs = F.expr(
+    all_pairs = F.expr(
         "flatten(transform(_ids, (x, i) -> "
         "transform(slice(_ids, i + 2, size(_ids) - i - 1), "
         "y -> struct(x AS id_a, y AS id_b))))"
     )
+    if max_bucket is None:
+        pairs = all_pairs
+    else:
+        star_pairs = F.expr(
+            "transform(slice(_ids, 2, size(_ids) - 1), "
+            "y -> struct(element_at(_ids, 1) AS id_a, y AS id_b))"
+        )
+        pairs = F.when(F.size("_ids") <= F.lit(int(max_bucket)), all_pairs).otherwise(
+            star_pairs
+        )
     return (
         grouped.select(F.explode(pairs).alias("p"))
         .select("p.id_a", "p.id_b")
@@ -194,6 +239,7 @@ def minhash_lsh_pairs(
     shingle_size: int = 6,
     jaccard_threshold: float = 0.7,
     portable: bool = False,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) with exact Jaccard verify.
 
@@ -202,6 +248,14 @@ def minhash_lsh_pairs(
     pairs (bucket_pairs: single signature pass, no self-join) → verify with
     exact shingle-set Jaccard.
     Returns columns: id_a, id_b, jaccard.
+
+    ``max_bucket`` (default :data:`DEFAULT_MAX_BUCKET`) bounds per-bucket
+    pair enumeration: band buckets larger than the cap — boilerplate-heavy
+    crawl corpora produce them routinely — emit star-topology candidates
+    (member ↔ bucket-min, m−1 pairs) instead of the quadratic m²/2 set;
+    see :func:`bucket_pairs`. Verified star edges yield the same connected
+    components for true duplicate sets, so cluster-resolving consumers are
+    unaffected; pass ``None`` to restore unconditional full enumeration.
 
     ``portable=True`` swaps every engine-specific hash (xxhash64 shingles,
     xxhash64 band buckets) for md5-derived forms DuckDB reproduces exactly,
@@ -214,7 +268,7 @@ def minhash_lsh_pairs(
     sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_size, portable)
     buckets = _lsh_band_buckets(sig, id_col, bands, rows_per_band, portable)
 
-    cand = bucket_pairs(buckets, "_id", ["band", "bucket"])
+    cand = bucket_pairs(buckets, "_id", ["band", "bucket"], max_bucket=max_bucket)
 
     shingles = _spread_normalized(df, text_col, keep=[id_col]).select(
         F.col(id_col).alias("_sid"),

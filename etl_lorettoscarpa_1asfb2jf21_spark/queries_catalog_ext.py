@@ -26,6 +26,7 @@ from .functions.text import (
     token_count_expr,
 )
 from .operators.dedup import (
+    DEFAULT_MAX_BUCKET,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -126,11 +127,20 @@ _MH_ORACLE = f"""
              {_MH_BUCKET_CASE}
              END AS bucket
       FROM sig, (VALUES (0), (1), (2), (3)) AS bb(band)
+    ), bsz AS (
+      -- engine twin of bucket_pairs' oversized-bucket guard: per-bucket
+      -- member count + minimum id decide full vs star enumeration below
+      SELECT band, bucket, count(*) AS m, min(doc_id) AS mn
+      FROM buckets GROUP BY band, bucket
     ), cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM buckets a
       JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
                     AND a.doc_id < b.doc_id
+      JOIN bsz s ON a.band = s.band AND a.bucket = s.bucket
+      -- buckets within the cap: every in-bucket pair; oversized buckets:
+      -- star topology — only pairs anchored at the bucket minimum
+      WHERE s.m <= {DEFAULT_MAX_BUCKET} OR a.doc_id = s.mn
     ), gr AS (
       SELECT doc_id, list(DISTINCT h) AS g FROM sh GROUP BY doc_id
     )
@@ -154,7 +164,11 @@ def x1_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature, banded buckets, candidate pairs, exact-Jaccard verify) has a
     DuckDB twin, hash-compared; not just the verification arithmetic.
     The hot-path xxhash64 variant stays the production default and is
-    pair-equality-tested against this one in tests/test_operators.py."""
+    pair-equality-tested against this one in tests/test_operators.py.
+    The oversized-bucket guard (full enumeration up to DEFAULT_MAX_BUCKET
+    members per band bucket, star topology beyond — see bucket_pairs) is
+    mirrored in the twin's bsz/cand CTEs, so the cap rule itself is
+    oracle-checked."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         d, "text", "doc_id", num_hashes=16, bands=4, jaccard_threshold=0.5,

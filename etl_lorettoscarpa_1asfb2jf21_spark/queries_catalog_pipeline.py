@@ -2193,6 +2193,7 @@ def tp12_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _tp13_oracle() -> str:
     # ext is imported before this module by queries_catalog, and does not
     # import it back — safe to reuse the proven MinHash-LSH CTE pieces.
+    from .operators.dedup import DEFAULT_MAX_BUCKET
     from .queries_catalog_ext import (
         _H60,
         _MH_BUCKET_CASE,
@@ -2233,11 +2234,17 @@ def _tp13_oracle() -> str:
              {_MH_BUCKET_CASE}
              END AS bucket
       FROM sig, (VALUES (0), (1), (2), (3)) AS bb(band)
+    ), bsz AS (
+      -- bucket_pairs' oversized-bucket guard, mirrored (see _MH_ORACLE)
+      SELECT band, bucket, count(*) AS m, min(doc_id) AS mn
+      FROM buckets GROUP BY band, bucket
     ), cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM buckets a
       JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
                     AND a.doc_id < b.doc_id
+      JOIN bsz s ON a.band = s.band AND a.bucket = s.bucket
+      WHERE s.m <= {DEFAULT_MAX_BUCKET} OR a.doc_id = s.mn
     ), gr AS (
       SELECT doc_id, list(DISTINCT h) AS g FROM sh GROUP BY doc_id
     ), prs AS (

@@ -118,6 +118,84 @@ def test_portable_minhash_matches_xxhash_pairs(spark):
     assert fast == port
 
 
+def test_bucket_pairs_star_fallback_on_oversized_bucket(spark):
+    """Buckets within the cap enumerate every pair; oversized buckets emit
+    star-topology candidates (member ↔ bucket min) — linear, not m²/2."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.dedup import bucket_pairs
+
+    rows = [(i, 0, "big") for i in range(1, 7)] + [  # 6 members > cap=4
+        (10, 1, "small"),
+        (11, 1, "small"),
+        (12, 1, "small"),  # 3 members <= cap
+    ]
+    b = spark.createDataFrame(rows, ["id", "band", "bucket"])
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in bucket_pairs(b, "id", ["band", "bucket"], max_bucket=4).collect()
+    }
+    star_big = {(1, i) for i in range(2, 7)}
+    full_small = {(10, 11), (10, 12), (11, 12)}
+    assert capped == star_big | full_small
+    # cap=None keeps the historical unconditional full enumeration
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in bucket_pairs(b, "id", ["band", "bucket"]).collect()
+    }
+    assert uncapped == {
+        (i, j) for i in range(1, 7) for j in range(i + 1, 7)
+    } | full_small
+
+
+def test_minhash_mega_bucket_bounded(spark):
+    """Adversarial boilerplate corpus: 10k documents with identical text all
+    land in ONE band bucket per band. Full enumeration would materialize
+    ~50M candidate pairs (an m²/2 array in a single aggregation row);
+    the capped path must complete with exactly the m−1 star pairs, every
+    one anchored at the bucket minimum."""
+    m = 10_000
+    boiler = (
+        "subscribe to our newsletter for the latest updates terms of "
+        "service privacy policy all rights reserved contact us about"
+    )
+    df = spark.range(m).select(
+        F.col("id").alias("doc_id"), F.lit(boiler).alias("text")
+    )
+    pairs = minhash_lsh_pairs(
+        df, "text", "doc_id", num_hashes=16, bands=4, jaccard_threshold=0.5
+    ).collect()
+    assert len(pairs) == m - 1
+    assert all(r["id_a"] == 0 and r["jaccard"] == 1.0 for r in pairs)
+
+
+def test_minhash_cap_preserves_clusters(spark):
+    """On a corpus where the cap fires, star pairs differ from full
+    enumeration but duplicate_clusters resolves the IDENTICAL components
+    for true duplicate sets — the property cluster consumers rely on."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.graph import duplicate_clusters
+
+    dup = "spark catalyst tungsten adaptive execution whole stage codegen"
+    rows = [(i, dup) for i in range(6)] + [
+        (10, "a totally unrelated document about parquet bloom filters"),
+        (11, "yet another singleton row mentioning arrow and pandas udfs"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kw = dict(num_hashes=16, bands=4, jaccard_threshold=0.5)
+    capped = minhash_lsh_pairs(df, "text", "doc_id", max_bucket=3, **kw)
+    naive = minhash_lsh_pairs(df, "text", "doc_id", max_bucket=None, **kw)
+    n_capped, n_naive = capped.count(), naive.count()
+    assert n_capped == 5 and n_naive == 15  # star m-1 vs full m(m-1)/2
+
+    def clusters(pairs):
+        return {
+            (r["doc_id"], r["cluster_id"], r["is_canonical"])
+            for r in duplicate_clusters(
+                df, pairs.select("id_a", "id_b"), "doc_id"
+            ).collect()
+        }
+
+    assert clusters(capped) == clusters(naive)
+
+
 def test_incremental_neardup_matches_cross_boundary_pairs(spark):
     """The asymmetric index-vs-batch probe must find exactly the
     self-dedup pairs that cross the index/batch boundary — no more
