@@ -970,6 +970,31 @@ def _to_subs(
     )
 
 
+def _dense_lut_expr(n_entries: int):
+    """Flattened-LUT transform with a DENSITY guard. The wide-code ADC
+    fold indexes the array_sort-flattened lookup table POSITIONALLY as
+    ``_sub*n_codes + code`` — valid only when the codebook is dense
+    (exactly n_codes cells in every subspace). Codebook training keeps
+    ``min(distinct subspace rows, n_codes)`` cells, so a degenerate
+    corpus (fewer distinct sub-vectors than codes) would shift every
+    position after the gap and turn the fold into silently wrong
+    neighbors. assert_true makes that a loud execution-time failure at
+    the exact row instead."""
+    return F.when(
+        F.assert_true(
+            F.size("_ps") == F.lit(int(n_entries)),
+            F.format_string(
+                "PQ codebook is not dense: LUT has %s entries, expected "
+                f"{int(n_entries)} (n_subspaces*n_codes) — the training "
+                "corpus had fewer distinct sub-vectors than n_codes; "
+                "rebuild with a smaller n_codes",
+                F.size("_ps"),
+            ),
+        ).isNull(),
+        F.transform("_ps", lambda p: p["_d"]),
+    )
+
+
 def _index_meta(corpus: DataFrame, family: str, **params) -> DataFrame:
     """One-row build-parameters artifact stored alongside the index
     frames. Carries the corpus row count (so ``shortlist=None`` searches
@@ -1486,7 +1511,7 @@ def search_pq_index(
             )
             .select(
                 F.col(query_id),
-                F.transform("_ps", lambda p: p["_d"]).alias("_lut"),
+                _dense_lut_expr(n_subspaces * n_codes).alias("_lut"),
             )
         )
         approxd = index["codes"].crossJoin(F.broadcast(lut)).select(
@@ -1958,7 +1983,7 @@ def search_ivfpq_index(
             .select(
                 F.col(query_id),
                 "_cell",
-                F.transform("_ps", lambda p: p["_d"]).alias("_lut"),
+                _dense_lut_expr(n_subspaces * n_codes).alias("_lut"),
             )
         )
         approxd = index["codes"].join(F.broadcast(lut), "_cell").select(

@@ -565,6 +565,23 @@ def test_jpeg_progressive_sa_al_levels():
             assert (base == sa).all(), (dc_al, ac_al)
 
 
+def test_jpeg_progressive_sa_eobrun_overflow():
+    """An AC refinement scan over a quiet band longer than 32767 blocks
+    must force-flush the EOB run at the EOBn ceiling (r <= 14): without
+    the flush, r = bit_length-1 = 15 selects the ZRL symbol (0xF0) and
+    corrupts the stream. 2048x1032 = 33024 blocks, flat except one block
+    so the run spans virtually the whole image."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (
+        encode_jpeg_gray,
+    )
+
+    img = np.full((2048, 1032), 200, dtype=np.uint8)
+    img[0, 0] = 10  # one busy block; 33023 quiet blocks follow
+    base = decode_jpeg(encode_jpeg_gray(img))[3]
+    sa = decode_jpeg(encode_jpeg_progressive_sa(img))[3]
+    assert (base == sa).all()
+
+
 def test_jpeg_progressive_sa_generator_exact():
     from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (
         make_jpeg,

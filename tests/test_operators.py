@@ -1205,3 +1205,27 @@ def test_ann_index_meta_validation(spark, sf_small):
         assert "meta" in loaded
         with pytest.raises(ValueError, match="n_subspaces"):
             s.search_pq_index(q, c, loaded, k=5, n_subspaces=4)
+
+
+def test_pq_sparse_codebook_fails_loudly(spark, sf_small):
+    """The wide-code ADC fold indexes the flattened LUT positionally
+    (_sub*n_codes + code) — valid only for a DENSE codebook. A corpus
+    with fewer distinct sub-vectors than n_codes trains a sparse one;
+    searching it must raise the density assert, not return silently
+    shifted neighbors."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators import similarity as s
+    from etl_lorettoscarpa_1asfb2jf21_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_small, "embeddings")
+    q = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    ix = s.build_pq_index(c, n_subspaces=8, n_codes=8)  # 3 rows < 8 codes
+    with pytest.raises(Exception, match="not dense"):
+        s.search_pq_index(q, c, ix, k=2, shortlist=8).collect()
