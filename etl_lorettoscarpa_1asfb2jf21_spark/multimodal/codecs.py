@@ -2605,7 +2605,9 @@ def mc_keyframe_image(doc_id: int) -> np.ndarray:
 
 
 def encode_avi_mc(
-    frames_spec: list, us_per_frame: int = AVI_US_PER_FRAME
+    frames_spec: list,
+    us_per_frame: int = AVI_US_PER_FRAME,
+    dims: tuple[int, int] | None = None,
 ) -> bytes:
     """Encode an AVI/'MC1 ' clip from an explicit frame spec:
     ``[("I", img), ("P", mbs, residual_or_None), ...]`` with ``mbs`` one
@@ -2614,9 +2616,12 @@ def encode_avi_mc(
     uint8 (h, w) R plane (decoded semantics: pred + R - 128, clipped).
     The encoder is a faithful serializer: it does NOT validate MV bounds
     (tests craft invalid streams through it to exercise the decoder's
-    checks)."""
-    first = frames_spec[0][1]
-    h, w = first.shape
+    checks). ``dims`` (w, h) is only needed when the spec has no I-frame
+    to read the picture size from — again a craft-bad-streams affordance."""
+    if dims is None:
+        h, w = next(s[1] for s in frames_spec if s[0] == "I").shape
+    else:
+        w, h = dims
     payloads: list[bytes] = []
     keyflags: list[int] = []
     for spec in frames_spec:

@@ -1399,6 +1399,98 @@ def x4_video_inter_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# X4 — MOTION-COMPENSATED video decode (AVI/'MC1 ' — round 9)
+# =====================================================================
+
+@query(
+    "x4_video_mc_decode",
+    """
+    WITH dims AS (
+      SELECT doc_id, CAST(2 + doc_id % 2 AS BIGINT) AS wmb,
+             CAST(1 + (doc_id % 4) // 2 AS BIGINT) AS hmb,
+             CAST(3 + doc_id % 6 AS BIGINT) AS nf
+      FROM documents
+    ), frm AS (
+      SELECT doc_id, wmb, hmb, nf, unnest(range(0, nf, 2)) AS f
+      FROM dims
+    ), cols AS (
+      SELECT doc_id, wmb, hmb, nf, f, unnest(range(0, wmb * 16)) AS gx
+      FROM frm
+    ), pix AS (
+      SELECT doc_id, wmb, hmb, nf, f, gx, unnest(range(0, hmb * 16)) AS gy
+      FROM cols
+    ), src AS (
+      -- frame f shows the keyframe permuted by ((f+1)//2, f//2) cyclic
+      -- macroblock shifts (odd P-frames rotate MB columns, even rotate
+      -- rows) — the closed form of the generator's motion vectors
+      SELECT doc_id, wmb, hmb, nf, f, gx, gy,
+             ((gx // 16 + (f + 1) // 2) % wmb) * 16 + gx % 16 AS gxs,
+             ((gy // 16 + f // 2) % hmb) * 16 + gy % 16 AS gys
+      FROM pix
+    ), val AS (
+      SELECT doc_id, wmb, hmb, nf, f, gx, gy,
+             CAST(ROUND(
+               28 + (doc_id * 13
+                     + ((gys // 8) * (wmb * 2) + gxs // 8) * 29) % 201
+               + ((doc_id * 7
+                   + ((gys // 8) * (wmb * 2) + gxs // 8) * 11) % 15 - 7)
+                 * list_extract(LIST_VALUE({basis}), gxs % 8 + 1)
+             ) AS BIGINT) AS p
+      FROM src
+    )
+    SELECT doc_id, f AS frame_idx, nf AS n_frames,
+           CAST(wmb * 16 AS BIGINT) AS width,
+           CAST(hmb * 16 AS BIGINT) AS height,
+           CAST(100000 AS BIGINT) AS us_per_frame,
+           CAST(SUM(p) AS BIGINT) AS sum_px,
+           CAST(SUM(p * (1 + gx)) AS BIGINT) AS col_wsum,
+           CAST(SUM(p * (1 + gy)) AS BIGINT) AS row_wsum
+    FROM val
+    GROUP BY doc_id, f, nf, wmb, hmb
+    """.replace("{basis}", _JPEG_BASIS),
+)
+def x4_video_mc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 MOTION-COMPENSATED video decode (round 9 — closes the last
+    media descope): synthesize an AVI/'MC1 ' clip per document —
+    MPEG-1-class P-frames: 16x16 macroblocks, full-pel integer motion
+    vectors into the previous RECONSTRUCTED frame, skip/inter macroblock
+    modes (intra refresh + DCT residual exist in the codec and are fuzz-
+    tested; the catalog class is MV-only so the oracle is closed-form) —
+    then run the real pipeline (decode.py:decode_mc_video_frames): RIFF
+    walk + idx1 keyframe-flag cross-check, baseline-JPEG I-frame decode,
+    per-frame motion-compensated reconstruction, every-2nd-frame
+    sampling, per-frame pixel sums PLUS column/row coordinate-weighted
+    sums. The generator's MVs cyclically rotate macroblock columns (odd
+    frames) and rows (even frames), so sampled frame f shows the proven
+    (DC, AC(0,1)) keyframe texture permuted by ((f+1)//2, f//2) — the
+    DuckDB twin recomputes all three sums in closed form without seeing
+    a byte; plain sums are permutation-invariant, so the WEIGHTED sums
+    are what a wrong MV sign, offset, reference frame, or sampling index
+    breaks."""
+    import pandas as pd
+
+    from .multimodal.codecs import make_avi_mc
+    from .multimodal.decode import decode_mc_video_frames
+
+    # spread(): the doc_id spine is a ~1-file scan, but the decode below
+    # is CPU-bound Python — widen to cluster parallelism (no-op when
+    # the scan is already wide; see operators/partitioning.py)
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": [make_avi_mc(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    clips = d.mapInPandas(gen, "doc_id long, payload binary")
+    return decode_mc_video_frames(clips, every_n=2)
+
+
+# =====================================================================
 # X4 — image perceptual-hash near-dup (dHash + Hamming)
 # =====================================================================
 

@@ -1015,3 +1015,156 @@ def test_mrle_stream_validation():
     payload[i + 8 + 12] ^= 0xFF  # first entry's size field
     with pytest.raises(ValueError):
         decode_avi_mrle(bytes(payload))
+
+
+# ------------------------------------ motion-compensated video (round 9)
+
+from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (  # noqa: E402
+    MC_MB,
+    decode_avi_mc,
+    encode_avi_mc,
+    make_avi_mc,
+    mc_dims,
+    mc_keyframe_image,
+)
+
+
+def _mc_reference_decode(keyframe, pframes):
+    """Plain-Python reference reconstruction of the MC1 semantics,
+    independent of the production decoder's parsing/validation: frames
+    from an explicit spec, prediction from the previous reconstruction,
+    decoded-JPEG residual add. Used to fuzz decode_avi_mc."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    h, w = keyframe.shape
+    _, _, _, dec = decode_jpeg(encode_jpeg_gray(keyframe))
+    frames = [dec[:, :, 0].copy()]
+    for mbs, residual in pframes:
+        ref = frames[-1]
+        out = np.empty_like(ref)
+        k = 0
+        for py in range(0, h, MC_MB):
+            for px in range(0, w, MC_MB):
+                mb = mbs[k]
+                k += 1
+                if mb[0] == "skip":
+                    out[py : py + MC_MB, px : px + MC_MB] = ref[
+                        py : py + MC_MB, px : px + MC_MB
+                    ]
+                elif mb[0] == "mv":
+                    sy, sx = py + mb[2], px + mb[1]
+                    out[py : py + MC_MB, px : px + MC_MB] = ref[
+                        sy : sy + MC_MB, sx : sx + MC_MB
+                    ]
+                else:
+                    out[py : py + MC_MB, px : px + MC_MB] = mb[1]
+        if residual is not None:
+            _, _, _, r = decode_jpeg(encode_jpeg_gray(residual))
+            out = np.clip(
+                out.astype(np.int16) + r[:, :, 0].astype(np.int16) - 128,
+                0,
+                255,
+            ).astype(np.uint8)
+        frames.append(out)
+    return frames
+
+
+def test_mc_video_generator_closed_form():
+    """make_avi_mc's MV-only clips decode to the keyframe texture
+    permuted by ((f+1)//2, f//2) cyclic macroblock shifts — the exact
+    closed form the x4_video_mc_decode oracle recomputes."""
+    for d in range(12):
+        w, h = mc_dims(d)
+        dw, dh, us, frames = decode_avi_mc(make_avi_mc(d))
+        assert (dw, dh, us) == (w, h, 100000)
+        key = mc_keyframe_image(d)
+        wmb, hmb = w // MC_MB, h // MC_MB
+        for f in range(len(frames)):
+            ncol, nrow = (f + 1) // 2, f // 2
+            exp = np.empty_like(key)
+            for my in range(hmb):
+                for mx in range(wmb):
+                    smx, smy = (mx + ncol) % wmb, (my + nrow) % hmb
+                    exp[
+                        my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16
+                    ] = key[
+                        smy * 16 : smy * 16 + 16, smx * 16 : smx * 16 + 16
+                    ]
+            assert (frames[f] == exp).all(), (d, f)
+
+
+def test_mc_video_fuzz_vs_reference():
+    """Random clips through every macroblock mode (skip, arbitrary
+    non-MB-aligned in-bounds motion vectors, intra refresh) and the
+    DCT residual path must decode identically to the plain-Python
+    reference reconstruction."""
+    rng = np.random.default_rng(93)
+    for trial in range(6):
+        wmb = int(rng.integers(1, 4))
+        hmb = int(rng.integers(1, 4))
+        w, h = 16 * wmb, 16 * hmb
+        key = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        pframes = []
+        for j in range(int(rng.integers(1, 5))):
+            mbs = []
+            for my in range(hmb):
+                for mx in range(wmb):
+                    mode = int(rng.integers(0, 3))
+                    if mode == 0:
+                        mbs.append(("skip",))
+                    elif mode == 1:
+                        dx = int(rng.integers(-16 * mx, w - 16 * (mx + 1) + 1))
+                        dy = int(rng.integers(-16 * my, h - 16 * (my + 1) + 1))
+                        mbs.append(("mv", dx, dy))
+                    else:
+                        mbs.append(
+                            (
+                                "intra",
+                                rng.integers(
+                                    0, 256, (MC_MB, MC_MB), dtype=np.uint8
+                                ),
+                            )
+                        )
+            residual = (
+                rng.integers(0, 256, (h, w), dtype=np.uint8)
+                if j % 2 == 1
+                else None
+            )
+            pframes.append((mbs, residual))
+        payload = encode_avi_mc(
+            [("I", key)] + [("P", mbs, res) for mbs, res in pframes]
+        )
+        dw, dh, _, got = decode_avi_mc(payload)
+        expected = _mc_reference_decode(key, pframes)
+        assert (dw, dh) == (w, h)
+        assert len(got) == len(expected)
+        for f, (g, e) in enumerate(zip(got, expected)):
+            assert (g == e).all(), (trial, f)
+
+
+def test_mc_video_stream_validation():
+    """Decoder hard-fails on out-of-bounds motion vectors, tampered
+    idx1 keyframe flags, truncated macroblock walks, and P-first
+    streams — the container/bitstream discipline of the AVI family."""
+    key = np.full((16, 32), 80, np.uint8)
+    ok = [("P", [("mv", 16, 0), ("skip",)], None)]
+    # out-of-bounds MV: source window would cross the right edge
+    bad = encode_avi_mc([("I", key), ("P", [("mv", 17, 0), ("skip",)], None)])
+    with pytest.raises(ValueError, match="outside the reference"):
+        decode_avi_mc(bad)
+    # truncated macroblock walk (one record for two macroblocks)
+    bad = encode_avi_mc([("I", key), ("P", [("skip",)], None)])
+    with pytest.raises(ValueError, match="ran past|trailing"):
+        decode_avi_mc(bad)
+    # P-frame first: nothing to predict from
+    with pytest.raises(ValueError, match="starts with a P-frame"):
+        decode_avi_mc(encode_avi_mc([("P", ok[0][1], None)], dims=(32, 16)))
+    # idx1 keyframe-flag tamper on the I-frame
+    payload = bytearray(encode_avi_mc([("I", key)] + ok))
+    i = payload.rindex(b"idx1")
+    payload[i + 8 + 4] = 0  # clear the first entry's AVIIF_KEYFRAME flag
+    with pytest.raises(ValueError, match="keyframe flag"):
+        decode_avi_mc(bytes(payload))

@@ -85,6 +85,7 @@ MAP_IN_PANDAS_QUERIES = {
     "x4_wav_g711_decode",
     "x4_video_frames",
     "x4_video_inter_frames",
+    "x4_video_mc_decode",
     "x4_image_dhash",
     "x4_audio_features",
 }
