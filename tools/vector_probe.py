@@ -428,7 +428,12 @@ def main() -> None:
     path = os.path.join(root, "SCALING.md")
     text = open(path, encoding="utf-8").read() if os.path.exists(path) else ""
     if SECTION in text:
-        text = text[: text.index(SECTION)].rstrip() + "\n"
+        # replace only OUR marker-delimited section; sections owned by
+        # other tools (e.g. the adversarial LSH witness) survive
+        start = text.index(SECTION)
+        nxt = text.find("\n## ", start + 1)
+        tail = text[nxt + 1 :] if nxt != -1 else ""
+        text = (text[:start].rstrip() + "\n\n" + tail).rstrip() + "\n"
     with open(path, "w", encoding="utf-8") as f:
         f.write(text.rstrip() + "\n\n" + "\n".join(lines) + "\n")
     print(f"wrote {SECTION!r} section to {path}")
