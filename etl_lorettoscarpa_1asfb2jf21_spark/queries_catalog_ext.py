@@ -103,7 +103,32 @@ _MH_BUCKET_CASE = "\n             ".join(
     + "))"
     for b in range(_MH_BANDS)
 )
-_MH_ORACLE = f"""
+def _mh_oracle_sql(cap: int, candidates_only: bool = False) -> str:
+    """The full portable MinHash-LSH pipeline in SQL, parameterized by
+    the oversized-bucket cap so the capped-rule twin (x1_minhash_star)
+    and the production-default twin (x1_minhash_dedup) cannot drift.
+    ``candidates_only`` ends the query at the CANDIDATE pair set —
+    x1_minhash_star hash-checks that stage directly, because at gate
+    scale the oversized buckets are true-duplicate cliques and the
+    VERIFIED set comes out identical under either enumeration (the
+    candidate sets do differ: 83 star vs 105 full at sf0.01)."""
+    tail = (
+        "SELECT id_a, id_b FROM cand"
+        if candidates_only
+        else """, gr AS (
+      SELECT doc_id, list(DISTINCT h) AS g FROM sh GROUP BY doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.g, b.g))) AS jaccard
+    FROM cand c
+    JOIN gr a ON c.id_a = a.doc_id
+    JOIN gr b ON c.id_b = b.doc_id
+    WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.g, b.g))) >= 0.5
+"""
+    )
+    return f"""
     WITH norm AS (
       SELECT doc_id, {_NORM_SQL.format(c='text')} AS t FROM documents
     ), sh AS (
@@ -140,19 +165,12 @@ _MH_ORACLE = f"""
       JOIN bsz s ON a.band = s.band AND a.bucket = s.bucket
       -- buckets within the cap: every in-bucket pair; oversized buckets:
       -- star topology — only pairs anchored at the bucket minimum
-      WHERE s.m <= {DEFAULT_MAX_BUCKET} OR a.doc_id = s.mn
-    ), gr AS (
-      SELECT doc_id, list(DISTINCT h) AS g FROM sh GROUP BY doc_id
+      WHERE s.m <= {cap} OR a.doc_id = s.mn
     )
-    SELECT c.id_a, c.id_b,
-           CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.g, b.g))) AS jaccard
-    FROM cand c
-    JOIN gr a ON c.id_a = a.doc_id
-    JOIN gr b ON c.id_b = b.doc_id
-    WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.g, b.g))) >= 0.5
-"""
+    {tail}"""
+
+
+_MH_ORACLE = _mh_oracle_sql(DEFAULT_MAX_BUCKET)
 
 
 @query("x1_minhash_dedup", _MH_ORACLE)
@@ -174,6 +192,31 @@ def x1_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "text", "doc_id", num_hashes=16, bands=4, jaccard_threshold=0.5,
         portable=True,
     )
+
+
+@query("x1_minhash_star", _mh_oracle_sql(3, candidates_only=True))
+def x1_minhash_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 oversized-bucket guard, gate-ACTIVE: the portable MinHash-LSH
+    CANDIDATE stage with ``max_bucket=3``, chosen so sf0.01's real
+    bucket distribution (sizes up to 6) pushes several band buckets onto
+    the STAR enumeration path. The output is the candidate pair set
+    itself — 83 star-capped pairs vs 105 under full enumeration at
+    sf0.01 — so the capped rule (every in-bucket pair up to the cap,
+    min-anchored star pairs beyond) is hash-verified against the DuckDB
+    twin on live data; the VERIFIED sets coincide at this scale (the
+    oversized buckets are true-duplicate cliques — exactly the property
+    the fallback relies on), which is why x1_minhash_dedup alone could
+    not witness the rule. The production default (DEFAULT_MAX_BUCKET=
+    1024) never fires at gate scale; this entry proves the fallback's
+    exact semantics."""
+    from .operators.dedup import _lsh_band_buckets, bucket_pairs, minhash_signature
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(
+        d, "text", "doc_id", num_hashes=16, shingle_size=6, portable=True
+    )
+    buckets = _lsh_band_buckets(sig, "doc_id", bands=4, rows_per_band=4, portable=True)
+    return bucket_pairs(buckets, "_id", ["band", "bucket"], max_bucket=3)
 
 
 # --- x1_incremental_neardup oracle: same portable LSH pipeline, but the

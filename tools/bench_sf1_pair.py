@@ -1,0 +1,144 @@
+"""Paired engine-vs-DuckDB bench for the heavy shared queries at ~sf1.
+
+The sf0.1 pair (BASELINE.md) flatters DuckDB on sub-second queries where
+Spark pays its per-action scheduling floor; this tool measures the pair at
+the 10x key-offset replica (tools/make_sfx.py, default
+/tmp/spark_graft_sf1) for the top shared heavies, where plan quality — not
+fixed overhead — decides. Engine phase first (one warm session, noop sink,
+solo), then each DuckDB oracle twin in its OWN subprocess with a hard
+per-query timeout: recursive-CTE twins grow super-linearly and a DNF is
+recorded honestly instead of hanging the host for hours.
+
+    python tools/bench_sf1_pair.py [sf_dir] [timeout_sec] [names...]
+    python tools/bench_sf1_pair.py --duckdb-one <sf_dir> <name>   (internal)
+
+Writes BENCH_sf1_pair.json at the repo root and prints one JSON line.
+Run SOLO — co-tenant work distorts both sides.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+# Top shared heavies by engine cost at sf0.1 (BENCH_full_local.json),
+# all with full DuckDB oracle twins.
+DEFAULT_NAMES = [
+    "x1_dup_clusters",
+    "gr1_pagerank",
+    "x1_embedding_neardup",
+    "tp13_curation_funnel_neardup",
+    "x1_dedup_resolve",
+    "x2_topk_ivfpq",
+    "x2_served_topk",
+    "x2_topk_ivfbq",
+    "x2_topk_ivf",
+    "x2_topk_lsh",
+]
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _warm_cache(sf_dir: str) -> None:
+    """Touch every parquet byte once: /tmp replicas surviving from an
+    earlier session are COLD on disk and the first reader once measured
+    161 s vs 10.5 s warm for the same scan."""
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                while f.read(1 << 24):
+                    pass
+
+
+def duckdb_one(sf_dir: str, name: str) -> None:
+    """Run ONE oracle twin and print its wall time (subprocess target)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    sql = entrymod.oracle_sql()[name]
+    t0 = time.perf_counter()
+    con.execute(sql).fetchall()
+    print(json.dumps({"sec": round(time.perf_counter() - t0, 2)}))
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--duckdb-one":
+        duckdb_one(sys.argv[2], sys.argv[3])
+        return
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
+    timeout = int(sys.argv[2]) if len(sys.argv) > 2 else 900
+    names = sys.argv[3:] or DEFAULT_NAMES
+
+    _warm_cache(sf_dir)
+
+    # ---------------- engine phase (one warm session, noop sink)
+    from etl_lorettoscarpa_1asfb2jf21_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    spark = get_spark("bench_sf1_pair", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs[names[0]](spark, sf_dir).limit(1).collect()  # JVM/footer warmup
+
+    import gc
+
+    engine: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        engine[name] = round(time.perf_counter() - t0, 2)
+        print(f"engine {name}: {engine[name]}s", flush=True)
+        spark.catalog.clearCache()
+        gc.collect()
+    spark.stop()
+
+    # ---------------- DuckDB phase (one subprocess per query, hard cap)
+    duck: dict[str, float | str] = {}
+    for name in names:
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--duckdb-one", sf_dir, name],
+                capture_output=True,
+                text=True,
+                timeout=timeout,
+                cwd=ROOT,
+            )
+            line = out.stdout.strip().splitlines()[-1]
+            duck[name] = json.loads(line)["sec"]
+        except subprocess.TimeoutExpired:
+            duck[name] = f"DNF(>{timeout}s)"
+        except Exception as exc:  # noqa: BLE001 — record, don't lose the run
+            duck[name] = f"ERR({str(exc)[:80]})"
+        print(f"duckdb {name}: {duck[name]}", flush=True)
+
+    record = {
+        "metric": "sf1_heavy_pair",
+        "sf_dir": sf_dir,
+        "duckdb_timeout_sec": timeout,
+        "engine": engine,
+        "duckdb": duck,
+    }
+    with open(os.path.join(ROOT, "BENCH_sf1_pair.json"), "w", encoding="utf-8") as f:
+        json.dump(record, f, indent=1)
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()
