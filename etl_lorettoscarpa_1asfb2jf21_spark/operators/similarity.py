@@ -268,28 +268,42 @@ def embedding_neardup_pairs(
     from .dedup import bucket_pairs
 
     hps = _hyperplanes(dim, planes, seed)
-    # pack (id, vector) as the pair identity (struct ordering compares id
-    # first): one pass over the hyperplane-projection plan — a self-join
-    # would recompute the signatures on both branches — and the verify
-    # vectors arrive with the pair, no re-join against the corpus
     from ..functions.vectors import dot_expr, normalize_expr
 
     # unit-normalize once below the spread() exchange (sign bits are
     # norm-invariant; the verify dot then IS cosine — one array pass per
     # candidate instead of dot + two norms)
-    b = _explode_band_buckets(
-        spread(
-            df.select(F.col(id_col).alias("_pid"), normalize_expr(vec_col).alias("_v"))
-        ).select(
-            F.struct(F.col("_pid").alias("id"), F.col("_v").alias("v")).alias("_id"),
-            F.col("_v"),
-        ),
-        "_v",
-        hps,
-        bands,
-        use_arrow=use_arrow,
-    ).select("_id", F.col("_band").alias("band"), F.col("_bucket").alias("bucket"))
-    cand = bucket_pairs(b, "_id", ["band", "bucket"])
+    norm = spread(
+        df.select(F.col(id_col).alias("_pid"), normalize_expr(vec_col).alias("_v"))
+    )
+    # Candidates carry BARE ids; verify vectors are joined back from the
+    # (corpus-sized) normalized table afterwards. The previous design
+    # packed (id, vector) structs through bucket_pairs so the verify
+    # needed no re-join — measured BACKWARDS once candidates outnumber
+    # the corpus: every collect_set bucket array, every enumerated pair,
+    # and the cross-band distinct then carried two ~0.5 KB vectors
+    # (candidate-set bytes = pairs x 2 x dim doubles; 47M candidates at
+    # the 10x replica = ~48 GB through the exchange, 85.8 s vs DuckDB's
+    # 4.3 s in the round-9 sf1 pair). Two id-keyed joins against the
+    # corpus-sized table cost corpus-bounded bytes instead; AQE
+    # broadcasts the vector side when it is small, shuffle-joins at
+    # 10^9-row scale. Candidate ids and the fold dot are unchanged, so
+    # output — and the DuckDB oracle, which uses this exact
+    # pairs-then-join shape — is bit-identical.
+    b = _explode_band_buckets(norm, "_v", hps, bands, use_arrow=use_arrow).select(
+        F.col("_pid").alias("_id"),
+        F.col("_band").alias("band"),
+        F.col("_bucket").alias("bucket"),
+    )
+    # selfjoin strategy: hyperplane bands have at most 2^(planes/bands)
+    # buckets, so members-per-bucket grows LINEARLY with the corpus —
+    # the collect strategy's per-bucket pair-array enumeration was the
+    # 68.5 s wall here; the self-join streams the same 47M candidates
+    # through the shuffle in 11.4 s, and the cheap bucket input (sign
+    # bits over a projection) makes its two-branch recompute free.
+    cand = bucket_pairs(b, "_id", ["band", "bucket"], strategy="selfjoin")
+    va = norm.select(F.col("_pid").alias("id_a"), F.col("_v").alias("_va"))
+    vb = norm.select(F.col("_pid").alias("id_b"), F.col("_v").alias("_vb"))
     # Verify with the Arrow batch kernel by default, not dot_expr: at low
     # thresholds the candidate set is millions of pairs and the
     # higher-order-function dot evaluates interpreted per element (~100ns
@@ -299,15 +313,15 @@ def embedding_neardup_pairs(
     if use_arrow:
         from ..functions.vectors import cosine_batch_udf
 
-        sim_col = cosine_batch_udf()(F.col("id_a.v"), F.col("id_b.v"))
+        sim_col = cosine_batch_udf()(F.col("_va"), F.col("_vb"))
     else:
-        sim_col = dot_expr(F.col("id_a.v"), F.col("id_b.v"))
+        sim_col = dot_expr(F.col("_va"), F.col("_vb"))
     return (
-        cand.withColumn("sim", sim_col)
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("sim", sim_col)
         .filter(F.col("sim") >= threshold)
-        .select(
-            F.col("id_a.id").alias("id_a"), F.col("id_b.id").alias("id_b"), "sim"
-        )
+        .select("id_a", "id_b", "sim")
     )
 
 

@@ -144,6 +144,16 @@ def test_bucket_pairs_star_fallback_on_oversized_bucket(spark):
     assert uncapped == {
         (i, j) for i in range(1, 7) for j in range(i + 1, 7)
     } | full_small
+    # the selfjoin strategy produces the identical sets, capped and not
+    # (it streams large join groups instead of materializing pair arrays)
+    for cap, expected in ((4, capped), (None, uncapped)):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in bucket_pairs(
+                b, "id", ["band", "bucket"], max_bucket=cap, strategy="selfjoin"
+            ).collect()
+        }
+        assert got == expected, cap
 
 
 def test_minhash_mega_bucket_bounded(spark):
