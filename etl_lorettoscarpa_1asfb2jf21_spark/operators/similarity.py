@@ -2386,3 +2386,153 @@ def ivfbq_topk(
         queries, corpus, index, k, nprobe, dim, shortlist, word_bits, scale,
         query_id, query_vec, corpus_id, corpus_vec,
     )
+
+
+# ======================================================================
+# MMR — maximal-marginal-relevance diversified top-k
+# ======================================================================
+
+
+def mmr_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    shortlist: int = 16,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    scale: int = 10 ** 6,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    corpus_id: str = "c_id",
+    corpus_vec: str = "c_vec",
+) -> DataFrame:
+    """Diversified top-k (Carbonell & Goldstein 1998 MMR): greedily pick
+    ``k`` results per query maximizing ``lam·rel(q,c) − (1−lam)·max
+    sim(c, selected)`` — the retrieval/sampling step that wants RESULTS
+    spread across near-duplicate clusters instead of k copies of the
+    nearest one (diverse few-shot selection, dedup-aware RAG).
+
+    Integer-exact by construction so the greedy trace is bit-identical on
+    any engine: vectors quantize to scaled int64 (``quantize_expr``),
+    relevance/pairwise similarity are int64 dot products, and the MMR
+    score is ``lam_num·rel − (lam_den−lam_num)·maxsim`` (λ as an exact
+    rational, default 7/10). Ties break toward the lower corpus id. The
+    DuckDB twin unrolls the k greedy rounds as CTEs
+    (queries_catalog_quality._mmr_oracle_sql).
+
+    Scale: the corpus is touched ONLY by the relevance pass (one
+    broadcast-queries map scan + two-phase per-query top-``shortlist``,
+    exactly brute_force_topk's shape — compose with search_*_index for a
+    sub-linear candidate stage). Every greedy round after that runs on
+    |queries|·shortlist rows: the pairwise-sim table is
+    |queries|·shortlist² rows built once, and each of the k−1 rounds is
+    one small-key join + window argmax — bounded state independent of
+    corpus size, no Python.
+
+    Returns (query_id, corpus_id, sel_rank, rel, maxsim, mmr): sel_rank
+    = greedy pick order 1..k; maxsim = the candidate's max similarity to
+    the already-selected set at pick time (0 for the first pick);
+    mmr = the packed integer score it won the round with.
+    """
+    lam_rem = lam_den - lam_num
+    qq = queries.select(
+        F.col(query_id), quantize_expr(query_vec, scale).alias("_qqv")
+    )
+    cc = corpus.select(
+        F.col(corpus_id), quantize_expr(corpus_vec, scale).alias("_qcv")
+    )
+
+    def idot(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    rel = (
+        spread(cc)
+        .crossJoin(F.broadcast(qq))
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            idot("_qqv", "_qcv").alias("rel"),
+        )
+    )
+    short = per_key_topn(
+        rel, [query_id], [F.desc("rel"), F.col(corpus_id)], shortlist
+    ).select(query_id, corpus_id, "rel").localCheckpoint(eager=False)
+
+    # pairwise sims within each query's shortlist: |q|·m² rows, built once
+    sv = short.join(cc, corpus_id).select(query_id, corpus_id, "_qcv")
+    a = sv.select(
+        F.col(query_id),
+        F.col(corpus_id).alias("_ca"),
+        F.col("_qcv").alias("_va"),
+    )
+    b = sv.select(
+        F.col(query_id),
+        F.col(corpus_id).alias("_cb"),
+        F.col("_qcv").alias("_vb"),
+    )
+    sims = (
+        a.join(b, query_id)
+        .filter(F.col("_ca") != F.col("_cb"))
+        .select(F.col(query_id), "_ca", "_cb", idot("_va", "_vb").alias("_sim"))
+        .localCheckpoint(eager=False)
+    )
+
+    w = Window.partitionBy(query_id).orderBy(F.desc("mmr"), F.col(corpus_id))
+    first = (
+        short.select(
+            F.col(query_id),
+            F.col(corpus_id),
+            "rel",
+            F.lit(0).cast("long").alias("maxsim"),
+            (F.lit(lam_num) * F.col("rel")).alias("mmr"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            query_id, corpus_id, F.lit(1).cast("long").alias("sel_rank"),
+            "rel", "maxsim", "mmr",
+        )
+    )
+    selected = first
+    remaining = short.join(first.select(query_id, corpus_id), [query_id, corpus_id], "left_anti")
+    for r in range(2, k + 1):
+        ms = (
+            sims.join(
+                selected.select(F.col(query_id), F.col(corpus_id).alias("_cb")),
+                [query_id, "_cb"],
+            )
+            .groupBy(query_id, "_ca")
+            .agg(F.max("_sim").alias("maxsim"))
+        )
+        pick = (
+            remaining.join(
+                ms.select(query_id, F.col("_ca").alias(corpus_id), "maxsim"),
+                [query_id, corpus_id],
+            )
+            .select(
+                F.col(query_id),
+                F.col(corpus_id),
+                "rel",
+                "maxsim",
+                (
+                    F.lit(lam_num) * F.col("rel")
+                    - F.lit(lam_rem) * F.col("maxsim")
+                ).alias("mmr"),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                query_id, corpus_id,
+                F.lit(r).cast("long").alias("sel_rank"),
+                "rel", "maxsim", "mmr",
+            )
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+        remaining = remaining.join(
+            pick.select(query_id, corpus_id), [query_id, corpus_id], "left_anti"
+        ).localCheckpoint(eager=False)
+    return selected

@@ -245,3 +245,84 @@ def cms_estimate(
             .alias("cms_est")
         )
     )
+
+
+# -------------------------------------------------------------- Bloom
+
+BLOOM_BITS = 1024  # filter width in bits
+_BLOOM_WORD_BITS = 32  # bits packed per int64 word — shifts stay < 2^31,
+# so ``1 << (p % 32)`` is identical in Spark and DuckDB (no sign-bit or
+# BIGINT-overflow divergence at bit 63)
+BLOOM_WORDS = BLOOM_BITS // _BLOOM_WORD_BITS
+BLOOM_HASH_SALTS = ("b1|", "b2|")  # k=2 hash functions
+
+
+def bloom_position_expr(value: Column | str, salt: str) -> Column:
+    """Bit position in [0, BLOOM_BITS) for one hash function: the
+    engine-portable 60-bit md5 prefix of ``salt || value`` mod the filter
+    width. DuckDB twin:
+    ``('0x' || substr(md5('<salt>' || CAST(v AS VARCHAR)), 1, 15))::BIGINT
+    % 1024``."""
+    c = F.col(value) if isinstance(value, str) else value
+    return md5_long60(F.concat(F.lit(salt), c.cast("string"))) % BLOOM_BITS
+
+
+def bloom_build_words(build: DataFrame, value_col: str) -> DataFrame:
+    """Build the Bloom filter as a (``_w`` word index, ``_word`` int64
+    bit-OR) table of at most BLOOM_WORDS rows — the mergeable-summary
+    form (filters over shards union by bit_or per word).
+
+    One map pass over the build side emits k positions per value; the
+    shuffle after partial aggregation carries at most BLOOM_WORDS rows
+    per partition regardless of build cardinality."""
+    pos = build.select(
+        F.explode(
+            F.array(
+                *[bloom_position_expr(value_col, s) for s in BLOOM_HASH_SALTS]
+            )
+        ).alias("_p")
+    )
+    mask = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(_p % {_BLOOM_WORD_BITS} AS INT))"
+    )
+    return (
+        pos.groupBy(F.expr(f"_p div {_BLOOM_WORD_BITS}").alias("_w"))
+        .agg(F.bit_or(mask).alias("_word"))
+    )
+
+
+def bloom_probe(
+    probe: DataFrame, value_col: str, words: DataFrame, flag: str = "bloom_pass"
+) -> DataFrame:
+    """Mark each probe row with ``flag`` = true iff every hash position's
+    bit is set in the filter — the map-side semi-join reduction: the big
+    side is never shuffled, each bit test is one broadcast join against
+    the ≤BLOOM_WORDS-row word table. False positives are possible (the
+    caller exact-verifies survivors); false negatives are not."""
+    out = probe
+    conds = []
+    for i, s in enumerate(BLOOM_HASH_SALTS):
+        p = f"_bp{i}"
+        out = out.withColumn(p, bloom_position_expr(value_col, s)).join(
+            F.broadcast(
+                words.select(
+                    F.col("_w").alias(f"_w{i}"), F.col("_word").alias(f"_word{i}")
+                )
+            ),
+            F.expr(f"{p} div {_BLOOM_WORD_BITS}") == F.col(f"_w{i}"),
+            "left",
+        )
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST({p} % {_BLOOM_WORD_BITS} AS INT))"
+        )
+        conds.append(
+            F.col(f"_word{i}").isNotNull()
+            & (F.col(f"_word{i}").bitwiseAND(mask) != 0)
+        )
+    mask = conds[0]
+    for c in conds[1:]:
+        mask = mask & c
+    drop = [f"_bp{i}" for i in range(len(BLOOM_HASH_SALTS))]
+    drop += [f"_w{i}" for i in range(len(BLOOM_HASH_SALTS))]
+    drop += [f"_word{i}" for i in range(len(BLOOM_HASH_SALTS))]
+    return out.withColumn(flag, mask).drop(*drop)

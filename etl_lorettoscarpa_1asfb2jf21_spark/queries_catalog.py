@@ -904,6 +904,7 @@ from . import queries_catalog_curation as _cur  # noqa: E402
 from . import queries_catalog_ext as _ext  # noqa: E402
 from . import queries_catalog_extras as _extras  # noqa: E402
 from . import queries_catalog_pipeline as _pipe  # noqa: E402
+from . import queries_catalog_quality as _qual  # noqa: E402
 from . import queries_catalog_shapes as _shapes  # noqa: E402
 
 QUERIES.update(_ext.QUERIES)
@@ -916,6 +917,8 @@ QUERIES.update(_extras.QUERIES)
 ORACLE_SQL.update(_extras.ORACLE_SQL)
 QUERIES.update(_cur.QUERIES)
 ORACLE_SQL.update(_cur.ORACLE_SQL)
+QUERIES.update(_qual.QUERIES)
+ORACLE_SQL.update(_qual.ORACLE_SQL)
 
 # ---------------------------------------------------------------------
 # Registration-order invariant: every fully-oracle-checked query precedes

@@ -1,0 +1,507 @@
+"""Round-9 catalog: model-based curation + mixture construction +
+sketch-accelerated joins + diversified retrieval.
+
+Four operator families a 100 TB training-data build runs after the dedup
+ladder already in the catalog:
+
+* sk9  — Bloom-filter semi-join reduction: build a tiny mergeable bit
+  sketch of the small side, prune the 100 TB side MAP-SIDE before any
+  shuffle/exact join, account false positives exactly.
+* x3   — hashed-ngram linear classifier (the fastText/CCNet-style
+  model-based quality filter — the catalog's existing x3 filters are
+  heuristic ratios; this is the frozen-model scoring pass).
+* tp15 — domain upsampling (data mixing): per-domain integer repeat
+  factors toward a balanced mixture, docs exploded with an epoch index.
+* x2   — MMR diversified top-k (Carbonell & Goldstein 1998): greedy
+  relevance-vs-redundancy re-rank over a bounded shortlist.
+
+Same contract as queries_catalog: QUERIES[name] = (spark, sf_dir) -> DF,
+ORACLE_SQL[name] = the DuckDB twin. Everything here is integer-exact
+(60-bit md5 prefixes, scaled-int64 dot products, exact rational λ), so
+every query carries a FULL value-hash oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.hashing import md5_long60
+from .functions.text import normalized_text_expr
+from .sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# SQL twin of functions.hashing.md5_long60
+def _md5_long60_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+# SQL twin of functions.text.normalized_text_expr
+_NORM_SQL = "trim(regexp_replace(lower(coalesce({c}, '')), '\\s+', ' ', 'g'))"
+
+
+# =====================================================================
+# sk9 — Bloom-filter semi-join reduction (sketch-pruned join)
+# =====================================================================
+
+_SK9_POS_SQL = {
+    s: _md5_long60_sql(f"'{s}' || CAST({{v}} AS VARCHAR)") + " % 1024"
+    for s in ("b1|", "b2|")
+}
+
+
+def _sk9_oracle() -> str:
+    p1b = _SK9_POS_SQL["b1|"].format(v="k")
+    p2b = _SK9_POS_SQL["b2|"].format(v="k")
+    p1p = _SK9_POS_SQL["b1|"].format(v="l_suppkey")
+    p2p = _SK9_POS_SQL["b2|"].format(v="l_suppkey")
+    return f"""
+    WITH b AS (
+      SELECT DISTINCT s_suppkey AS k FROM supplier WHERE s_acctbal > 9000
+    ),
+    pos AS (
+      SELECT DISTINCT p FROM (
+        SELECT {p1b} AS p FROM b
+        UNION ALL
+        SELECT {p2b} AS p FROM b
+      )
+    ),
+    words AS (
+      SELECT p // 32 AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS word
+      FROM pos GROUP BY 1
+    ),
+    pr AS (
+      SELECT l_suppkey, l_returnflag, {p1p} AS p1, {p2p} AS p2 FROM lineitem
+    ),
+    probed AS (
+      SELECT pr.l_returnflag,
+             (w1.word IS NOT NULL
+              AND (w1.word & (CAST(1 AS BIGINT) << CAST(p1 % 32 AS INT))) != 0
+              AND w2.word IS NOT NULL
+              AND (w2.word & (CAST(1 AS BIGINT) << CAST(p2 % 32 AS INT))) != 0)
+               AS bloom_pass,
+             (b.k IS NOT NULL) AS is_match
+      FROM pr
+      LEFT JOIN words w1 ON w1.w = pr.p1 // 32
+      LEFT JOIN words w2 ON w2.w = pr.p2 // 32
+      LEFT JOIN b ON b.k = pr.l_suppkey
+    )
+    SELECT l_returnflag AS returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_pass,
+           CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_match,
+           CAST(SUM(CASE WHEN bloom_pass AND NOT is_match THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos
+    FROM probed GROUP BY 1
+    """
+
+
+@query("sk9_bloom_semijoin", _sk9_oracle())
+def sk9_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sk9: Bloom-filter semi-join reduction — the scan-side join prune.
+
+    Build a 1024-bit / k=2 Bloom filter over the small side (high-balance
+    suppliers), probe every lineitem MAP-SIDE against the ≤32-row word
+    table (broadcast; the fact side is never shuffled), then exact-verify
+    and account the false positives per returnflag. The filter is the
+    engine's portable-primitive sketch form (md5_long60 positions,
+    bit_or-merged int64 words — mergeable across shards like the
+    HLL/CMS family), so the DuckDB twin rebuilds the identical bits and
+    the pass/match/false-positive counts hash-match exactly.
+
+    Scale: this is how a 100 TB fact scan avoids shuffling rows that a
+    selective dimension predicate will drop anyway — the filter rides the
+    scan as two broadcast lookups + bit tests inside codegen; only
+    survivors (true matches + the measured FP mass) reach the exact join.
+    """
+    from .operators.sketches import bloom_build_words, bloom_probe
+
+    build = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_suppkey").alias("k"))
+        .distinct()
+    )
+    words = bloom_build_words(build, "k")
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_returnflag")
+    probed = bloom_probe(li, "l_suppkey", words, flag="bloom_pass")
+    probed = probed.join(
+        F.broadcast(build.withColumn("_hit", F.lit(True))),
+        probed.l_suppkey == F.col("k"),
+        "left",
+    ).withColumn("is_match", F.col("_hit").isNotNull())
+    return (
+        probed.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_bloom_pass"),
+            F.sum(F.when(F.col("is_match"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_match"),
+            F.sum(
+                F.when(F.col("bloom_pass") & ~F.col("is_match"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_false_pos"),
+        )
+    )
+
+
+# =====================================================================
+# x3 — hashed-ngram linear quality classifier (frozen fastText-style)
+# =====================================================================
+
+_X3C_BUCKETS = 4096
+_X3C_WEIGHT_SPAN = 17  # weights in [-8, 8]
+
+
+def _x3c_weight_sql(gram: str) -> str:
+    bucket = f"({_md5_long60_sql(gram)} % {_X3C_BUCKETS})"
+    wh = _md5_long60_sql(f"'w|' || CAST({bucket} AS VARCHAR)")
+    return f"(({wh} % {_X3C_WEIGHT_SPAN}) - 8)"
+
+
+def _x3c_oracle() -> str:
+    norm = _NORM_SQL.format(c="text")
+    weight = _x3c_weight_sql("g")
+    return f"""
+    WITH t AS (SELECT doc_id, {norm} AS nt FROM documents),
+    w AS (SELECT doc_id, regexp_split_to_array(nt, ' ') AS wa FROM t),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(wa) >= 2
+                  THEN list_distinct([wa[i] || ' ' || wa[i + 1]
+                                      FOR i IN range(1, len(wa))])
+                  ELSE [] END AS gd
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(len(gd) AS BIGINT) AS n_feats,
+           CAST(COALESCE(list_sum(list_transform(gd, g -> {weight})), 0)
+                AS BIGINT) AS score,
+           CAST(COALESCE(list_sum(list_transform(gd, g -> {weight})), 0)
+                AS BIGINT) > 0 AS accept
+    FROM g
+    """
+
+
+@query("x3_hashed_classifier", _x3c_oracle())
+def x3_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x3: hashed bag-of-bigrams linear classifier — the model-based
+    quality filter (fastText/CCNet-style) as a pure map pass: distinct
+    word bigrams → hashing-trick bucket (md5_long60 % 4096) → frozen
+    integer weight per bucket (md5-derived, [-8,8]) → summed score and an
+    accept label. The model here is a deterministic stand-in (weights
+    derived from the bucket hash, not trained), which makes the WHOLE
+    scoring path — feature extraction, hashing trick, sparse dot product,
+    thresholding — integer-exact and fully oracle-checked; swapping in
+    trained weights is a broadcast-join of a (bucket, weight) table into
+    the same fold.
+
+    Scale: no shuffle at all — tokenize/bigram/hash/score run inside one
+    whole-stage-codegen projection over the document scan; at 100 TB the
+    pass is executor-count-bound like the decode family.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(normalized_text_expr("text"), " ")
+    n1 = F.size(w) - 1
+    grams = F.zip_with(
+        F.slice(w, 1, F.greatest(n1, F.lit(0))),
+        F.slice(w, 2, F.greatest(n1, F.lit(0))),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    gd = F.array_distinct(grams)
+
+    def weight(g):
+        bucket = md5_long60(g) % _X3C_BUCKETS
+        wh = md5_long60(F.concat(F.lit("w|"), bucket.cast("string")))
+        return (wh % _X3C_WEIGHT_SPAN) - 8
+
+    score = F.aggregate(
+        gd, F.lit(0).cast("long"), lambda acc, g: acc + weight(g)
+    )
+    return d.select(
+        "doc_id",
+        F.size(gd).cast("long").alias("n_feats"),
+        score.alias("score"),
+        (score > 0).alias("accept"),
+    )
+
+
+# =====================================================================
+# tp15 — domain upsampling (mixture construction by repeat factors)
+# =====================================================================
+
+_TP15_CAP = 4
+
+
+@query(
+    "tp15_domain_upsample",
+    f"""
+    WITH c AS (SELECT source, COUNT(*) AS n_in FROM documents GROUP BY source),
+    m AS (SELECT MAX(n_in) AS mx FROM c),
+    r AS (
+      SELECT source, n_in,
+             CAST(LEAST({_TP15_CAP}, (m.mx + n_in - 1) // n_in) AS BIGINT)
+               AS n_repeat
+      FROM c CROSS JOIN m
+    )
+    SELECT d.doc_id, d.source, r.n_repeat,
+           CAST(unnest(range(r.n_repeat)) AS BIGINT) AS epoch
+    FROM documents d JOIN r USING (source)
+    """,
+)
+def tp15_domain_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tp15: data-mixing by per-domain repeat factors — upsample
+    under-represented domains toward the largest one with an integer
+    epoch count ``min(cap, ceil(max_count / count))`` (the multi-epoch
+    mixture weighting used when a target mix over-asks a small domain),
+    then emit each doc once per epoch with its epoch index. Exact
+    integer arithmetic end to end.
+
+    Scale: the per-domain count is one partial-agg shuffle of |domains|
+    rows; the repeat table broadcasts back onto the scan and the explode
+    is map-side — output mass is the mixture's by construction (capped at
+    ``cap``× input), never quadratic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_in"))
+    mx = counts.agg(F.max("n_in").alias("mx"))
+    rep = counts.crossJoin(F.broadcast(mx)).select(
+        "source",
+        F.least(
+            F.lit(_TP15_CAP).cast("long"),
+            F.expr("(mx + n_in - 1) div n_in"),
+        ).alias("n_repeat"),
+    )
+    return (
+        d.join(F.broadcast(rep), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_repeat",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("n_repeat") - 1)
+            ).alias("epoch"),
+        )
+    )
+
+
+# =====================================================================
+# x2 — MMR diversified top-k
+# =====================================================================
+
+_MMR_K = 5
+_MMR_M = 16
+_MMR_NQ = 4
+_MMR_SCALE = 10 ** 6
+_MMR_DIM = 64
+
+
+def _mmr_oracle_sql(
+    k: int = _MMR_K,
+    m: int = _MMR_M,
+    n_queries: int = _MMR_NQ,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    scale: int = _MMR_SCALE,
+    dim: int = _MMR_DIM,
+) -> str:
+    """Unrolled-CTE DuckDB twin of operators.similarity.mmr_topk: the
+    same quantization (round-to-scaled-int64), the same integer dot
+    products (every intermediate < 2^53, so list arithmetic is exact),
+    and one CTE pair (selN, seluN) per greedy round."""
+    lam_rem = lam_den - lam_num
+    q8 = f"list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * {float(scale)!r}) AS BIGINT))"
+    dot = (
+        "CAST(list_sum(list_transform(range({d}), j -> "
+        "{a}[j + 1] * {b}[j + 1])) AS BIGINT)"
+    )
+    reldot = dot.format(d=dim, a="q.qv", b="c.qv")
+    simdot = dot.format(d=dim, a="ea.qv", b="eb.qv")
+    parts = [
+        f"""
+    WITH e AS (SELECT vec_id, {q8} AS qv FROM embeddings),
+    q AS (SELECT vec_id AS q_id, qv FROM e WHERE vec_id < {n_queries}),
+    rel AS (
+      SELECT q.q_id, c.vec_id AS c_id, {reldot} AS rel
+      FROM q CROSS JOIN e c
+    ),
+    short AS (
+      SELECT q_id, c_id, rel FROM (
+        SELECT q_id, c_id, rel,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, c_id)
+                 AS rn
+        FROM rel
+      ) WHERE rn <= {m}
+    ),
+    sims AS (
+      SELECT a.q_id, a.c_id AS ca, b.c_id AS cb, {simdot} AS sim
+      FROM short a
+      JOIN short b ON a.q_id = b.q_id AND a.c_id != b.c_id
+      JOIN e ea ON ea.vec_id = a.c_id
+      JOIN e eb ON eb.vec_id = b.c_id
+    ),
+    sel1 AS (
+      SELECT q_id, c_id, CAST(1 AS BIGINT) AS sel_rank, rel,
+             CAST(0 AS BIGINT) AS maxsim, {lam_num} * rel AS mmr
+      FROM (
+        SELECT q_id, c_id, rel,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, c_id)
+                 AS rn
+        FROM short
+      ) WHERE rn = 1
+    ),
+    selu1 AS (SELECT * FROM sel1)"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f""",
+    sel{r} AS (
+      SELECT q_id, c_id, CAST({r} AS BIGINT) AS sel_rank, rel, maxsim, mmr
+      FROM (
+        SELECT s.q_id, s.c_id, s.rel, ms.maxsim,
+               {lam_num} * s.rel - {lam_rem} * ms.maxsim AS mmr,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.q_id
+                 ORDER BY {lam_num} * s.rel - {lam_rem} * ms.maxsim DESC,
+                          s.c_id
+               ) AS rn
+        FROM short s
+        JOIN (
+          SELECT si.q_id, si.ca AS c_id, MAX(si.sim) AS maxsim
+          FROM sims si
+          JOIN selu{r - 1} p ON p.q_id = si.q_id AND p.c_id = si.cb
+          GROUP BY si.q_id, si.ca
+        ) ms ON ms.q_id = s.q_id AND ms.c_id = s.c_id
+        LEFT JOIN selu{r - 1} d ON d.q_id = s.q_id AND d.c_id = s.c_id
+        WHERE d.c_id IS NULL
+      ) WHERE rn = 1
+    ),
+    selu{r} AS (SELECT * FROM selu{r - 1} UNION ALL SELECT * FROM sel{r})"""
+        )
+    parts.append(
+        f"""
+    SELECT q_id, c_id, sel_rank, rel, maxsim, mmr FROM selu{k}"""
+    )
+    return "".join(parts)
+
+
+@query("x2_mmr_topk", _mmr_oracle_sql())
+def x2_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x2: MMR diversified top-5 (λ=7/10) over a per-query top-16
+    shortlist — the retrieval/sampling mode that wants the k results
+    SPREAD across near-duplicate clusters (diverse few-shot selection,
+    dedup-aware RAG) instead of k copies of the nearest vector. Greedy
+    trace is integer-exact (scaled-int64 dots, exact rational λ), so the
+    full pick order, not just the final set, is hash-verified against the
+    unrolled-CTE DuckDB twin.
+    """
+    from .operators.similarity import mmr_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < _MMR_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    return mmr_topk(
+        queries,
+        corpus,
+        k=_MMR_K,
+        shortlist=_MMR_M,
+        lam_num=7,
+        lam_den=10,
+        scale=_MMR_SCALE,
+    )
+
+
+# =====================================================================
+# x2 — metadata-filtered top-k (hybrid filter + vector search)
+# =====================================================================
+
+# SQL twin of functions.vectors.cosine_similarity_expr (same association
+# order as queries_catalog_ext._COS_SQL — the already-green x2_topk_cosine
+# oracle is the standing proof that this float form hash-matches).
+_FCOS_SQL = """
+    list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+    / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+       * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
+"""
+
+
+@query(
+    "x2_filtered_topk",
+    f"""
+    SELECT q_id, c_id, label, sim, rank FROM (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.label,
+             {_FCOS_SQL} AS sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_FCOS_SQL} DESC, c.vec_id
+             ) AS rank
+      FROM embeddings q JOIN embeddings c ON c.label = q.label
+      WHERE q.vec_id < 4
+    )
+    WHERE rank <= 10
+    """,
+)
+def x2_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x2: metadata-filtered vector search — exact cosine top-10 where
+    candidates must ALSO satisfy a per-query metadata predicate (here
+    ``c.label = q.label``): the vector-serving mode every production
+    system needs (search within a tenant / language / license class),
+    where post-filtering a fixed-k unfiltered result silently starves
+    selective predicates.
+
+    Plan shape: the predicate joins BEFORE the distance work — a
+    broadcast hash join on the label (queries are a handful of rows), so
+    non-matching corpus rows are dropped by a hash probe inside the scan
+    pipeline and never pay the per-pair cosine. Then the standard
+    two-phase per-query top-k. At 100 TB with a label-partitioned corpus
+    the same join prunes entire partitions (partition pruning on the
+    label key); composing with the IVF family means intersecting cell
+    shortlists with the predicate before re-rank — this exact form is
+    the correctness baseline for those.
+    """
+    from .functions.vectors import cosine_similarity_expr
+    from .operators.partitioning import spread
+    from .operators.similarity import per_key_topn
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("_qlabel"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        "label",
+    )
+    pairs = spread(c).join(
+        F.broadcast(q), F.col("label") == F.col("_qlabel")
+    )
+    sim = pairs.withColumn("sim", cosine_similarity_expr("q_vec", "c_vec"))
+    return per_key_topn(
+        sim, ["q_id"], [F.desc("sim"), F.col("c_id")], 10, rank_col="rank"
+    ).select("q_id", "c_id", "label", "sim", F.col("rank").cast("long").alias("rank"))

@@ -1,0 +1,172 @@
+"""Round-9 operators: Bloom semi-join reduction, hashed-ngram classifier,
+domain upsampling, MMR diversified top-k (queries_catalog_quality + the
+operators/sketches Bloom and operators/similarity.mmr_topk additions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_lorettoscarpa_1asfb2jf21_spark.operators.sketches import (
+    BLOOM_WORDS,
+    bloom_build_words,
+    bloom_probe,
+)
+from etl_lorettoscarpa_1asfb2jf21_spark.operators.similarity import mmr_topk
+
+
+# ------------------------------------------------------------- Bloom
+
+
+def test_bloom_no_false_negatives_and_bounded_words(spark):
+    """Structural Bloom guarantees: every build value passes the probe
+    (no false negatives), and the filter artifact is at most
+    BLOOM_WORDS rows no matter how many values are inserted."""
+    build = spark.range(2_000).select((F.col("id") * 7).alias("k"))
+    words = bloom_build_words(build, "k")
+    assert words.count() <= BLOOM_WORDS
+    probed = bloom_probe(build, "k", words)
+    assert probed.filter(~F.col("bloom_pass")).count() == 0
+
+
+def test_bloom_prunes_most_non_members(spark):
+    """A disjoint probe set should mostly fail the filter: with 100
+    values in 1024 bits / k=2, the per-key FP rate is ~(1-e^-0.2)^2
+    ≈ 3%; assert the prune keeps at least 80% out (loose bound, exact
+    determinism makes this stable)."""
+    build = spark.range(100).select(F.col("id").alias("k"))
+    words = bloom_build_words(build, "k")
+    probe = spark.range(10_000, 20_000).select(F.col("id").alias("k"))
+    n_pass = bloom_probe(probe, "k", words).filter(F.col("bloom_pass")).count()
+    assert n_pass < 2_000, n_pass
+
+
+def test_bloom_words_merge_by_bit_or(spark):
+    """Mergeable-summary property: the filter of a union equals the
+    per-shard filters bit_or-merged word by word."""
+    a = spark.range(500).select(F.col("id").alias("k"))
+    b = spark.range(400, 900).select(F.col("id").alias("k"))
+    merged = (
+        bloom_build_words(a, "k")
+        .unionByName(bloom_build_words(b, "k"))
+        .groupBy("_w")
+        .agg(F.bit_or("_word").alias("_word"))
+    )
+    direct = bloom_build_words(a.unionByName(b), "k")
+    assert (
+        merged.exceptAll(direct).count() == 0
+        and direct.exceptAll(merged).count() == 0
+    )
+
+
+# --------------------------------------------------------------- MMR
+
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(rows, ["c_id", "c_vec"])
+
+
+def test_mmr_diversifies_away_from_duplicate_cluster(spark):
+    """Corpus = 3 near-identical vectors by the query + 1 orthogonal-ish
+    one. Plain top-2 would take two duplicates; MMR's second pick must
+    be the diverse vector."""
+    corpus = _vec_df(
+        spark,
+        [
+            (1, [1.0, 0.1]),
+            (2, [0.98, 0.12]),
+            (3, [0.97, 0.13]),
+            (4, [0.05, 1.0]),
+        ],
+    )
+    queries = spark.createDataFrame([(0, [0.7, 0.7])], ["q_id", "q_vec"])
+    out = mmr_topk(queries, corpus, k=2, shortlist=4).orderBy("sel_rank")
+    picks = [r["c_id"] for r in out.collect()]
+    assert picks == [1, 4], picks
+
+
+def test_mmr_first_pick_is_exact_top1_and_ranks_complete(spark):
+    """Pick 1 must equal the exact argmax of relevance; sel_rank is a
+    1..k permutation of distinct corpus ids per query."""
+    import random
+
+    rng = random.Random(9)
+    corpus = _vec_df(
+        spark,
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)],
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [-1.0] * 8)], ["q_id", "q_vec"]
+    )
+    out = mmr_topk(queries, corpus, k=4, shortlist=10).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rows in by_q.items():
+        ranks = sorted(r["sel_rank"] for r in rows)
+        assert ranks == [1, 2, 3, 4]
+        ids = {r["c_id"] for r in rows}
+        assert len(ids) == 4
+        first = next(r for r in rows if r["sel_rank"] == 1)
+        top1 = max(rows, key=lambda r: r["rel"])
+        assert first["rel"] == top1["rel"]
+        # maxsim is 0 only for the first pick; mmr consistent with the
+        # integer formula 7*rel - 3*maxsim
+        for r in rows:
+            if r["sel_rank"] == 1:
+                assert r["maxsim"] == 0 and r["mmr"] == 7 * r["rel"]
+            else:
+                assert r["mmr"] == 7 * r["rel"] - 3 * r["maxsim"]
+
+
+# ------------------------------------------------ catalog-level checks
+
+
+def test_quality_queries_registered_with_oracles():
+    from etl_lorettoscarpa_1asfb2jf21_spark import queries_catalog as qc
+
+    for name in (
+        "sk9_bloom_semijoin",
+        "x3_hashed_classifier",
+        "tp15_domain_upsample",
+        "x2_mmr_topk",
+    ):
+        assert name in qc.QUERIES and name in qc.ORACLE_SQL
+
+
+def test_domain_upsample_mass_and_cap(spark, sf_medium):
+    """Output mass per domain = n_in * n_repeat, with n_repeat in
+    [1, cap] and the largest domain never upsampled."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.queries_catalog_quality import (
+        _TP15_CAP,
+        tp15_domain_upsample,
+    )
+
+    out = tp15_domain_upsample(spark, sf_medium)
+    per = out.groupBy("source", "n_repeat").agg(F.count(F.lit(1)).alias("n"))
+    rows = per.collect()
+    assert all(1 <= r["n_repeat"] <= _TP15_CAP for r in rows)
+    n_in = {
+        r["source"]: r["n"]
+        for r in (
+            out.filter(F.col("epoch") == 0)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    for r in rows:
+        assert r["n"] == n_in[r["source"]] * r["n_repeat"]
+    biggest = max(n_in, key=lambda s: n_in[s])
+    assert next(r["n_repeat"] for r in rows if r["source"] == biggest) == 1
+
+
+def test_hashed_classifier_is_map_only(spark, sf_medium):
+    """The scoring pass must not shuffle: no Exchange in the physical
+    plan (pure projection over the scan)."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.queries_catalog_quality import (
+        x3_hashed_classifier,
+    )
+
+    plan = x3_hashed_classifier(spark, sf_medium)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan
