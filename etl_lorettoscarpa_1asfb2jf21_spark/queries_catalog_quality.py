@@ -505,3 +505,237 @@ def x2_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_key_topn(
         sim, ["q_id"], [F.desc("sim"), F.col("c_id")], 10, rank_col="rank"
     ).select("q_id", "c_id", "label", "sim", F.col("rank").cast("long").alias("rank"))
+
+
+# =====================================================================
+# gr2 — exact triangle / wedge counting (degree-oriented)
+# =====================================================================
+
+@query(
+    "gr2_triangle_count",
+    """
+    WITH li AS (
+      SELECT l_orderkey AS ok, l_partkey AS pk, l_linenumber AS ln
+      FROM lineitem
+    ),
+    raw AS (
+      SELECT a.pk AS s, b.pk AS d
+      FROM li a JOIN li b ON a.ok = b.ok AND b.ln = a.ln + 1
+      WHERE a.pk != b.pk
+    ),
+    e AS (
+      SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b FROM raw
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n FROM e ab
+      JOIN e bc ON bc.a = ab.b
+      JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+    )
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT n FROM tri) AS n_triangles
+    """,
+)
+def gr2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gr2: exact triangle + wedge counting on the co-purchase graph
+    (same consecutive-lineitem edges as gr1_pagerank) — the graph
+    statistic behind clustering-coefficient / community-structure
+    analysis, and the classic shuffle-explosion trap.
+
+    Plan: edges canonicalized (a<b, distinct) once, then ORIENTED from
+    the lower-(degree, id) endpoint to the higher (the Schank-Wagner /
+    Cohen MapReduce orientation): every wedge is enumerated exactly once
+    at its lowest-order apex, so the wedge join's fan-out is bounded by
+    the ORIENTED out-degree — O(m^1.5) total work even on power-law
+    graphs, where the naive undirected join explodes on hub nodes. The
+    closing edge check is one more join on the canonical edge table. The
+    DuckDB twin counts the same triangles via the a<b<c form (orientation
+    changes enumeration order, not the count); wedges = Σ d(d−1)/2 exact.
+
+    Scale: three shuffles (degree agg, wedge join, closing join), all on
+    edge keys; the skew answer is the orientation itself — hubs only
+    FAN IN, never out.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").alias("pk"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    a = li.select("ok", F.col("pk").alias("s"), "ln")
+    b = li.select("ok", F.col("pk").alias("d"), (F.col("ln") - 1).alias("ln"))
+    raw = a.join(b, ["ok", "ln"]).filter(F.col("s") != F.col("d"))
+    e = raw.select(
+        F.least("s", "d").alias("a"), F.greatest("s", "d").alias("b")
+    ).distinct()
+    e = e.localCheckpoint(eager=False)
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient by (degree, id): lower endpoint -> higher endpoint
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("_db"))
+    ed = e.join(da, "a").join(db, "b")
+    fwd = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    w1 = o.select(F.col("u"), F.col("v").alias("w_mid"))
+    w2 = o.select(F.col("u").alias("w_mid"), F.col("v").alias("w_end"))
+    wedges = w1.join(w2, "w_mid").filter(F.col("u") != F.col("w_end"))
+    closing = wedges.join(
+        e,
+        (F.least("u", "w_end") == F.col("a"))
+        & (F.greatest("u", "w_end") == F.col("b")),
+    )
+    n_tri = closing.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_wedges = deg.agg(
+        F.sum(F.expr("(d * (d - 1)) div 2")).cast("long").alias("n_wedges")
+    )
+    return (
+        n_nodes.crossJoin(n_edges).crossJoin(n_wedges).crossJoin(n_tri)
+    )
+
+
+# =====================================================================
+# x2 — range search (radius query: all neighbors above a threshold)
+# =====================================================================
+
+@query(
+    "x2_range_search",
+    f"""
+    SELECT q.vec_id AS q_id, c.vec_id AS c_id, {_FCOS_SQL} AS sim
+    FROM embeddings q CROSS JOIN embeddings c
+    WHERE q.vec_id < 4 AND {_FCOS_SQL} >= 0.3
+    """,
+)
+def x2_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x2: range (radius) similarity search — ALL corpus vectors with
+    cosine ≥ τ per query, the vector-store mode for near-duplicate
+    lookup and threshold-based retrieval where top-k's fixed depth either
+    truncates dense neighborhoods or pads sparse ones.
+
+    Plan: one broadcast-queries map pass over the corpus with the
+    predicate applied inline — no per-query sort at all (top-k's window
+    disappears; output is exactly the qualifying mass). At 100 TB this is
+    the cheapest retrieval shape the engine has: scan, fused filter,
+    done — and the LSH/IVF candidate stages compose in front of it the
+    same way they do for top-k when τ is high enough to make the scan
+    wasteful.
+    """
+    from .functions.vectors import cosine_similarity_expr
+    from .operators.partitioning import spread
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    sim = cosine_similarity_expr("q_vec", "c_vec")
+    return (
+        spread(c)
+        .crossJoin(F.broadcast(q))
+        .select("q_id", "c_id", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.3)
+    )
+
+
+# =====================================================================
+# tp16 — curriculum sharding by classifier score
+# =====================================================================
+
+_TP16_SHARDS = 8
+
+
+def _tp16_oracle() -> str:
+    norm = _NORM_SQL.format(c="text")
+    weight = _x3c_weight_sql("g")
+    return f"""
+    WITH t AS (SELECT doc_id, {norm} AS nt FROM documents),
+    w AS (SELECT doc_id, regexp_split_to_array(nt, ' ') AS wa FROM t),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(wa) >= 2
+                  THEN list_distinct([wa[i] || ' ' || wa[i + 1]
+                                      FOR i IN range(1, len(wa))])
+                  ELSE [] END AS gd
+      FROM w
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(COALESCE(list_sum(list_transform(gd, g -> {weight})), 0)
+                  AS BIGINT) AS score,
+             {_md5_long60_sql("CAST(doc_id AS VARCHAR)")} % {_TP16_SHARDS}
+               AS shard
+      FROM g
+    )
+    SELECT doc_id, shard, score,
+           ROW_NUMBER() OVER (
+             PARTITION BY shard ORDER BY score DESC, doc_id
+           ) AS rank_in_shard
+    FROM scored
+    """
+
+
+@query("tp16_quality_curriculum", _tp16_oracle())
+def tp16_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tp16: curriculum sharding — hash docs into training shards
+    (md5 % 8: each data-parallel reader gets an unbiased sample), then
+    order WITHIN each shard by the x3_hashed_classifier quality score
+    (descending: highest-quality first — the curriculum each worker
+    consumes). Composes the round-9 classifier into the shard-layout
+    stage the way tp5/tp12 compose earlier filters.
+
+    Scale: scoring is the same shuffle-free map pass as
+    x3_hashed_classifier; the only shuffle is the hash partition by
+    shard + per-shard sort — a PARTITIONED window (no global total-order
+    single-task sort; the shard count scales with the reader fleet, and
+    per-shard sort input is |docs|/shards).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(normalized_text_expr("text"), " ")
+    n1 = F.size(w) - 1
+    grams = F.zip_with(
+        F.slice(w, 1, F.greatest(n1, F.lit(0))),
+        F.slice(w, 2, F.greatest(n1, F.lit(0))),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    gd = F.array_distinct(grams)
+
+    def weight(g):
+        bucket = md5_long60(g) % _X3C_BUCKETS
+        wh = md5_long60(F.concat(F.lit("w|"), bucket.cast("string")))
+        return (wh % _X3C_WEIGHT_SPAN) - 8
+
+    score = F.aggregate(
+        gd, F.lit(0).cast("long"), lambda acc, g: acc + weight(g)
+    )
+    scored = d.select(
+        "doc_id",
+        (md5_long60(F.col("doc_id").cast("string")) % _TP16_SHARDS).alias(
+            "shard"
+        ),
+        score.alias("score"),
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("shard").orderBy(F.desc("score"), F.col("doc_id"))
+    return scored.select(
+        "doc_id",
+        "shard",
+        "score",
+        F.row_number().over(win).cast("long").alias("rank_in_shard"),
+    )

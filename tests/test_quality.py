@@ -170,3 +170,49 @@ def test_hashed_classifier_is_map_only(spark, sf_medium):
     plan = x3_hashed_classifier(spark, sf_medium)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan
+
+
+# ----------------------------------------------------- triangles etc.
+
+
+def test_triangle_count_matches_bruteforce_on_known_graph(spark, tmp_path):
+    """Pin the degree-oriented count against a hand-enumerable graph:
+    K4 (4 triangles) plus a pendant edge and an isolated edge."""
+    import itertools
+
+    rows = []
+    ok = 0
+    # encode each undirected edge as one 2-item order (consecutive lines)
+    edges = list(itertools.combinations([1, 2, 3, 4], 2)) + [(4, 5), (8, 9)]
+    for s, d in edges:
+        rows.append((ok, s, 1))
+        rows.append((ok, d, 2))
+        ok += 1
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey", "l_linenumber"])
+    d = str(tmp_path / "li")
+    li.write.parquet(d + "/lineitem.parquet")
+    from etl_lorettoscarpa_1asfb2jf21_spark.queries_catalog_quality import (
+        gr2_triangle_count,
+    )
+
+    out = gr2_triangle_count(spark, d).collect()[0]
+    assert out["n_triangles"] == 4  # K4
+    assert out["n_edges"] == 8
+    assert out["n_nodes"] == 7
+    # wedges: K4 nodes have deg 3 (node 4 has 4), pendant 1, isolated 1s
+    # deg: 1,2,3 -> 3; 4 -> 4; 5 -> 1; 8,9 -> 1
+    assert out["n_wedges"] == 3 * 3 + 6
+
+
+def test_range_search_contains_self_and_respects_threshold(spark, sf_medium):
+    from etl_lorettoscarpa_1asfb2jf21_spark.queries_catalog_quality import (
+        x2_range_search,
+    )
+
+    rows = x2_range_search(spark, sf_medium).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert any(r["c_id"] == q for r in rs)  # self sim = 1.0 qualifies
+        assert all(r["sim"] >= 0.3 for r in rs)
