@@ -173,6 +173,24 @@ _X3C_BUCKETS = 4096
 _X3C_WEIGHT_SPAN = 17  # weights in [-8, 8]
 
 
+def _x3c_weight_table() -> list[int]:
+    """The frozen model materialized: weight per hashing-trick bucket,
+    computed ONCE driver-side with hashlib (bit-identical to the md5
+    expression both engines evaluate — md5 of the decimal bucket string,
+    first 15 hex chars as int64, % 17 − 8). The Spark scorer indexes this
+    4096-int literal per gram instead of re-deriving the weight hash per
+    (doc, gram) — halving the per-gram md5 work on the hot path; the
+    DuckDB twin keeps the expression form, so a drift between the table
+    and the formula would surface as a gate hash mismatch."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"w|{b}".encode()).hexdigest()[:15], 16) % _X3C_WEIGHT_SPAN)
+        - 8
+        for b in range(_X3C_BUCKETS)
+    ]
+
+
 def _x3c_weight_sql(gram: str) -> str:
     bucket = f"({_md5_long60_sql(gram)} % {_X3C_BUCKETS})"
     wh = _md5_long60_sql(f"'w|' || CAST({bucket} AS VARCHAR)")
@@ -203,6 +221,32 @@ def _x3c_oracle() -> str:
     """
 
 
+def _x3c_bigrams_expr():
+    """Distinct word bigrams of the normalized text, pure Column expr."""
+    w = F.split(normalized_text_expr("text"), " ")
+    n1 = F.size(w) - 1
+    grams = F.zip_with(
+        F.slice(w, 1, F.greatest(n1, F.lit(0))),
+        F.slice(w, 2, F.greatest(n1, F.lit(0))),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    return F.array_distinct(grams)
+
+
+def _x3c_score_expr(gd):
+    """Sum of frozen weights over the distinct-bigram array: one
+    md5_long60 per gram for the hashing-trick bucket, then an index into
+    the 4096-int weight literal (the materialized model) — half the md5
+    work of re-deriving the weight hash per gram."""
+    wlit = F.array(*[F.lit(int(v)) for v in _x3c_weight_table()])
+    return F.aggregate(
+        gd,
+        F.lit(0).cast("long"),
+        lambda acc, g: acc
+        + F.get(wlit, (md5_long60(g) % _X3C_BUCKETS).cast("int")),
+    )
+
+
 @query("x3_hashed_classifier", _x3c_oracle())
 def x3_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x3: hashed bag-of-bigrams linear classifier — the model-based
@@ -213,36 +257,30 @@ def x3_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived from the bucket hash, not trained), which makes the WHOLE
     scoring path — feature extraction, hashing trick, sparse dot product,
     thresholding — integer-exact and fully oracle-checked; swapping in
-    trained weights is a broadcast-join of a (bucket, weight) table into
-    the same fold.
+    trained weights means regenerating the same 4096-int weight literal
+    from the trained model instead of the bucket hash.
 
     Scale: no shuffle at all — tokenize/bigram/hash/score run inside one
     whole-stage-codegen projection over the document scan; at 100 TB the
-    pass is executor-count-bound like the decode family.
+    pass is executor-count-bound like the decode family. The model rides
+    the plan as a 4096-int array literal indexed per gram
+    (_x3c_score_expr), so scoring pays ONE md5 per gram; the DuckDB twin
+    re-derives each weight from the md5 formula, pinning the literal to
+    the formula through the hash gate.
     """
     d = load_table(spark, sf_dir, "documents")
-    w = F.split(normalized_text_expr("text"), " ")
-    n1 = F.size(w) - 1
-    grams = F.zip_with(
-        F.slice(w, 1, F.greatest(n1, F.lit(0))),
-        F.slice(w, 2, F.greatest(n1, F.lit(0))),
-        lambda x, y: F.concat(x, F.lit(" "), y),
-    )
-    gd = F.array_distinct(grams)
-
-    def weight(g):
-        bucket = md5_long60(g) % _X3C_BUCKETS
-        wh = md5_long60(F.concat(F.lit("w|"), bucket.cast("string")))
-        return (wh % _X3C_WEIGHT_SPAN) - 8
-
-    score = F.aggregate(
-        gd, F.lit(0).cast("long"), lambda acc, g: acc + weight(g)
-    )
-    return d.select(
+    # staged projections so the expensive exprs evaluate ONCE each: the
+    # bigram array materializes in one projection, the weight fold in the
+    # next (CollapseProject keeps projections apart when an attribute
+    # feeds multiple non-cheap consumers, but referencing `score` twice
+    # in a single select would still duplicate the whole fold tree)
+    staged = d.select("doc_id", _x3c_bigrams_expr().alias("_gd")).select(
         "doc_id",
-        F.size(gd).cast("long").alias("n_feats"),
-        score.alias("score"),
-        (score > 0).alias("accept"),
+        F.size("_gd").cast("long").alias("n_feats"),
+        _x3c_score_expr(F.col("_gd")).alias("score"),
+    )
+    return staged.select(
+        "doc_id", "n_feats", "score", (F.col("score") > 0).alias("accept")
     )
 
 
@@ -706,23 +744,7 @@ def tp16_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-shard sort input is |docs|/shards).
     """
     d = load_table(spark, sf_dir, "documents")
-    w = F.split(normalized_text_expr("text"), " ")
-    n1 = F.size(w) - 1
-    grams = F.zip_with(
-        F.slice(w, 1, F.greatest(n1, F.lit(0))),
-        F.slice(w, 2, F.greatest(n1, F.lit(0))),
-        lambda x, y: F.concat(x, F.lit(" "), y),
-    )
-    gd = F.array_distinct(grams)
-
-    def weight(g):
-        bucket = md5_long60(g) % _X3C_BUCKETS
-        wh = md5_long60(F.concat(F.lit("w|"), bucket.cast("string")))
-        return (wh % _X3C_WEIGHT_SPAN) - 8
-
-    score = F.aggregate(
-        gd, F.lit(0).cast("long"), lambda acc, g: acc + weight(g)
-    )
+    score = _x3c_score_expr(_x3c_bigrams_expr())
     scored = d.select(
         "doc_id",
         (md5_long60(F.col("doc_id").cast("string")) % _TP16_SHARDS).alias(
