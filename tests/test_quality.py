@@ -216,3 +216,73 @@ def test_range_search_contains_self_and_respects_threshold(spark, sf_medium):
     for q, rs in by_q.items():
         assert any(r["c_id"] == q for r in rs)  # self sim = 1.0 qualifies
         assert all(r["sim"] >= 0.3 for r in rs)
+
+
+def test_mmr_trace_matches_python_reference_fuzz(spark):
+    """Fuzz the FULL greedy trace (pick order, rel, maxsim, mmr) against
+    a plain-Python reference over random corpora — the engine-blind
+    pinning the codec family uses. Quantization mirrors quantize_expr
+    (round-half-away scaled int64)."""
+    import random
+
+    def quant(v):
+        return [
+            int((x * 10**6) + 0.5) if x >= 0 else -int((-x * 10**6) + 0.5)
+            for x in v
+        ]
+
+    def ref_mmr(qvecs, cvecs, k, m, lam_num=7, lam_den=10):
+        out = {}
+        for qid, qv in qvecs.items():
+            qq = quant(qv)
+            rel = {
+                cid: sum(a * b for a, b in zip(qq, quant(cv)))
+                for cid, cv in cvecs.items()
+            }
+            short = sorted(rel, key=lambda c: (-rel[c], c))[:m]
+            qc = {c: quant(cvecs[c]) for c in short}
+            sel, trace = [], []
+            for r in range(1, k + 1):
+                best = None
+                for c in short:
+                    if c in sel:
+                        continue
+                    ms = max(
+                        (sum(a * b for a, b in zip(qc[c], qc[s])) for s in sel),
+                        default=0,
+                    )
+                    score = lam_num * rel[c] - (lam_den - lam_num) * ms
+                    key = (-score, c)
+                    if best is None or key < best[0]:
+                        best = (key, c, ms, score)
+                _, c, ms, score = best
+                sel.append(c)
+                trace.append((qid, c, r, rel[c], ms, score))
+            out[qid] = trace
+        return out
+
+    rng = random.Random(77)
+    for trial in range(3):
+        nc = rng.choice([12, 25, 40])
+        dim = rng.choice([4, 8])
+        cvecs = {
+            i: [rng.uniform(-1, 1) for _ in range(dim)] for i in range(nc)
+        }
+        qvecs = {100 + j: [rng.uniform(-1, 1) for _ in range(dim)] for j in range(2)}
+        k, m = 4, 8
+        corpus = spark.createDataFrame(
+            [(i, v) for i, v in cvecs.items()], ["c_id", "c_vec"]
+        )
+        queries = spark.createDataFrame(
+            [(i, v) for i, v in qvecs.items()], ["q_id", "q_vec"]
+        )
+        got = sorted(
+            (
+                (r["q_id"], r["c_id"], r["sel_rank"], r["rel"], r["maxsim"], r["mmr"])
+                for r in mmr_topk(queries, corpus, k=k, shortlist=m).collect()
+            )
+        )
+        want = sorted(
+            t for trace in ref_mmr(qvecs, cvecs, k, m).values() for t in trace
+        )
+        assert got == want, (trial, got[:3], want[:3])
