@@ -761,3 +761,101 @@ def tp16_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         F.row_number().over(win).cast("long").alias("rank_in_shard"),
     )
+
+
+# =====================================================================
+# s9 — write-audit-publish time travel (gate-visible WAP protocol)
+# =====================================================================
+
+@query(
+    "s9_wap_time_travel",
+    """
+    WITH sub AS (
+      SELECT EXTRACT(YEAR FROM o_orderdate) AS ano FROM orders
+      WHERE o_orderkey % 50 = 0
+    ),
+    v2 AS (SELECT ano, COUNT(*) AS n_v2 FROM sub GROUP BY ano),
+    v1 AS (SELECT ano, COUNT(*) AS n_v1 FROM sub WHERE ano <= 1995 GROUP BY ano)
+    SELECT v2.ano, COALESCE(v1.n_v1, 0) AS n_v1, v2.n_v2
+    FROM v2 LEFT JOIN v1 USING (ano)
+    """,
+)
+def s9_wap_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s9: the write-audit-publish gold protocol, gate-visible — the same
+    pattern as x2_served_topk made the ANN persistence layer visible.
+    In-query: build a v1 gold layer (orders through 1995), PUBLISH it
+    (write into an immutable `_v/v1` dir, audit the files by read-back
+    row counts, atomically flip `_CURRENT`); build and publish v2 (all
+    years) the same way; then TIME-TRAVEL — read `_CURRENT` (resolves
+    v2) AND the superseded `_v/v1` directly — and emit the per-year row
+    counts of both versions side by side. A hash mismatch isolates the
+    versioned-publish layer: pointer resolution, immutable version dirs,
+    read-back parity. The oracle derives both versions' contents from
+    the same source filters (engine-blind; the protocol is what's under
+    test — old versions double as time travel until vacuumed, the
+    parquet-only answer to the reference's per-statement
+    transactionality without a table format).
+    """
+    from .plans.star import (
+        Warehouse,
+        _read_warehouse_dir,
+        publish_warehouse,
+        read_warehouse,
+    )
+    from .queries_catalog import _scratch_dir
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    sub = o.select(
+        F.year("o_orderdate").alias("ano"),
+        F.month("o_orderdate").alias("mes"),
+        F.col("o_orderkey").alias("id_lancamento"),
+        F.col("o_totalprice").alias("valor"),
+    )
+
+    def gold(rows: DataFrame) -> Warehouse:
+        wh = Warehouse()
+        wh.dim_tempo = (
+            rows.select("ano", "mes")
+            .distinct()
+            .select(
+                (F.col("ano") * 100 + F.col("mes")).alias("id_tempo"),
+                "ano",
+                "mes",
+            )
+        )
+        one = rows.sparkSession.range(1)
+        for dim in ("dim_tipo", "dim_grupo", "dim_categoria", "dim_classificacao"):
+            setattr(wh, dim, one.select(F.col("id").alias(f"id_{dim[4:]}")))
+        wh.fato_lancamento = rows.select(
+            (F.col("ano") * 100 + F.col("mes")).alias("id_tempo"),
+            "id_lancamento",
+            "valor",
+        )
+        return wh
+
+    base = _scratch_dir("s9_wap")
+    publish_warehouse(gold(sub.filter(F.col("ano") <= 1995)), base, version="v1")
+    publish_warehouse(gold(sub), base, version="v2")
+
+    cur = read_warehouse(spark, base)  # resolves _CURRENT -> v2
+    old = _read_warehouse_dir(spark, f"{base}/_v/v1")  # time travel
+
+    def per_year(wh: Warehouse, out: str) -> DataFrame:
+        return (
+            wh.fato_lancamento.join(
+                F.broadcast(wh.dim_tempo.select("id_tempo", "ano")), "id_tempo"
+            )
+            .groupBy("ano")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    v2c = per_year(cur, "n_v2")
+    v1c = per_year(old, "n_v1")
+    return (
+        v2c.join(v1c, "ano", "left")
+        .select(
+            F.col("ano").cast("long"),
+            F.coalesce("n_v1", F.lit(0)).cast("long").alias("n_v1"),
+            F.col("n_v2").cast("long"),
+        )
+    )
