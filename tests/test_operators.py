@@ -307,6 +307,78 @@ def test_embedding_neardup(spark):
     assert got == {(1, 2)}
 
 
+def test_qdot_kernel_matches_native_fold_bit_exact(spark):
+    """The fixed-point verify dot must be ORDER-FREE: the Arrow einsum
+    kernel (qdot_unit_batch_udf), the native left-fold twin
+    (qdot_unit_expr), and by the same argument DuckDB's list_dot_product
+    fold all produce the SAME float64, because every quantized product and
+    partial sum is an integer < 2^53. Exact equality, not tolerance."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.functions.vectors import (
+        normalize_expr,
+        qdot_unit_batch_udf,
+        qdot_unit_expr,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (
+            i,
+            [rng.gauss(0, 1) for _ in range(64)],
+            [rng.gauss(0, 1) for _ in range(64)],
+        )
+        for i in range(200)
+    ]
+    df = (
+        spark.createDataFrame(rows, ["i", "a", "b"])
+        .withColumn("na", normalize_expr("a"))
+        .withColumn("nb", normalize_expr("b"))
+    )
+    from etl_lorettoscarpa_1asfb2jf21_spark.functions.vectors import (
+        qdot_int_batch_udf,
+        quantize_unit_expr,
+    )
+
+    got = (
+        df.withColumn("k", qdot_unit_batch_udf()(F.col("na"), F.col("nb")))
+        .withColumn("e", qdot_unit_expr("na", "nb"))
+        .withColumn(
+            "ki",
+            qdot_int_batch_udf()(
+                quantize_unit_expr("na"), quantize_unit_expr("nb")
+            ),
+        )
+        .select("i", "k", "e", "ki")
+        .collect()
+    )
+    assert len(got) == 200
+    for r in got:
+        assert r["k"] == r["e"], f"row {r['i']}: kernel {r['k']!r} != fold {r['e']!r}"
+        assert r["ki"] == r["e"], f"row {r['i']}: int kernel {r['ki']!r} != fold {r['e']!r}"
+
+
+def test_qdot_kernel_rejects_unnormalized_input(spark):
+    """Unnormalized magnitudes would break the float64 exact-integer bound
+    and silently make the dot order-dependent — the kernel must refuse."""
+    from pyspark.sql import functions as F
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.functions.vectors import (
+        qdot_unit_batch_udf,
+    )
+
+    big = [1.0e6] * 64
+    df = spark.createDataFrame([(1, big, big)], ["i", "a", "b"])
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception) as exc:
+        df.withColumn("k", qdot_unit_batch_udf()(F.col("a"), F.col("b"))).collect()
+    assert "unit-normalized" in str(exc.value)
+
+
 def test_ivf_topk_finds_nearest(spark):
     """IVF with nprobe == n_centroids degrades to exact search — top-1 must
     match brute force; fewer probes returns a subset of the exact top-k."""

@@ -34,9 +34,9 @@ ALL_QUERIES = {**CORE_QUERIES, **EXT_QUERIES}
 # kernel (vectors.band_buckets_batch_udf — dense matmul, measured ~10x the
 # native higher-order path). Everything else stays JVM-side, and
 # row-at-a-time Python (BatchEvalPython) is banned outright.
-# x1_embedding_neardup / x2_topk_lsh run the PORTABLE fold path in the
-# catalog (fully JVM-side, full DuckDB oracle); their Arrow kernels remain
-# the operator-level production default and are audited directly in
+# x2_topk_lsh runs the PORTABLE fold path in the catalog (fully JVM-side,
+# full DuckDB oracle); its Arrow kernel remains the operator-level
+# production default and is audited directly in
 # test_lsh_arrow_kernel_node_visible below. x2_recall_report builds its
 # four index pipelines concurrently behind eager localCheckpoints (the
 # formatted final plan can't show their Arrow nodes — the semantic_dedup
@@ -94,6 +94,13 @@ MAP_IN_PANDAS_QUERIES = {
 # depends on the previous one). Everything else stays off grouped-pandas.
 GROUPED_PANDAS_QUERIES = {
     "st5_emit_anchored_dedup",
+    # near-dup verify: per-(band,bucket) tiled BLAS matmul
+    # (_quantized_bucket_matmul_pairs) — pair rows never exist outside
+    # numpy; the Python boundary moves |corpus|·bands member rows, not
+    # |pairs| (the measured ~0.7us/pair Arrow floor made every per-pair
+    # kernel shape 4-5x slower). Fixed-point quantization keeps the BLAS
+    # result bit-identical to the DuckDB fold oracle.
+    "x1_embedding_neardup",
 }
 
 

@@ -286,3 +286,58 @@ def test_mmr_trace_matches_python_reference_fuzz(spark):
             t for trace in ref_mmr(qvecs, cvecs, k, m).values() for t in trace
         )
         assert got == want, (trial, got[:3], want[:3])
+
+
+def test_classifier_train_matches_plain_python_reference(spark, sf_small):
+    """The distributed batch-perceptron epoch trace must equal a plain
+    single-threaded reference running the same integer recurrence (the
+    MMR-fuzz discipline applied to training): same features, same label,
+    same epoch count -> bit-identical weights."""
+    import hashlib
+    import re
+
+    import duckdb
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.queries_catalog_quality import (
+        _X3C_BUCKETS,
+        _X3T_EPOCHS,
+        _X3T_LEN_CUT,
+        _x3t_train,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, coalesce(text, ''), n_chars FROM "
+        f"read_parquet('{sf_small}/documents.parquet')"
+    ).fetchall()
+
+    def buckets(text):
+        nt = re.sub(r"\s+", " ", text.lower()).strip()
+        ws = nt.split(" ")
+        grams = []
+        seen = set()
+        for a, b in zip(ws, ws[1:]):
+            g = f"{a} {b}"
+            if g not in seen:
+                seen.add(g)
+                grams.append(g)
+        out, bs = set(), []
+        for g in grams:
+            bkt = int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % _X3C_BUCKETS
+            if bkt not in out:
+                out.add(bkt)
+                bs.append(bkt)
+        return bs + [_X3C_BUCKETS]  # bias
+
+    docs = [
+        (1 if n >= _X3T_LEN_CUT else -1, buckets(t)) for _, t, n in rows
+    ]
+    W_ref = [0] * (_X3C_BUCKETS + 1)
+    for _ in range(_X3T_EPOCHS):
+        mis = [(y, bd) for y, bd in docs if y * sum(W_ref[b] for b in bd) <= 0]
+        for y, bd in mis:
+            for b in bd:
+                W_ref[b] += y
+
+    W_got, _ = _x3t_train(spark, sf_small)
+    assert W_got == W_ref
