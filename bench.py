@@ -16,15 +16,43 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _warm_page_cache(sf_dir: str) -> None:
+    """Touch every parquet byte once, untimed: a cold OS page cache
+    (fresh host, wiped /tmp replica, or a co-tenant having evicted the
+    files) lands entirely on whichever query happens to scan that table
+    first — the round-9 driver record charged x4_video_frames 10.46 s for
+    a read that measures 1.43 s warm. The corpora are orders of magnitude
+    smaller than RAM, so one sequential read pass pins them."""
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                while f.read(1 << 24):
+                    pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    # more heap than the 8g session default: the bench walks 200+ queries
+    # in ONE JVM, and storage-memory churn from the heavies showed up as
+    # run-to-run variance in the round-9/10 solo re-measures
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
 
     from etl_lorettoscarpa_1asfb2jf21_spark.session import get_spark
     import __spark_entry__ as entrymod
 
     spark = get_spark("bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
+
+    _warm_page_cache(sf_dir)
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}

@@ -700,45 +700,53 @@ def encode_jpeg_ycbcr420(
     qtable: np.ndarray = _JPEG_QTABLE,
     subsample: bool = True,
     restart_interval: int = 0,
+    sampling: tuple[int, int] | None = None,
 ) -> bytes:
     """Baseline sequential YCbCr JPEG encoder: full-resolution planes in;
     4:2:0 by default (2x2 box-averaged chroma, MCU-interleaved entropy
-    coding — 4 Y + 1 Cb + 1 Cr blocks per 16x16 MCU), or 4:4:4 with
-    ``subsample=False`` (one block per component per 8x8 MCU).
+    coding — 4 Y + 1 Cb + 1 Cr blocks per 16x16 MCU), 4:4:4 with
+    ``subsample=False`` (one block per component per 8x8 MCU), or an
+    explicit luma ``sampling=(h_factor, v_factor)``: (2, 1) is 4:2:2 —
+    chroma box-averaged HORIZONTALLY only, 2 Y + 1 Cb + 1 Cr blocks per
+    16x8 MCU (the one other sampling layout with real crawl frequency).
     Per-component DC predictors, luma quant table 0 / chroma table 1
     (same values here), shared Huffman tables (legal per T.81).
     Off-grid dims are edge-replicated to the MCU grid; SOF0 records the
     true dims."""
     h, w = y.shape
-    mcu = 16 if subsample else 8
-    pad_r, pad_c = (mcu - h % mcu) % mcu, (mcu - w % mcu) % mcu
+    hf, vf = sampling if sampling is not None else ((2, 2) if subsample else (1, 1))
+    mcu_w, mcu_h = 8 * hf, 8 * vf
+    pad_r, pad_c = (mcu_h - h % mcu_h) % mcu_h, (mcu_w - w % mcu_w) % mcu_w
     if pad_r or pad_c:
         y, cb, cr = (
             np.pad(a, ((0, pad_r), (0, pad_c)), mode="edge") for a in (y, cb, cr)
         )
     ph, pw = y.shape
 
-    def sub(a: np.ndarray) -> np.ndarray:  # 2x2 box average, rounded
-        m = a.astype(np.float64).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    def sub(a: np.ndarray) -> np.ndarray:  # vf x hf box average, rounded
+        m = (
+            a.astype(np.float64)
+            .reshape(ph // vf, vf, pw // hf, hf)
+            .mean(axis=(1, 3))
+        )
         return np.round(m).astype(np.uint8)
 
     fy = y.astype(np.float64) - 128.0
-    fcb = (sub(cb) if subsample else cb).astype(np.float64) - 128.0
-    fcr = (sub(cr) if subsample else cr).astype(np.float64) - 128.0
+    fcb = (sub(cb) if (hf, vf) != (1, 1) else cb).astype(np.float64) - 128.0
+    fcr = (sub(cr) if (hf, vf) != (1, 1) else cr).astype(np.float64) - 128.0
     dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_SYMS)
     ac_codes = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_SYMS)
     qr = _qtable_raster(qtable)
     bw = _BitWriter()
     preds = [0, 0, 0]
-    yfac = 2 if subsample else 1
     n_mcu = 0
     rst = 0
-    total = (ph // mcu) * (pw // mcu)
-    for my in range(ph // mcu):
-        for mx in range(pw // mcu):
-            for vy in range(yfac):
-                for vx in range(yfac):
-                    r0, c0 = my * mcu + vy * 8, mx * mcu + vx * 8
+    total = (ph // mcu_h) * (pw // mcu_w)
+    for my in range(ph // mcu_h):
+        for mx in range(pw // mcu_w):
+            for vy in range(vf):
+                for vx in range(hf):
+                    r0, c0 = my * mcu_h + vy * 8, mx * mcu_w + vx * 8
                     preds[0] = _encode_block(
                         bw, fy[r0 : r0 + 8, c0 : c0 + 8],
                         preds[0], dc_codes, ac_codes, qr,
@@ -763,7 +771,7 @@ def encode_jpeg_ycbcr420(
     dqt = _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in qtable)) + _seg(
         0xDB, bytes([0x01]) + bytes(int(x) for x in qtable)
     )
-    yhv = 0x22 if subsample else 0x11
+    yhv = (hf << 4) | vf
     sof = _seg(
         0xC0,
         struct.pack(">BHHB", 8, h, w, 3)
@@ -1327,6 +1335,36 @@ def make_jpeg420(doc_id: int) -> bytes:
     return encode_jpeg_ycbcr420(y, cb, cr)
 
 
+def make_jpeg422(doc_id: int) -> bytes:
+    """A valid 4:2:2 color JPEG in the exactly-invertible payload class:
+    same construction as make_jpeg420 but with 16x8 MCUs (2 Y + 1 Cb +
+    1 Cr blocks, chroma subsampled horizontally only) — chroma is FLAT
+    per MCU, so the 2x1 box average, flat-block DCT and horizontal
+    replication upsampling are all exact, and the decoded RGB is a
+    closed-form function of the formulas (query x4_jpeg422_decode)."""
+    mw, mh = jpeg420_mcus(doc_id)  # MCU grid; same draw as the 4:2:0 class
+    bwn, bhn = 2 * mw, mh  # Y block grid: 2 wide x 1 high per MCU
+    basis = np.array(jpeg_ac_basis())
+    y = np.zeros((bhn * 8, bwn * 8), dtype=np.uint8)
+    for b in range(bwn * bhn):
+        by, bx = divmod(b, bwn)
+        row = np.round(
+            jpeg_block_value(doc_id, b) + jpeg_block_amp(doc_id, b) * basis
+        ).astype(np.uint8)
+        y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = row
+    cb = np.zeros_like(y)
+    cr = np.zeros_like(y)
+    for m in range(mw * mh):
+        my, mx = divmod(m, mw)
+        cb[my * 8 : my * 8 + 8, mx * 16 : mx * 16 + 16] = jpeg420_chroma(
+            doc_id, m, 0
+        )
+        cr[my * 8 : my * 8 + 8, mx * 16 : mx * 16 + 16] = jpeg420_chroma(
+            doc_id, m, 1
+        )
+    return encode_jpeg_ycbcr420(y, cb, cr, sampling=(2, 1))
+
+
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing."""
 
@@ -1444,7 +1482,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     DQT/DHT table registration, canonical Huffman entropy decode with
     unstuffing, per-component DC prediction + EXTEND, inverse zigzag,
     per-component dequantization, orthonormal 2-D IDCT,
-    MCU-interleaved scan walk (4 Y + Cb + Cr blocks per MCU at 4:2:0),
+    MCU-interleaved scan walk (4 Y + Cb + Cr blocks per MCU at 4:2:0,
+    2 Y + Cb + Cr per 16x8 MCU at 4:2:2),
     replication chroma upsampling, JFIF YCbCr→RGB conversion, level
     shift/clamp, crop to the SOF dims. DRI/RSTn restart intervals and
     FULL progressive (SOF2) grayscale — spectral selection AND
@@ -1453,8 +1492,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     coding, correction bits through EOBRUN regions) — decode for real.
     Progressive COLOR (4:4:4, interleaved
     DC scans + per-component AC scans, round 8) decodes too. Remaining
-    descopes raise ValueError: sampling layouts other than 1x1/2x2
-    (e.g. 4:2:2), arithmetic coding, 12-bit precision."""
+    descopes raise ValueError: sampling layouts other than
+    1x1/2x2/2x1, arithmetic coding, 12-bit precision."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -1564,6 +1603,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                 ((1, 1),),                          # grayscale
                 ((1, 1), (1, 1), (1, 1)),           # 4:4:4
                 ((2, 2), (1, 1), (1, 1)),           # 4:2:0
+                ((2, 1), (1, 1), (1, 1)),           # 4:2:2
             ):
                 raise ValueError(f"unsupported sampling layout {samp}")
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):

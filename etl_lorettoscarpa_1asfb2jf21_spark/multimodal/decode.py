@@ -150,11 +150,12 @@ def decode_image_batch(
         # chunk CRC walk + inflate + five-filter reconstruction for PNG;
         # palette + variable-width LZW incl. interlace for GIF;
         # canonical-Huffman entropy decode + dequant + 2-D IDCT for
-        # JPEG, covering grayscale, YCbCr 4:4:4 and 4:2:0, DRI/RSTn
-        # restarts, and FULL progressive — spectral selection and
-        # successive approximation, gray and 4:4:4 color). Formats
-        # outside those profiles (4:2:2 subsampling, arithmetic coding,
-        # 12-bit precision, WebP, ...) still raise.
+        # JPEG, covering grayscale, YCbCr 4:4:4, 4:2:0 and 4:2:2,
+        # DRI/RSTn restarts, and FULL progressive — spectral selection
+        # and successive approximation, gray and 4:4:4 color). Formats
+        # outside those profiles (arithmetic coding, 12-bit precision,
+        # WebP, ...) still raise — ranked out in COVERAGE.md as
+        # patent-legacy rare.
         if bytes(payload[:2]) == b"BM":
             from .codecs import decode_bmp
 
@@ -175,7 +176,7 @@ def decode_image_batch(
             raise NotImplementedError(
                 "unrecognized media container (supported native codecs: "
                 "BMP, PNG, GIF incl. interlace, JPEG — baseline "
-                "gray/4:4:4/4:2:0, restarts, full progressive incl. "
+                "gray/4:4:4/4:2:0/4:2:2, restarts, full progressive incl. "
                 "successive approximation — PCM + G.711 WAV) — "
                 "pass use_fake_decoder=True for plumbing tests"
             )

@@ -1160,13 +1160,20 @@ def _index_meta(corpus: DataFrame, family: str, **params) -> DataFrame:
     batch) and every build parameter a search must agree on — a
     mismatched ``n_subspaces``/``dim``/``scale`` would silently return
     wrong neighbors (partial ``_sub`` join, mis-sliced query vectors),
-    so searches validate against this row and fail fast instead."""
-    spark = corpus.sparkSession
-    n = corpus.count()
-    cols = [F.lit(family).alias("family"), F.lit(n).cast("long").alias("n_corpus")]
+    so searches validate against this row and fail fast instead.
+
+    LAZY: the row is a one-row aggregate PLAN over the corpus, not an
+    eager ``corpus.count()`` — the count job runs when the meta artifact
+    is first consumed (saved to parquet, or collected by the first
+    search), so an inline build pays no extra scheduled corpus scan just
+    for the metadata (the round-9 verdict's ANN action-floor item: every
+    build path ran one count job it never needed eagerly)."""
+    cols = [F.lit(family).alias("family"), F.col("n_corpus")]
     for key, val in sorted(params.items()):
         cols.append(F.lit(int(val)).cast("long").alias(key))
-    return spark.range(1).select(*cols)
+    return corpus.agg(F.count(F.lit(1)).cast("long").alias("n_corpus")).select(
+        *cols
+    )
 
 
 def _validate_index_meta(index: dict, family: str, **params) -> dict | None:
@@ -1208,12 +1215,26 @@ def save_ann_index(index: dict, path: str) -> None:
     DataFrame writes: on a cluster this is the same parquet sink as any
     table (overwrite mode), partitioned however the build plan left it.
     Non-DataFrame entries (the memoized ``_meta_cache`` dict) are
-    runtime-only and skipped."""
+    runtime-only and skipped. The artifact writes run CONCURRENTLY (one
+    thread per frame): they share no lineage, and Spark's scheduler
+    overlaps the jobs — on the small-corpus serve path the three
+    sequential write jobs were pure additive floor (round-9 verdict's
+    ANN action-fusion item)."""
     import os
+    from concurrent.futures import ThreadPoolExecutor
 
-    for name, df in index.items():
-        if isinstance(df, DataFrame):
-            df.write.mode("overwrite").parquet(os.path.join(path, name))
+    frames = [
+        (name, df) for name, df in index.items() if isinstance(df, DataFrame)
+    ]
+    with ThreadPoolExecutor(max_workers=max(1, len(frames))) as pool:
+        list(
+            pool.map(
+                lambda nd: nd[1]
+                .write.mode("overwrite")
+                .parquet(os.path.join(path, nd[0])),
+                frames,
+            )
+        )
 
 
 def load_ann_index(spark, path: str) -> dict:

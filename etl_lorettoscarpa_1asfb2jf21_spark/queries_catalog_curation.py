@@ -738,6 +738,89 @@ def x4_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# X4 — real 4:2:2 color JPEG decode (16x8 MCU, horizontal-only chroma)
+# =====================================================================
+
+@query(
+    "x4_jpeg422_decode",
+    f"""
+    WITH dims AS (
+      SELECT doc_id, CAST(1 + doc_id % 3 AS BIGINT) AS mw,
+             CAST(1 + doc_id % 2 AS BIGINT) AS mh
+      FROM documents
+    ), blk AS (
+      SELECT doc_id, mw, mh, unnest(range(0, 2 * mw * mh)) AS b
+      FROM dims
+    ), px AS (
+      SELECT doc_id, mw, mh, b,
+             28 + (doc_id * 13 + b * 29) % 201 AS g,
+             (doc_id * 7 + b * 11) % 15 - 7 AS a,
+             (b // (2 * mw)) * mw + (b % (2 * mw)) // 2 AS m,
+             unnest(range(0, 8)) AS x
+      FROM blk
+    ), vals AS (
+      SELECT doc_id, mw, mh,
+             CAST(ROUND(g + a * list_extract(
+               LIST_VALUE({_JPEG_BASIS}), x + 1)) AS BIGINT) AS yv,
+             (64 + (doc_id * 17 + m * 37) % 128) - 128 AS kb,
+             (64 + (doc_id * 23 + m * 41) % 128) - 128 AS kr
+      FROM px
+    )
+    SELECT doc_id, CAST(16 * mw AS BIGINT) AS width,
+           CAST(8 * mh AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS n_channels,
+           CAST(8 * SUM(LEAST(255, GREATEST(0,
+             yv + ((91881 * kr + 32768) >> 16)))) AS BIGINT) AS sum_r,
+           CAST(8 * SUM(LEAST(255, GREATEST(0,
+             yv + ((-22554 * kb - 46802 * kr + 32768) >> 16)))) AS BIGINT) AS sum_g,
+           CAST(8 * SUM(LEAST(255, GREATEST(0,
+             yv + ((116130 * kb + 32768) >> 16)))) AS BIGINT) AS sum_b
+    FROM vals
+    GROUP BY doc_id, mw, mh
+    """,
+)
+def x4_jpeg422_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 real 4:2:2 COLOR JPEG decode — the LAST JPEG sampling layout
+    with real crawl frequency (16x8 MCU: 2 Y + Cb + Cr blocks,
+    horizontal-only chroma subsampling): synthesize a valid 4:2:2
+    baseline JPEG per document (textured Y blocks, MCU-flat chroma — the
+    exactly-invertible class make_jpeg420 proved, restriped for 2x1),
+    parse it back with the same real decoder (the MCU walk was already
+    sampling-generic; 4:2:2 only had to be allowed at the SOF gate), and
+    emit decoded RGB channel sums against the closed-form DuckDB twin.
+    Block index b maps to MCU m = (b div 2mw)·mw + (b mod 2mw) div 2;
+    each block's 8 rows are identical, hence the 8·SUM. With this, the
+    remaining JPEG descopes are the patent-legacy rare ones (arithmetic
+    coding, 12-bit) plus WebP — ranked out in COVERAGE.md."""
+    import pandas as pd
+
+    from .multimodal.codecs import decode_jpeg, make_jpeg422
+
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen_decode(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                w, h, c, img = decode_jpeg(make_jpeg422(int(i)))
+                s = img.reshape(-1, 3).astype("int64").sum(axis=0)
+                rows.append(
+                    {
+                        "doc_id": int(i), "width": w, "height": h,
+                        "n_channels": c, "sum_r": int(s[0]),
+                        "sum_g": int(s[1]), "sum_b": int(s[2]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        gen_decode,
+        "doc_id long, width long, height long, n_channels long, "
+        "sum_r long, sum_g long, sum_b long",
+    )
+
+
+# =====================================================================
 # X4 — G.711 mu-law / A-law WAV decode (telephony audio)
 # =====================================================================
 

@@ -1168,3 +1168,56 @@ def test_mc_video_stream_validation():
     payload[i + 8 + 4] = 0  # clear the first entry's AVIIF_KEYFRAME flag
     with pytest.raises(ValueError, match="keyframe flag"):
         decode_avi_mc(bytes(payload))
+
+
+def test_jpeg422_exact_flat_mcu_payload():
+    """Generated 4:2:2 payloads (16x8 MCU, horizontal-only chroma
+    subsampling) decode to the exact closed form the oracle computes."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.multimodal.codecs import (
+        jpeg_ac_basis,
+        jpeg_block_amp,
+        jpeg_block_value,
+        make_jpeg422,
+    )
+
+    basis = np.array(jpeg_ac_basis())
+    for d in (0, 7, 123, 499):
+        w, h, c, img = decode_jpeg(make_jpeg422(d))
+        mw, mh = jpeg420_mcus(d)
+        assert (w, h, c) == (16 * mw, 8 * mh, 3)
+        bwn = 2 * mw
+        for b in range(bwn * mh):
+            by, bx = divmod(b, bwn)
+            yv = np.round(
+                jpeg_block_value(d, b) + jpeg_block_amp(d, b) * basis
+            ).astype(np.int64)
+            m = by * mw + (bx // 2)
+            kb = jpeg420_chroma(d, m, 0) - 128
+            kr = jpeg420_chroma(d, m, 1) - 128
+            r = np.clip(yv + ((91881 * kr + 32768) >> 16), 0, 255)
+            g = np.clip(yv + ((-22554 * kb - 46802 * kr + 32768) >> 16), 0, 255)
+            bch = np.clip(yv + ((116130 * kb + 32768) >> 16), 0, 255)
+            blk = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            assert (blk[:, :, 0] == r[None, :]).all()
+            assert (blk[:, :, 1] == g[None, :]).all()
+            assert (blk[:, :, 2] == bch[None, :]).all()
+
+
+def test_jpeg422_partial_mcu_pad_and_crop():
+    """Off-grid dims under 2x1 sampling: encoder pads to the 16x8 grid,
+    decoder crops back; near-lossless quant keeps the error bounded."""
+    fine = np.array([1] * 64, dtype=np.int32)
+    rng = np.random.default_rng(13)
+    for hh, ww in ((17, 30), (24, 18), (9, 40)):
+        y = rng.integers(30, 220, (hh, ww)).astype(np.uint8)
+        cbv = np.full((hh, ww), 120, dtype=np.uint8)
+        crv = np.full((hh, ww), 140, dtype=np.uint8)
+        w, h, c, img = decode_jpeg(
+            encode_jpeg_ycbcr420(y, cbv, crv, fine, sampling=(2, 1))
+        )
+        assert (w, h, c) == (ww, hh, 3)
+        kb, kr = 120 - 128, 140 - 128
+        exp_r = np.clip(
+            y.astype(np.int64) + ((91881 * kr + 32768) >> 16), 0, 255
+        )
+        assert np.abs(img[:, :, 0].astype(np.int64) - exp_r).max() <= 2

@@ -78,6 +78,7 @@ MAP_IN_PANDAS_QUERIES = {
     "x4_png_decode",
     "x4_jpeg_decode",
     "x4_jpeg420_decode",
+    "x4_jpeg422_decode",
     "x4_gif_decode",
     "x4_jpeg_prog_decode",
     "x4_jpeg_prog_sa_decode",
