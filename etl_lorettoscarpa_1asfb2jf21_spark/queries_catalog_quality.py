@@ -474,6 +474,17 @@ x3_classifier_train.__doc__ = x3_classifier_train.__doc__.format(
 )
 
 
+def _x3t_score_col(W):
+    """Score column under a trained weight list: the same fold the frozen
+    classifier uses, with the trained 4097-long literal riding the plan."""
+    wlit = _long_array_lit(W)
+    return F.aggregate(
+        F.col("_bd"),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.get(wlit, b.cast("int")),
+    )
+
+
 def _x3t_score_oracle() -> str:
     last = f"w{_X3T_EPOCHS}"
     return f"""
@@ -499,17 +510,143 @@ def x3_trained_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     proved), so the only difference between the frozen and trained
     scorers is which 4096 integers ride the plan."""
     W, feats = _x3t_train(spark, sf_dir)
-    wlit = _long_array_lit(W)
-    score = F.aggregate(
-        F.col("_bd"),
-        F.lit(0).cast("long"),
-        lambda acc, b: acc + F.get(wlit, b.cast("int")),
-    )
     return feats.select(
         "doc_id",
         F.col("_y").alias("label"),
-        score.alias("score"),
+        _x3t_score_col(W).alias("score"),
     ).withColumn("accept", F.col("score") > 0)
+
+
+# =====================================================================
+# tp17 — model-scored importance sampling (round 10: the step after
+# train → score: CCNet/DCLM-style quality-weighted KEEP decisions)
+# =====================================================================
+
+_TP17_DEN = 1000  # acceptance-probability denominator
+_TP17_GAIN = 25  # p = min(1, max(0, score) * GAIN / DEN)
+
+
+def _tp17_oracle() -> str:
+    last = f"w{_X3T_EPOCHS}"
+    u = _md5_long60_sql("'samp|' || CAST(fb.doc_id AS VARCHAR)")
+    return f"""
+    WITH {_x3t_oracle_ctes()},
+    sc AS (
+      SELECT db.doc_id, COALESCE(SUM({last}.w), 0) AS sc
+      FROM db LEFT JOIN {last} ON db.b = {last}.b
+      GROUP BY db.doc_id
+    )
+    SELECT fb.doc_id,
+           CAST(COALESCE(sc.sc, 0) AS BIGINT) AS score,
+           CAST({u} % {_TP17_DEN} AS BIGINT) AS draw,
+           CAST(LEAST({_TP17_DEN},
+                      GREATEST(COALESCE(sc.sc, 0), 0) * {_TP17_GAIN})
+                AS BIGINT) AS p_num,
+           ({u} % {_TP17_DEN}) <
+             LEAST({_TP17_DEN}, GREATEST(COALESCE(sc.sc, 0), 0) * {_TP17_GAIN})
+             AS kept
+    FROM fb LEFT JOIN sc USING (doc_id)
+    """
+
+
+@query("tp17_quality_weighted_sample", _tp17_oracle())
+def tp17_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tp17: model-scored importance sampling — the curation step AFTER
+    train → score: keep each document with probability proportional to
+    its TRAINED classifier score (p = min(1, max(0, score)·gain/1000)),
+    decided by a deterministic per-doc md5 draw so the sample is exactly
+    reproducible on any engine (no RNG state; the CCNet/DCLM-style
+    quality-weighted keep, made oracle-checkable). Composes
+    x3_classifier_train's weights into the same zero-shuffle scoring
+    pass; the draw/threshold/keep are all integer-exact.
+
+    Scale: training is epoch-bounded (see _x3t_train); the sampling
+    itself is one whole-stage-codegen projection over the corpus — at
+    100 TB the keep decision adds two integer ops per document on top of
+    the scoring fold.
+    """
+    W, feats = _x3t_train(spark, sf_dir)
+    draw = md5_long60(
+        F.concat(F.lit("samp|"), F.col("doc_id").cast("string"))
+    ) % _TP17_DEN
+    p_num = F.least(
+        F.lit(_TP17_DEN), F.greatest(F.col("score"), F.lit(0)) * _TP17_GAIN
+    )
+    return (
+        feats.select("doc_id", _x3t_score_col(W).alias("score"))
+        .withColumn("draw", draw.cast("long"))
+        .withColumn("p_num", p_num.cast("long"))
+        .withColumn("kept", F.col("draw") < F.col("p_num"))
+    )
+
+
+# =====================================================================
+# tp18 — leakage-safe train/val split (round 10: near-duplicate
+# clusters travel TOGETHER across the split boundary)
+# =====================================================================
+
+
+def _tp18_oracle() -> str:
+    from .queries_catalog_pipeline import _PAIRS_SQL
+
+    cl = _md5_long60_sql("'split|' || CAST(cluster_id AS VARCHAR)")
+    return (
+        _PAIRS_SQL.replace("WITH g AS", "WITH RECURSIVE g AS", 1)
+        + f"""
+    , edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(id, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.id
+    ),
+    comp AS (
+      SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN {cl} % 10 < 8 THEN 'train' ELSE 'val' END AS split
+    FROM comp
+    """
+    )
+
+
+@query("tp18_leakage_safe_split", _tp18_oracle())
+def tp18_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tp18: leakage-safe train/val split — the hold-out assignment a
+    training-data build must make at CLUSTER granularity, not document
+    granularity: hashing doc_ids directly puts near-duplicates of a
+    training document into the validation set (the classic eval-leakage
+    bug near-dup detection exists to prevent). Near-dup pairs (the
+    x1_ngram_jaccard set) cluster via the star connected-components
+    engine; every member inherits its CLUSTER's md5 draw (80/20), so a
+    duplicate group can never straddle the boundary — by construction,
+    not by post-hoc filtering.
+
+    Scale: clustering is the O(log² n) star engine the dedup ladder
+    already runs; the split itself is one md5 + modulo per row. The
+    DuckDB twin recomputes the identical closure (recursive CTE) and
+    draw, so the assignment is hash-verified end to end.
+    """
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.graph import duplicate_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "text", "doc_id", "source", n=3, threshold=0.2
+    )
+    clusters = duplicate_clusters(d, pairs.select("id_a", "id_b"), "doc_id")
+    split = F.when(
+        md5_long60(
+            F.concat(F.lit("split|"), F.col("cluster_id").cast("string"))
+        )
+        % 10
+        < 8,
+        "train",
+    ).otherwise("val")
+    return clusters.select("doc_id", "cluster_id", split.alias("split"))
 
 
 # =====================================================================

@@ -341,3 +341,41 @@ def test_classifier_train_matches_plain_python_reference(spark, sf_small):
 
     W_got, _ = _x3t_train(spark, sf_small)
     assert W_got == W_ref
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_small):
+    """No near-dup cluster may straddle the train/val boundary — the
+    property the query exists to guarantee."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.queries_catalog_quality import (
+        QUERIES,
+    )
+
+    rows = QUERIES["tp18_leakage_safe_split"](spark, sf_small).collect()
+    assert len(rows) == 500
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    splits = {r["split"] for r in rows}
+    assert splits <= {"train", "val"} and "train" in splits
+
+
+def test_quality_weighted_sample_is_deterministic_and_monotone(spark, sf_small):
+    """The keep decision must be a pure function of (doc, score): two
+    runs agree row-for-row, every negative-score doc is dropped, and
+    every doc with p_num == 1000 whose draw is anything is kept."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.queries_catalog_quality import (
+        QUERIES,
+    )
+
+    a = {r["doc_id"]: r for r in QUERIES["tp17_quality_weighted_sample"](
+        spark, sf_small).collect()}
+    b = {r["doc_id"]: r for r in QUERIES["tp17_quality_weighted_sample"](
+        spark, sf_small).collect()}
+    assert len(a) == 500
+    for k in a:
+        assert a[k] == b[k]
+        r = a[k]
+        assert r["kept"] == (r["draw"] < r["p_num"])
+        if r["score"] <= 0:
+            assert not r["kept"]

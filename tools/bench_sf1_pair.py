@@ -89,6 +89,9 @@ def main() -> None:
     _warm_cache(sf_dir)
 
     # ---------------- engine phase (one warm session, noop sink)
+    # the ~sf1 heavies churn storage memory in one JVM — same 24g rule
+    # as bench.py (8g default showed GC-driven 2-3x run-to-run variance)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     from etl_lorettoscarpa_1asfb2jf21_spark.session import get_spark
     import __spark_entry__ as entrymod
 
