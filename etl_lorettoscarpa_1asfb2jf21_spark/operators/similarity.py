@@ -251,74 +251,141 @@ def _quantized_bucket_matmul_pairs(
     bq: DataFrame,
     threshold: float,
     tile: int = 2048,
+    block_size: int = 4096,
 ) -> DataFrame:
-    """Per-bucket pair finder as ONE tiled BLAS matmul per (band, bucket)
-    group: ``bq`` is (band, bucket, _id, _q[array<int>]); output is every
-    (id_a < id_b, sim) with quantized-cosine sim >= threshold, one row per
-    SHARED BUCKET (cross-band duplicates are the caller's dedup).
+    """Per-bucket pair finder as tiled BLAS matmuls over BLOCK-PAIR
+    groups: ``bq`` is (band, bucket, _id, _q[array<int>]); output is
+    every (id_a < id_b, sim) with quantized-cosine sim >= threshold, one
+    row per SHARED BUCKET (cross-band duplicates are the caller's dedup).
 
-    Why this shape wins: pair-at-a-time verify pays a per-row cost on
-    |pairs| rows no matter how the dot is computed — measured ~0.7 us/pair
-    wall even with an Arrow einsum kernel (the JVM<->Arrow list
-    serialization floor), i.e. ~40 s for the 53M-pair ~sf1 workload.
-    Here the PYTHON boundary moves only |corpus|·bands rows (the bucket
-    members, 256 B each — 20 MB at ~sf1) plus the threshold survivors
-    back; every candidate dot happens inside numpy as float64 BLAS tiles
-    (G = A @ B.T). Quantized elements are <= 2^20, so every product
-    (<= 2^40) and every 64-term sum (<= 2^46) is an integer exactly
-    representable in float64 — the BLAS result is bit-identical to the
-    int64 einsum, the native fold, and the DuckDB oracle, regardless of
-    accumulation order.
+    Why matmul: pair-at-a-time verify pays a per-row cost on |pairs|
+    rows no matter how the dot is computed — measured ~0.7 us/pair wall
+    even with an Arrow einsum kernel (the JVM<->Arrow list serialization
+    floor), i.e. ~40 s for the 53M-pair ~sf1 workload. Here the PYTHON
+    boundary moves bucket MEMBERS (256 B each) plus the threshold
+    survivors back; every candidate dot happens inside numpy as float64
+    BLAS tiles (G = A @ B.T). Quantized elements are <= 2^20, so every
+    product (<= 2^40) and every 64-term sum (<= 2^46) is an integer
+    exactly representable in float64 — the BLAS result is bit-identical
+    to the int64 einsum, the native fold, and the DuckDB oracle,
+    regardless of accumulation order.
 
-    Memory per task is O(group·dim + tile²) — the tiling bounds the Gram
-    tile at tile²·8 B (32 MB at 2048) independent of bucket size.
-    Parallelism is one task per (band, bucket): with b sign bits per band
-    that is bands·2^b tasks — at crawl scale you raise ``planes`` (more,
-    smaller buckets: better precision AND more parallelism), and the
-    mega-bucket cap discipline (operators/dedup.py:bucket_pairs) applies
-    upstream for adversarial skew.
+    Why BLOCKS: one task per (band, bucket) caps parallelism at
+    bands·2^b tasks with per-task work quadratic in bucket size — fine
+    at 64 buckets x 2k members, a single-task quadratic wall at a
+    crawl-scale bucket. Members are hashed into ceil(m/block_size)
+    blocks (per-bucket size from one tiny stats aggregate, broadcast
+    back); each member replicates to its block's row of block-PAIRS
+    (member of block b joins groups (b, j>=b) as the A side and
+    (i<b, b) as the B side — every unordered pair lands in EXACTLY one
+    group), and the kernel matmuls A x B per group (triangle on the
+    diagonal). Per-task work is bounded by block_size² dots, task count
+    grows with the data (nb²/2 per bucket), replication bytes are
+    members·nb — linear in the candidate mass the bucket defines anyway.
+    At nb == 1 (every bucket <= block_size — all current test scales)
+    the plan and output are the single-group path exactly. Memory per
+    task stays O(block·dim + tile²) via the same tiling.
     """
     from ..functions.vectors import QDOT_DENOM
 
     thr = float(threshold)
     denom = float(QDOT_DENOM)
 
+    stats = bq.groupBy("band", "bucket").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(int(block_size))).alias("_nb")
+    )
+    b2 = bq.join(F.broadcast(stats), ["band", "bucket"]).withColumn(
+        "_blk", F.pmod(F.xxhash64("_id"), F.greatest(F.col("_nb"), F.lit(1)))
+    )
+    a_side = F.transform(
+        F.sequence(F.col("_blk"), F.col("_nb") - 1),
+        lambda j: F.struct(
+            F.col("_blk").alias("bi"), j.alias("bj"), F.lit(0).alias("side")
+        ),
+    )
+    b_side = F.when(
+        F.col("_blk") > 0,
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.col("_blk") - 1),
+            lambda i: F.struct(
+                i.alias("bi"), F.col("_blk").alias("bj"), F.lit(1).alias("side")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<bi:bigint,bj:bigint,side:int>>"))
+    exploded = b2.select(
+        "band",
+        "bucket",
+        "_id",
+        "_q",
+        F.explode(F.concat(a_side, b_side)).alias("_t"),
+    ).select(
+        "band",
+        "bucket",
+        F.col("_t.bi").alias("bi"),
+        F.col("_t.bj").alias("bj"),
+        F.col("_t.side").alias("_side"),
+        "_id",
+        "_q",
+    )
+
+    def _empty():
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "sim": pd.Series(dtype="float64")}
+        )
+
+    def _tile_pairs(ids_a, Qa, ids_b, Qb, triangle):
+        import numpy as np
+
+        out_a, out_b, out_s = [], [], []
+        for i0 in range(0, len(ids_a), tile):
+            A = Qa[i0 : i0 + tile]
+            j_start = i0 if triangle else 0
+            for j0 in range(j_start, len(ids_b), tile):
+                B = Qb[j0 : j0 + tile]
+                S = (A @ B.T) / denom
+                mask = S >= thr
+                if triangle and i0 == j0:
+                    mask &= np.triu(np.ones(S.shape, dtype=bool), k=1)
+                ii, jj = np.nonzero(mask)
+                if len(ii):
+                    ia = ids_a[i0 + ii]
+                    ib = ids_b[j0 + jj]
+                    out_a.append(np.minimum(ia, ib))
+                    out_b.append(np.maximum(ia, ib))
+                    out_s.append(S[ii, jj])
+        return out_a, out_b, out_s
+
     def _emit(pdf):
         import numpy as np
         import pandas as pd
 
-        m = len(pdf)
-        if m < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"),
-                 "id_b": pd.Series(dtype="int64"),
-                 "sim": pd.Series(dtype="float64")}
+        if len(pdf) < 2:
+            return _empty()
+        bi = int(pdf["bi"].iat[0])
+        bj = int(pdf["bj"].iat[0])
+        if bi == bj:
+            ids = pdf["_id"].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            Q = np.stack(pdf["_q"].to_numpy()[order]).astype(np.float64)
+            out_a, out_b, out_s = _tile_pairs(ids, Q, ids, Q, triangle=True)
+        else:
+            am = pdf["_side"].to_numpy() == 0
+            if not am.any() or am.all():
+                return _empty()
+            ids_a = pdf["_id"].to_numpy()[am]
+            ids_b = pdf["_id"].to_numpy()[~am]
+            Qa = np.stack(pdf["_q"].to_numpy()[am]).astype(np.float64)
+            Qb = np.stack(pdf["_q"].to_numpy()[~am]).astype(np.float64)
+            out_a, out_b, out_s = _tile_pairs(
+                ids_a, Qa, ids_b, Qb, triangle=False
             )
-        ids = pdf["_id"].to_numpy()
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        Q = np.stack(pdf["_q"].to_numpy()[order]).astype(np.float64)
-        out_a, out_b, out_s = [], [], []
-        for i0 in range(0, m, tile):
-            A = Q[i0 : i0 + tile]
-            for j0 in range(i0, m, tile):
-                B = Q[j0 : j0 + tile]
-                S = (A @ B.T) / denom
-                mask = S >= thr
-                if i0 == j0:
-                    # strict upper triangle: id_a < id_b within the tile
-                    mask &= np.triu(np.ones(S.shape, dtype=bool), k=1)
-                ii, jj = np.nonzero(mask)
-                if len(ii):
-                    out_a.append(ids[i0 + ii])
-                    out_b.append(ids[j0 + jj])
-                    out_s.append(S[ii, jj])
         if not out_a:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"),
-                 "id_b": pd.Series(dtype="int64"),
-                 "sim": pd.Series(dtype="float64")}
-            )
+            return _empty()
         return pd.DataFrame(
             {
                 "id_a": np.concatenate(out_a),
@@ -327,7 +394,7 @@ def _quantized_bucket_matmul_pairs(
             }
         )
 
-    return bq.groupBy("band", "bucket").applyInPandas(
+    return exploded.groupBy("band", "bucket", "bi", "bj").applyInPandas(
         _emit, "id_a long, id_b long, sim double"
     )
 

@@ -1311,3 +1311,50 @@ def test_pq_sparse_codebook_fails_loudly(spark, sf_small):
     ix = s.build_pq_index(c, n_subspaces=8, n_codes=8)  # 3 rows < 8 codes
     with pytest.raises(Exception, match="not dense"):
         s.search_pq_index(q, c, ix, k=2, shortlist=8).collect()
+
+
+def test_quantized_bucket_matmul_blocks_match_single_group(spark):
+    """The block-pair decomposition (scale path: bounded per-task Gram
+    work, task count grows with data) must emit EXACTLY the single-group
+    path's pairs and sims — forced here by a block_size small enough that
+    real buckets split into several blocks."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.functions.vectors import (
+        normalize_expr,
+        quantize_unit_expr,
+    )
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.similarity import (
+        _explode_band_buckets,
+        _hyperplanes,
+        _quantized_bucket_matmul_pairs,
+    )
+
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(400)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    hps = _hyperplanes(16, 8, 42)
+    norm = df.select(
+        F.col("vec_id").alias("_pid"), normalize_expr("embedding").alias("_v")
+    )
+    bq = _explode_band_buckets(
+        norm.select("_pid", quantize_unit_expr("_v").alias("_q"), "_v"),
+        "_v", hps, 4, use_arrow=False,
+    ).select(
+        F.col("_pid").alias("_id"), F.col("_q"),
+        F.col("_band").alias("band"), F.col("_bucket").alias("bucket"),
+    )
+
+    def run(bs):
+        out = _quantized_bucket_matmul_pairs(bq, 0.1, block_size=bs)
+        return sorted(
+            (r["id_a"], r["id_b"], r["sim"])
+            for r in out.dropDuplicates(["id_a", "id_b"]).collect()
+        )
+
+    single = run(10**9)
+    blocked = run(7)  # ~2^8/4... buckets of ~100 members -> ~15 blocks
+    assert len(single) > 50
+    assert blocked == single
