@@ -305,17 +305,37 @@ def write_warehouse(wh: Warehouse, base_path: str) -> None:
 #      file. POSIX rename is atomic; on HDFS a rename is atomic too; on
 #      S3 use a conditional PUT (If-Match) on the pointer object.
 #
-# A crash at ANY point before step 3 leaves `_CURRENT` untouched:
+# A crash at ANY point before step 3 leaves the pointer untouched:
 # readers keep resolving the previous complete version (tested in
 # tests/test_star_pipeline.py::test_publish_crash_leaves_readers_on_old_version).
-# The protocol is SINGLE-WRITER by design — same contract as the
-# documented single-writer insert_if_absent (operators/upsert.py):
-# concurrent publishers would race the pointer flip; serialize them (or
-# use the pointer store's compare-and-swap) at the orchestration layer.
-# Old versions accumulate under `_v/` and double as time travel; vacuum
-# by deleting any version directory not referenced by `_CURRENT`.
+#
+# CONCURRENT PUBLISHERS (round 11): the publish step is a
+# compare-and-swap on a monotonically increasing GENERATION CHAIN under
+# `{base}/_ptr/`: a publisher captures the current generation g at entry,
+# writes + audits its version dir, then claims slot `_ptr/{g+1:020d}`
+# with an ATOMIC CREATE-EXCLUSIVE carrying its version id. Exactly one
+# writer can create a given slot — the loser raises PublishConflictError
+# (its version dir stays orphaned and vacuumable; orchestration retries
+# on the new base, exactly the Delta/Iceberg optimistic-commit shape).
+# Primitive per store: local file: → O_CREAT|O_EXCL (POSIX-atomic); HDFS
+# → FileSystem.create(overwrite=false) (atomic in the namenode); S3 →
+# conditional PUT (If-None-Match: *). Readers resolve the HIGHEST
+# generation — version dirs are immutable and complete before their slot
+# file exists, so a reader can never see a torn version. `_CURRENT` is
+# still written by the slot WINNER for legacy flat readers.
+# Old versions accumulate under `_v/` and double as time travel;
+# vacuum_versions(keep=N) retires generations beyond the newest N and
+# deletes their version dirs (plus aged-out loser orphans).
 
 _CURRENT_POINTER = "_CURRENT"
+_PTR_DIR = "_ptr"
+_GEN_WIDTH = 20
+
+
+class PublishConflictError(RuntimeError):
+    """Another publisher claimed the next generation first; this
+    publisher's version directory was written and audited but never
+    became visible. Retry the publish against the new current state."""
 
 
 def _pointer_fs(spark: SparkSession, base_path: str):
@@ -352,6 +372,80 @@ def _write_pointer_atomic(spark: SparkSession, base_path: str, version: str) -> 
     fc.rename(tmp, pointer, opts)
 
 
+def _hpath(spark: SparkSession, path: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(path)
+
+
+def _gen_fs(spark: SparkSession, base_path: str):
+    p = _hpath(spark, f"{base_path}/{_PTR_DIR}")
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def _list_generations(spark: SparkSession, base_path: str) -> list[int]:
+    """Sorted generation numbers present in the pointer chain."""
+    fs, d = _gen_fs(spark, base_path)
+    if not fs.exists(d):
+        return []
+    gens = []
+    for st in fs.listStatus(d):
+        name = st.getPath().getName()
+        if name.isdigit():
+            gens.append(int(name))
+    return sorted(gens)
+
+
+def _read_generation(spark: SparkSession, base_path: str, gen: int) -> str:
+    jvm = spark._jvm
+    fs, d = _gen_fs(spark, base_path)
+    stream = fs.open(_hpath(spark, f"{base_path}/{_PTR_DIR}/{gen:0{_GEN_WIDTH}d}"))
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8").strip()
+    finally:
+        stream.close()
+
+
+def _current_generation(spark: SparkSession, base_path: str) -> int:
+    """Highest claimed generation; 0 when the chain is empty."""
+    gens = _list_generations(spark, base_path)
+    return gens[-1] if gens else 0
+
+
+def _claim_generation(
+    spark: SparkSession, base_path: str, gen: int, version: str
+) -> bool:
+    """Atomically create the generation slot file carrying ``version``;
+    False when the slot already exists (another publisher won). Local
+    ``file:`` paths use O_CREAT|O_EXCL (the POSIX-atomic exclusive
+    create — Hadoop's RawLocalFileSystem.create(overwrite=false) is a
+    racy exists()-then-open); every other scheme uses
+    FileSystem.create(path, overwrite=false), which is atomic on HDFS
+    (namenode-side) — on S3 substitute a conditional PUT."""
+    import os
+
+    fs, d = _gen_fs(spark, base_path)
+    fs.mkdirs(d)
+    slot = f"{base_path}/{_PTR_DIR}/{gen:0{_GEN_WIDTH}d}"
+    uri = d.toUri()
+    if (uri.getScheme() or "file") == "file":
+        local = slot[len("file:"):] if slot.startswith("file:") else slot
+        try:
+            fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "wb") as f:
+            f.write(version.encode("utf-8"))
+        return True
+    try:
+        out = fs.create(_hpath(spark, slot), False)
+    except Exception:  # noqa: BLE001 — FileAlreadyExists via Py4J
+        return False
+    try:
+        out.write(bytearray(version.encode("utf-8")))
+    finally:
+        out.close()
+    return True
+
+
 def _read_pointer(spark: SparkSession, base_path: str) -> str | None:
     """Resolve `_CURRENT` through the Hadoop FileSystem of base_path;
     None if no pointer exists (legacy flat layout)."""
@@ -369,18 +463,30 @@ def _read_pointer(spark: SparkSession, base_path: str) -> str | None:
 
 
 def publish_warehouse(
-    wh: Warehouse, base_path: str, version: str | None = None
+    wh: Warehouse,
+    base_path: str,
+    version: str | None = None,
+    expected_generation: int | None = None,
 ) -> str:
     """Crash-safe gold publish via write-audit-publish (see block comment
-    above). Returns the published version id. Raises — WITHOUT moving the
+    above). Returns the published version id. Raises — WITHOUT moving any
     pointer — if the audit read-back row counts disagree with the source
-    frames."""
+    frames, and raises PublishConflictError — same guarantee — if another
+    publisher claimed the next generation first (compare-and-swap on the
+    generation chain; ``expected_generation`` pins the CAS base
+    explicitly, defaulting to the chain head observed at entry)."""
     import uuid
 
     from pyspark import StorageLevel
 
     version = version or uuid.uuid4().hex
     vdir = f"{base_path}/_v/{version}"
+    spark0 = wh.fato_lancamento.sparkSession
+    base_gen = (
+        expected_generation
+        if expected_generation is not None
+        else _current_generation(spark0, base_path)
+    )
 
     # persist the source frames FIRST so the write and the audit count
     # share one computation of each lineage instead of recomputing the
@@ -409,9 +515,72 @@ def publish_warehouse(
         for name in GOLD_TABLES:
             getattr(cached, name).unpersist()
 
-    # PUBLISH: atomic pointer replace through base_path's own filesystem
+    # PUBLISH: compare-and-swap on the generation chain — exactly one
+    # publisher can create slot base_gen+1; the loser's version dir
+    # stays invisible (and vacuumable) and the loser raises
+    if not _claim_generation(spark, base_path, base_gen + 1, version):
+        raise PublishConflictError(
+            f"generation {base_gen + 1} already claimed by version "
+            f"{_read_generation(spark, base_path, base_gen + 1)!r}; "
+            f"version {version} NOT published — retry on the new base"
+        )
+    # legacy `_CURRENT` follows the chain (written by the slot winner
+    # only, so it can never point at an unpublished version)
     _write_pointer_atomic(spark, base_path, version)
     return version
+
+
+def vacuum_versions(
+    spark: SparkSession,
+    base_path: str,
+    keep: int = 2,
+    orphan_grace_sec: float = 86400.0,
+) -> list[str]:
+    """Retention vacuum for the write-audit-publish layout: keep the
+    newest ``keep`` generations (their slot files AND version dirs),
+    delete retired generations' version dirs, and delete ORPHAN version
+    dirs (written by losing/crashed publishers, referenced by no slot)
+    whose modification time is older than ``orphan_grace_sec`` — the
+    grace window keeps an in-flight publisher's half-written dir safe.
+    Returns the deleted version ids. The newest generation is never
+    deleted, so concurrent readers resolving the chain head stay safe;
+    readers of RETIRED versions must finish within the retention window
+    (the standard lakehouse vacuum contract)."""
+    import time as _time
+
+    gens = _list_generations(spark, base_path)
+    keep = max(1, int(keep))
+    kept_gens = set(gens[-keep:])
+    kept_versions = {
+        _read_generation(spark, base_path, g) for g in kept_gens
+    }
+    legacy = _read_pointer(spark, base_path)
+    if legacy:
+        kept_versions.add(legacy)
+    referenced = {
+        _read_generation(spark, base_path, g) for g in gens
+    }
+    vroot = _hpath(spark, f"{base_path}/_v")
+    fs = vroot.getFileSystem(spark._jsc.hadoopConfiguration())
+    deleted: list[str] = []
+    if fs.exists(vroot):
+        now_ms = _time.time() * 1000.0
+        for st in fs.listStatus(vroot):
+            vid = st.getPath().getName()
+            if vid in kept_versions:
+                continue
+            if vid not in referenced and (
+                now_ms - st.getModificationTime() < orphan_grace_sec * 1000.0
+            ):
+                continue  # possibly an in-flight publisher — spare it
+            fs.delete(st.getPath(), True)
+            deleted.append(vid)
+    for g in gens:
+        if g not in kept_gens:
+            fs.delete(
+                _hpath(spark, f"{base_path}/{_PTR_DIR}/{g:0{_GEN_WIDTH}d}"), False
+            )
+    return deleted
 
 
 def _read_warehouse_dir(spark: SparkSession, vdir: str) -> Warehouse:
@@ -433,7 +602,15 @@ def read_warehouse(spark: SparkSession, base_path: str) -> Warehouse:
     pruning (write_warehouse denormalizes them); the canonical in-memory
     fact schema omits them, so they are dropped here — month-scoped readers
     that want pruning filter the parquet directly.
+
+    Resolution order: generation chain head (`_ptr/`, authoritative —
+    slot files exist only after their version dir is complete), then the
+    legacy `_CURRENT` pointer, then the flat layout.
     """
+    gens = _list_generations(spark, base_path)
+    if gens:
+        version = _read_generation(spark, base_path, gens[-1])
+        return _read_warehouse_dir(spark, f"{base_path}/_v/{version}")
     version = _read_pointer(spark, base_path)
     if version is not None:
         return _read_warehouse_dir(spark, f"{base_path}/_v/{version}")

@@ -714,6 +714,61 @@ def test_pq_topk_finds_true_neighbors(spark):
         assert all(c % 8 == j for c in by_q[100 + j][:4])
 
 
+def test_pq_topk_wide_batch_is_width_free(spark):
+    """A 10k-query batch must flow through pq_topk without any driver
+    materialization of the queries: the LUT is a map-side projection
+    (plan contains no per-query literals — plan size is width-free), the
+    wide path returns the same rows as the broadcast path, and results
+    agree with the narrow-batch call for a sampled query."""
+    import numpy as np
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.similarity import pq_topk
+
+    rng = np.random.default_rng(11)
+    base = np.eye(8)
+    corpus = spark.createDataFrame(
+        [
+            (i, [float(x) for x in base[i % 8] + rng.normal(0, 0.05, 8)])
+            for i in range(64)
+        ],
+        "c_id long, c_vec array<float>",
+    )
+    # 10k queries derived DISTRIBUTEDLY (range → expression vector):
+    # no driver-side row list anywhere
+    queries = spark.range(10_000).select(
+        F.col("id").alias("q_id"),
+        F.expr(
+            "transform(sequence(0, 7), "
+            "j -> CAST(CASE WHEN j = id % 8 THEN 1.0 ELSE 0.0 END AS FLOAT))"
+        ).alias("q_vec"),
+    )
+    wide = pq_topk(
+        queries, corpus, k=4, n_subspaces=4, n_codes=8, wide_queries=True
+    )
+    # width-free plan: no thousands-deep literal structs; the query side
+    # stays a Range scan (nothing driver-materialized)
+    plan = wide._jdf.queryExecution().analyzed().toString()
+    assert "Range (0, 10000" in plan
+    assert len(plan) < 200_000  # per-query literals would be megabytes
+    counts = wide.groupBy("q_id").count()
+    n_q = counts.count()
+    assert n_q == 10_000
+    # sampled-query agreement with the narrow broadcast path
+    one = spark.createDataFrame(
+        [(3, [0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0])],
+        "q_id long, q_vec array<float>",
+    )
+    got_wide = sorted(
+        (r["c_id"], r["rank"])
+        for r in wide.filter(F.col("q_id") == 3).collect()
+    )
+    got_narrow = sorted(
+        (r["c_id"], r["rank"])
+        for r in pq_topk(one, corpus, k=4, n_subspaces=4, n_codes=8).collect()
+    )
+    assert got_wide == got_narrow
+
+
 def test_pq_arrow_encoder_matches_native(spark):
     """The Arrow PQ encoder must produce the same top-k as the native
     argmin-over-literals path (same codebooks, same seed)."""

@@ -301,7 +301,7 @@ def test_classifier_train_matches_plain_python_reference(spark, sf_small):
     from etl_lorettoscarpa_1asfb2jf21_spark.queries_catalog_quality import (
         _X3C_BUCKETS,
         _X3T_EPOCHS,
-        _X3T_LEN_CUT,
+        _X3T_HOLDOUT_MOD,
         _x3t_train,
     )
 
@@ -314,33 +314,51 @@ def test_classifier_train_matches_plain_python_reference(spark, sf_small):
     def buckets(text):
         nt = re.sub(r"\s+", " ", text.lower()).strip()
         ws = nt.split(" ")
-        grams = []
-        seen = set()
-        for a, b in zip(ws, ws[1:]):
-            g = f"{a} {b}"
+        grams = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]  # uni + bi
+        seen, feats = set(), []
+        for g in grams:
             if g not in seen:
                 seen.add(g)
-                grams.append(g)
+                feats.append(g)
         out, bs = set(), []
-        for g in grams:
+        for g in feats:
             bkt = int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % _X3C_BUCKETS
             if bkt not in out:
                 out.add(bkt)
                 bs.append(bkt)
         return bs + [_X3C_BUCKETS]  # bias
 
+    def gopher_label(text):
+        ws = re.split(r"\s+", text.strip())
+        n_words = len(ws)
+        uniq_ratio = len(set(ws)) / n_words
+        mean_wlen = len(re.sub(r"\s", "", text)) / n_words
+        keep = (
+            n_words >= 30
+            and uniq_ratio >= 0.40
+            and 4.0 <= mean_wlen <= 5.0
+        )
+        return 1 if keep else -1
+
+    def is_train(doc_id):
+        h = int(hashlib.md5(f"split|{doc_id}".encode()).hexdigest()[:15], 16)
+        return h % _X3T_HOLDOUT_MOD != 0
+
     docs = [
-        (1 if n >= _X3T_LEN_CUT else -1, buckets(t)) for _, t, n in rows
+        (gopher_label(t), buckets(t)) for i, t, _ in rows if is_train(i)
     ]
+    assert docs and len(docs) < len(rows)  # split really holds some out
     W_ref = [0] * (_X3C_BUCKETS + 1)
+    A_ref = [0] * (_X3C_BUCKETS + 1)  # averaged-perceptron snapshot sum
     for _ in range(_X3T_EPOCHS):
         mis = [(y, bd) for y, bd in docs if y * sum(W_ref[b] for b in bd) <= 0]
         for y, bd in mis:
             for b in bd:
                 W_ref[b] += y
+        A_ref = [a + w for a, w in zip(A_ref, W_ref)]
 
     W_got, _ = _x3t_train(spark, sf_small)
-    assert W_got == W_ref
+    assert W_got == A_ref
 
 
 def test_leakage_safe_split_keeps_clusters_together(spark, sf_small):

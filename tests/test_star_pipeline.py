@@ -219,6 +219,86 @@ def test_publish_crash_leaves_readers_on_old_version(spark, staging, tmp_path):
     assert read_warehouse(spark, base).fato_lancamento.count() == n1
 
 
+def test_publish_cas_two_writer_race_and_vacuum(spark, staging, tmp_path):
+    """Concurrent-publisher safety: two writers publishing against the
+    SAME observed generation — exactly one claims the next slot, the
+    loser raises PublishConflictError without becoming visible, and
+    readers always resolve a complete version (never a torn state).
+    vacuum_versions then retires old generations and loser orphans."""
+    import os
+    import threading
+
+    import pytest
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.plans.star import (
+        PublishConflictError,
+        _claim_generation,
+        publish_warehouse,
+        read_warehouse,
+        run_etl,
+        vacuum_versions,
+    )
+
+    valid, _ = staging
+    wh = run_etl(valid)
+    base = str(tmp_path / "gold_cas")
+    v1 = publish_warehouse(wh, base)
+    n1 = read_warehouse(spark, base).fato_lancamento.count()
+
+    # Both publishers observe generation 1 (v1's slot), then race: the
+    # winner claims slot 2, the loser must raise and stay invisible.
+    results: dict[str, object] = {}
+
+    def run_pub(tag):
+        try:
+            results[tag] = publish_warehouse(
+                wh, base, version=f"cand-{tag}", expected_generation=1
+            )
+        except PublishConflictError as e:
+            results[tag] = e
+
+    ta = threading.Thread(target=run_pub, args=("a",))
+    tb = threading.Thread(target=run_pub, args=("b",))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    wins = [t for t, r in results.items() if isinstance(r, str)]
+    losses = [t for t, r in results.items() if isinstance(r, PublishConflictError)]
+    assert len(wins) == 1 and len(losses) == 1, results
+    winner_version = results[wins[0]]
+    assert read_warehouse(spark, base).fato_lancamento.count() == n1
+    with open(os.path.join(base, "_ptr", f"{2:020d}"), encoding="utf-8") as f:
+        assert f.read().strip() == winner_version
+    # the loser's audited version dir exists but is unreachable
+    assert os.path.isdir(os.path.join(base, "_v", f"cand-{losses[0]}"))
+
+    # raw claim primitive: N threads, one slot, exactly one winner
+    claims = []
+    threads = [
+        threading.Thread(
+            target=lambda i=i: claims.append(
+                _claim_generation(spark, base, 99, f"racer-{i}")
+            )
+        )
+        for i in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sum(claims) == 1
+    os.remove(os.path.join(base, "_ptr", f"{99:020d}"))
+
+    # vacuum: keep only the newest generation — v1's dir and the loser
+    # orphan (grace 0) are deleted; the winner stays readable
+    deleted = vacuum_versions(spark, base, keep=1, orphan_grace_sec=0.0)
+    assert v1 in deleted and f"cand-{losses[0]}" in deleted
+    assert not os.path.isdir(os.path.join(base, "_v", v1))
+    assert read_warehouse(spark, base).fato_lancamento.count() == n1
+    # a fresh publish continues the chain after vacuum
+    v3 = publish_warehouse(wh, base)
+    assert read_warehouse(spark, base).fato_lancamento.count() == n1
+    assert v3 != winner_version
+
+
 def test_corrupt_record_quarantine(spark, tmp_path):
     """Physically malformed rows (wrong field count in either direction)
     land in the corrupt-record quarantine with the raw line preserved for
