@@ -1,0 +1,133 @@
+"""Streaming twins of the round-10 curation operators: quality-weighted
+sampling on arriving batches (tp17) and cluster-stable split assignment
+(tp18) — parity with the batch queries plus the replay/inheritance
+properties the batch forms cannot express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("streaming-curation-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+    )
+    yield s
+
+
+@pytest.fixture(scope="module")
+def sf_small() -> str:
+    return "/root/testdata/sf0.001"
+
+
+def test_streaming_quality_sample_matches_batch_tp17(spark, sf_small, tmp_path):
+    """The union of per-micro-batch keep decisions under the frozen
+    trained weights must equal the one-shot batch tp17 result
+    row-for-row, regardless of how the corpus is split into batches;
+    a replayed batch_id must be a no-op."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.queries_catalog_quality import (
+        QUERIES,
+        _x3t_train,
+    )
+    from etl_lorettoscarpa_1asfb2jf21_spark.sources.tables import load_table
+    from etl_lorettoscarpa_1asfb2jf21_spark.streaming.curation import (
+        apply_sample_batch,
+        start_quality_sample_sink,
+    )
+
+    W, _ = _x3t_train(spark, sf_small)
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+
+    # stream the corpus as parquet micro-batches (3 files → ≥1 batches)
+    src = str(tmp_path / "docs_src")
+    docs.repartition(3).write.parquet(src)
+    out = str(tmp_path / "sampled")
+    q = start_quality_sample_sink(
+        spark.readStream.schema(docs.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src),
+        out,
+        str(tmp_path / "ckpt"),
+        W,
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["doc_id"], r["score"], r["draw"], r["p_num"], r["kept"])
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["score"], r["draw"], r["p_num"], r["kept"])
+        for r in QUERIES["tp17_quality_weighted_sample"](spark, sf_small).collect()
+    )
+    assert got == want and len(got) == docs.count()
+
+    # replay: re-applying an already-ledgered batch_id changes nothing
+    applied = [r["batch_id"] for r in spark.read.parquet(out + "_applied").collect()]
+    apply_sample_batch(docs.limit(50), applied[0], out, W)
+    assert spark.read.parquet(out).count() == len(want)
+
+
+def test_streaming_split_inherits_cluster_and_stays_stable(spark, tmp_path):
+    """A near-duplicate arriving in a LATER batch must join its
+    original's cluster and inherit its split; unrelated docs mint their
+    own clusters; no cluster ever straddles the split boundary; replays
+    are no-ops."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.streaming.splits import (
+        apply_split_batch,
+        read_split_assignments,
+    )
+
+    base = str(tmp_path / "splits")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+
+    body_a = "the quick brown fox jumps over the lazy dog " * 8
+    body_b = "completely different content about spark shuffles " * 8
+    batch1 = mk([(1, body_a), (2, body_b)])
+    # doc 11 duplicates doc 1 up to whitespace (normalization-identical,
+    # so every minhash band collides DETERMINISTICALLY — a worded edit
+    # would make the band collision probabilistic and the test flaky);
+    # doc 12 is novel
+    batch2 = mk(
+        [
+            (11, "  " + body_a.upper() + "  "),
+            (12, "novel third subject entirely unrelated words " * 8),
+        ]
+    )
+
+    apply_split_batch(batch1, 0, base)
+    first = {
+        r["doc_id"]: (r["cluster_id"], r["split"])
+        for r in read_split_assignments(spark, base).collect()
+    }
+    assert set(first) == {1, 2}
+    assert first[1][0] != first[2][0]  # unrelated docs → distinct clusters
+
+    apply_split_batch(batch2, 1, base)
+    allrows = {
+        r["doc_id"]: (r["cluster_id"], r["split"])
+        for r in read_split_assignments(spark, base).collect()
+    }
+    # inheritance: the near-dup joined doc 1's cluster AND split
+    assert allrows[11] == first[1]
+    # the novel doc minted its own cluster (root = its own id)
+    assert allrows[12][0] == 12
+    # stability: batch-1 assignments unchanged by batch 2
+    assert allrows[1] == first[1] and allrows[2] == first[2]
+    # leakage safety: one split per cluster
+    by_cluster: dict = {}
+    for cid, split in allrows.values():
+        by_cluster.setdefault(cid, set()).add(split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+
+    # replay: same batch_id again is a no-op
+    apply_split_batch(batch2, 1, base)
+    assert read_split_assignments(spark, base).count() == 4
