@@ -97,7 +97,9 @@ def main() -> None:
             "THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END))"
         )
         words = ", ".join(word(w) for w in range(2))
-        ham = " + ".join(f"bit_count(xor(q.w[{i+1}], c.cw[{i+1}]))" for i in range(2))
+        ham = " + ".join(
+            f"bit_count(xor(q.w[{i+1}], cand.cw[{i+1}]))" for i in range(2)
+        )
         cos = (
             "list_dot_product(qs.vd, cs.vd) / (sqrt(list_dot_product(qs.vd, qs.vd))"
             " * sqrt(list_dot_product(cs.vd, cs.vd)))"
