@@ -604,14 +604,42 @@ def ngram_jaccard_pairs(
 
     # prefix filtering: explode each doc's prefix grams into an inverted
     # index, equi-join on (block, gram), dedup the candidate pair ids.
+    # GLOBAL ORDER = document frequency ASCENDING (Bayardo's rare-first
+    # order), not gram-hash: the prefix theorem holds under ANY fixed
+    # order, but at a low threshold the prefix covers most of each doc
+    # (80% at t=0.2), so under hash order every corpus-common gram
+    # (stopword shingles, punctuation runs) lands in ~every prefix and
+    # its posting list joins the whole block against itself — measured
+    # as a block-quadratic candidate blow-up on the 500k-doc sf10
+    # witness replica (pairs count DNF >4200 s; SF10_WITNESS.json).
+    # Rare-first pushes exactly those grams to the list TAILS, where the
+    # threshold excludes them from prefixes; the price is two linear
+    # passes (per-gram df aggregate + per-doc re-sort) — linear shuffles
+    # in place of a quadratic join. Output is IDENTICAL (verify is
+    # exact), so oracles are untouched.
     prefix_len = (
         F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + F.lit(1)
     ).cast("int")
-    idx = g.select(
+    gram_df = (
+        g.select(F.explode("_g").alias("_pg"))
+        .groupBy("_pg")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    by_rarity = (
+        g.select("_id", "_blk", "_sz", F.explode("_g").alias("_pg"))
+        .join(gram_df, "_pg")
+        .groupBy("_id", "_blk", "_sz")
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "_pg"))).alias("_ps"))
+    )
+    idx = by_rarity.select(
         "_id",
         "_blk",
         "_sz",
-        F.explode(F.slice(F.sort_array("_g"), F.lit(1), prefix_len)).alias("_pg"),
+        F.explode(
+            F.slice(
+                F.transform("_ps", lambda s: s["_pg"]), F.lit(1), prefix_len
+            )
+        ).alias("_pg"),
     )
     l, r = idx.alias("l"), idx.alias("r")
     size_bound = (F.col("l._sz") >= F.lit(threshold) * F.col("r._sz")) & (
