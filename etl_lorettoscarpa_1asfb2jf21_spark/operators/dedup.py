@@ -502,8 +502,14 @@ def ngram_jaccard_pairs(
     strategy: str = "auto",
     auto_block_cap: int = 1024,
     checkpoint: bool = True,
+    return_candidates: bool = False,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard within a blocking key (e.g. lang).
+
+    ``return_candidates=True`` returns the PRE-VERIFY candidate pair set
+    (id_a, id_b) instead of the verified output — the instrumentation
+    hook the scale witnesses use to measure candidate mass against true
+    pair mass (tools/sf10_witness.py). Production callers never set it.
 
     Deterministic and oracle-checkable (unlike the hash-based strategies).
     Returns id_a, id_b, jaccard (pairs meeting the threshold). All
@@ -528,9 +534,9 @@ def ngram_jaccard_pairs(
       postings), NOT block-quadratic: measured on the 10x replica
       (tools/make_sfx.py), the all-pairs form went 6.9 s → 221 s
       (quadratic) while this form stays near-linear. The global order is
-      the gram hash value itself (sort_array) — no frequency pass; a
-      rare-first order would prune harder at the cost of a corpus-wide
-      gram count + per-doc re-sort.
+      document frequency ASCENDING (Bayardo's rare-first order) — see
+      the prefix branch below for why hash order is a scale-killer at
+      low thresholds (SF10_WITNESS.json).
     * ``allpairs``: block-equi-join enumerating every in-block id pair.
       Simpler plan (one self-join), fine when blocks are bounded (e.g.
       the block IS an LSH bucket), quadratic when they are not.
@@ -586,13 +592,18 @@ def ngram_jaccard_pairs(
             F.col("r._sz") >= F.lit(threshold) * F.col("l._sz")
         )
         inter = F.size(F.array_intersect(F.col("l._g"), F.col("r._g"))).cast("double")
-        return (
-            l.join(
-                r,
-                (F.col("l._blk") == F.col("r._blk"))
-                & (F.col("l._id") < F.col("r._id"))
-                & size_bound,
+        joined = l.join(
+            r,
+            (F.col("l._blk") == F.col("r._blk"))
+            & (F.col("l._id") < F.col("r._id"))
+            & size_bound,
+        )
+        if return_candidates:
+            return joined.select(
+                F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b")
             )
+        return (
+            joined
             .withColumn("jaccard", inter / (F.col("l._sz") + F.col("r._sz") - inter))
             .filter(F.col("jaccard") >= threshold)
             .select(
@@ -656,6 +667,8 @@ def ngram_jaccard_pairs(
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .distinct()
     )
+    if return_candidates:
+        return cand
     return _verify(cand)
 
 

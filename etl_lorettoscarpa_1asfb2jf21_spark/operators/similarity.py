@@ -289,6 +289,7 @@ def _quantized_bucket_matmul_pairs(
     threshold: float,
     tile: int = 2048,
     block_size: int = 4096,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Per-bucket pair finder as tiled BLAS matmuls over BLOCK-PAIR
     groups: ``bq`` is (band, bucket, _id, _q[array<int>]); output is
@@ -333,7 +334,10 @@ def _quantized_bucket_matmul_pairs(
     # lineage runs once, not once per consumer (an extra full corpus
     # map pass at scale; advisor round-10). Lazy: materializes with the
     # first action, |corpus|·bands rows × ~256 B to local disk.
-    bq = bq.localCheckpoint(eager=False)
+    # checkpoint=False exists ONLY so the plan audit (tests/test_plans.py)
+    # can see through the barrier and assert the upstream spread survives.
+    if checkpoint:
+        bq = bq.localCheckpoint(eager=False)
     stats = bq.groupBy("band", "bucket").agg(
         F.ceil(F.count(F.lit(1)) / F.lit(int(block_size))).alias("_nb")
     )
@@ -453,6 +457,7 @@ def embedding_neardup_pairs(
     seed: int = 42,
     use_arrow: bool = True,
     quantized_verify: bool = False,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, sim) pairs with cosine >= threshold, LSH-blocked.
 
@@ -542,7 +547,7 @@ def embedding_neardup_pairs(
             F.col("_bucket").alias("bucket"),
         )
         return (
-            _quantized_bucket_matmul_pairs(bq, threshold)
+            _quantized_bucket_matmul_pairs(bq, threshold, checkpoint=checkpoint)
             .dropDuplicates(["id_a", "id_b"])
             .select("id_a", "id_b", "sim")
         )

@@ -231,15 +231,27 @@ def test_anti_join_stays_equi_hash(spark, sf_medium):
 def test_pairwise_dedup_stages_are_spread(spark, sf_medium):
     """The CPU-bound pairwise operators must not run single-partition: the
     spread() repartition has to survive optimization into the physical
-    plan. ngram_jaccard_pairs' gram pipeline sits behind a localCheckpoint
-    barrier in the catalog (the plan can't show through it), so its spread
-    is audited on a checkpoint=False operator build."""
-    for name in ("x1_minhash_dedup", "x1_embedding_neardup"):
-        plan = plan_of(EXT_QUERIES[name](spark, sf_medium))
-        assert "RoundRobinPartitioning" in plan, f"{name} lost its spread"
+    plan. ngram_jaccard_pairs' gram pipeline and embedding_neardup_pairs'
+    quantized bucket table both sit behind a localCheckpoint barrier in
+    the catalog (the plan can't show through an ExistingRDD), so their
+    spreads are audited on checkpoint=False operator builds; the catalog
+    build of the embedding query is additionally asserted to feed its
+    matmul FlatMapGroupsInPandas from a hash Exchange (the parallelism
+    that actually carries the BLAS stage)."""
+    plan = plan_of(EXT_QUERIES["x1_minhash_dedup"](spark, sf_medium))
+    assert "RoundRobinPartitioning" in plan, "minhash lost its spread"
+
+    emb_plan = plan_of(EXT_QUERIES["x1_embedding_neardup"](spark, sf_medium))
+    assert "FlatMapGroupsInPandas" in emb_plan
+    assert "hashpartitioning(band" in emb_plan, (
+        "embedding matmul stage lost its (band, bucket) hash exchange"
+    )
 
     from etl_lorettoscarpa_1asfb2jf21_spark.operators.dedup import (
         ngram_jaccard_pairs,
+    )
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.similarity import (
+        embedding_neardup_pairs,
     )
     from etl_lorettoscarpa_1asfb2jf21_spark.sources.tables import load_table
 
@@ -248,6 +260,15 @@ def test_pairwise_dedup_stages_are_spread(spark, sf_medium):
         d, "text", "doc_id", "source", n=3, threshold=0.2, checkpoint=False
     )
     assert "RoundRobinPartitioning" in plan_of(pairs), "ngram lost its spread"
+
+    e = load_table(spark, sf_medium, "embeddings")
+    epairs = embedding_neardup_pairs(
+        e, "vec_id", "embedding", threshold=0.3, use_arrow=False,
+        quantized_verify=True, checkpoint=False,
+    )
+    assert "RoundRobinPartitioning" in plan_of(epairs), (
+        "embedding lost its spread"
+    )
 
 
 def test_q19_pushes_disjunctive_conjuncts_to_scans(spark, sf_medium):

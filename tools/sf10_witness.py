@@ -114,8 +114,20 @@ def main() -> None:
     # pairs, SCALING.md footnote); only the sf10 point is new.
     record["sf1_docs"] = 50_000
     record["sf1_true_pairs_approx"] = 60_800_000
+    record["prefix_order"] = "rare-first (df-ascending, Bayardo) — round-12 fix"
     for label, d in (("sf10", sf10_dir),):
         docs = load_table(spark, d, "documents")
+        # candidate mass FIRST (the quantity the old hash-order prefix
+        # blew up block-quadratically): pre-verify pair count
+        t0 = time.perf_counter()
+        n_cand = ngram_jaccard_pairs(
+            docs, "text", "doc_id", "source", n=3, threshold=0.2,
+            return_candidates=True,
+        ).count()
+        record[f"{label}_candidates"] = n_cand
+        record[f"{label}_candidates_sec"] = round(time.perf_counter() - t0, 1)
+        print(f"{label}: {n_cand} candidates "
+              f"({record[f'{label}_candidates_sec']}s)", flush=True)
         t0 = time.perf_counter()
         n_pairs = ngram_jaccard_pairs(
             docs, "text", "doc_id", "source", n=3, threshold=0.2
@@ -123,6 +135,9 @@ def main() -> None:
         record[f"{label}_docs"] = docs.count()
         record[f"{label}_true_pairs"] = n_pairs
         record[f"{label}_pairs_count_sec"] = round(time.perf_counter() - t0, 1)
+        record[f"{label}_cand_over_true"] = (
+            round(n_cand / n_pairs, 2) if n_pairs else None
+        )
         print(
             f"{label}: {record[f'{label}_docs']} docs, {n_pairs} true pairs "
             f"({record[f'{label}_pairs_count_sec']}s)",
