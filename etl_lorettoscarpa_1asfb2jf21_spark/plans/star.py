@@ -410,40 +410,80 @@ def _current_generation(spark: SparkSession, base_path: str) -> int:
     return gens[-1] if gens else 0
 
 
+def _resolve_head(spark: SparkSession, base_path: str) -> str | None:
+    """Version id at the chain head, walking PAST empty or unreadable
+    slots to the newest readable generation. _claim_generation can no
+    longer create an empty-visible slot (the content rides the atomic
+    link/rename), but a slot broken by an older writer or a torn store
+    must degrade to the previous good generation, not brick every
+    read."""
+    for g in reversed(_list_generations(spark, base_path)):
+        try:
+            v = _read_generation(spark, base_path, g)
+        except Exception:  # noqa: BLE001 — unreadable slot: fall back
+            continue
+        if v:
+            return v
+    return None
+
+
 def _claim_generation(
     spark: SparkSession, base_path: str, gen: int, version: str
 ) -> bool:
     """Atomically create the generation slot file carrying ``version``;
-    False when the slot already exists (another publisher won). Local
-    ``file:`` paths use O_CREAT|O_EXCL (the POSIX-atomic exclusive
-    create — Hadoop's RawLocalFileSystem.create(overwrite=false) is a
-    racy exists()-then-open); every other scheme uses
-    FileSystem.create(path, overwrite=false), which is atomic on HDFS
-    (namenode-side) — on S3 substitute a conditional PUT."""
+    False when the slot already exists (another publisher won).
+
+    The slot must appear WITH its content, never empty: a create-then-
+    write pair leaves a window (and a crash point) where the newest slot
+    is visible but empty, so every chain-head resolution would load
+    `_v/` and fail — permanently, because vacuum never deletes the
+    newest generation. So the content is written to a TEMP file first
+    and the slot materializes in one atomic metadata op:
+
+    * local ``file:`` — ``os.link(tmp, slot)`` (POSIX-atomic; EEXIST =
+      lost CAS). O_CREAT|O_EXCL alone would be an atomic *claim* but an
+      empty-visible slot.
+    * every other scheme — ``FileSystem.rename(tmp, slot)`` without
+      overwrite, which is atomic and fails when the destination exists
+      on HDFS (namenode-side). On S3 substitute a conditional PUT of
+      the full content (`If-None-Match: *`) — same one-shot semantics.
+
+    Readers additionally skip empty/unreadable slots (`_resolve_head`)
+    so a legacy broken slot can never brick the chain."""
     import os
+    import uuid as _uuid
 
     fs, d = _gen_fs(spark, base_path)
     fs.mkdirs(d)
     slot = f"{base_path}/{_PTR_DIR}/{gen:0{_GEN_WIDTH}d}"
+    # dot-prefixed so _list_generations (name.isdigit()) never sees it
+    tmp = f"{base_path}/{_PTR_DIR}/.claim-{_uuid.uuid4().hex}"
     uri = d.toUri()
     if (uri.getScheme() or "file") == "file":
-        local = slot[len("file:"):] if slot.startswith("file:") else slot
+        strip = lambda p: p[len("file:"):] if p.startswith("file:") else p  # noqa: E731
+        local_slot, local_tmp = strip(slot), strip(tmp)
+        with open(local_tmp, "wb") as f:
+            f.write(version.encode("utf-8"))
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(local_tmp, local_slot)
+            return True
         except FileExistsError:
             return False
-        with os.fdopen(fd, "wb") as f:
-            f.write(version.encode("utf-8"))
-        return True
-    try:
-        out = fs.create(_hpath(spark, slot), False)
-    except Exception:  # noqa: BLE001 — FileAlreadyExists via Py4J
-        return False
+        finally:
+            os.unlink(local_tmp)
+    out = fs.create(_hpath(spark, tmp), True)
     try:
         out.write(bytearray(version.encode("utf-8")))
     finally:
         out.close()
-    return True
+    try:
+        return bool(fs.rename(_hpath(spark, tmp), _hpath(spark, slot)))
+    finally:
+        tp = _hpath(spark, tmp)
+        if fs.exists(tp):
+            fs.delete(tp, False)
 
 
 def _read_pointer(spark: SparkSession, base_path: str) -> str | None:
@@ -519,9 +559,17 @@ def publish_warehouse(
     # publisher can create slot base_gen+1; the loser's version dir
     # stays invisible (and vacuumable) and the loser raises
     if not _claim_generation(spark, base_path, base_gen + 1, version):
+        # best-effort winner id for the message only — tolerate a slot a
+        # competing store is still materializing or a transient read error
+        try:
+            winner = (
+                _read_generation(spark, base_path, base_gen + 1) or "<in-flight>"
+            )
+        except Exception:  # noqa: BLE001
+            winner = "<in-flight>"
         raise PublishConflictError(
             f"generation {base_gen + 1} already claimed by version "
-            f"{_read_generation(spark, base_path, base_gen + 1)!r}; "
+            f"{winner!r}; "
             f"version {version} NOT published — retry on the new base"
         )
     # legacy `_CURRENT` follows the chain (written by the slot winner
@@ -551,15 +599,19 @@ def vacuum_versions(
     gens = _list_generations(spark, base_path)
     keep = max(1, int(keep))
     kept_gens = set(gens[-keep:])
-    kept_versions = {
-        _read_generation(spark, base_path, g) for g in kept_gens
-    }
+    # one slot read per generation, reused for both sets (each read is a
+    # round-trip to the store); unreadable/empty slots reference nothing
+    gen_versions: dict[int, str | None] = {}
+    for g in gens:
+        try:
+            gen_versions[g] = _read_generation(spark, base_path, g) or None
+        except Exception:  # noqa: BLE001 — broken slot references nothing
+            gen_versions[g] = None
+    kept_versions = {v for g, v in gen_versions.items() if g in kept_gens and v}
     legacy = _read_pointer(spark, base_path)
     if legacy:
         kept_versions.add(legacy)
-    referenced = {
-        _read_generation(spark, base_path, g) for g in gens
-    }
+    referenced = {v for v in gen_versions.values() if v}
     vroot = _hpath(spark, f"{base_path}/_v")
     fs = vroot.getFileSystem(spark._jsc.hadoopConfiguration())
     deleted: list[str] = []
@@ -607,9 +659,8 @@ def read_warehouse(spark: SparkSession, base_path: str) -> Warehouse:
     slot files exist only after their version dir is complete), then the
     legacy `_CURRENT` pointer, then the flat layout.
     """
-    gens = _list_generations(spark, base_path)
-    if gens:
-        version = _read_generation(spark, base_path, gens[-1])
+    version = _resolve_head(spark, base_path)
+    if version:
         return _read_warehouse_dir(spark, f"{base_path}/_v/{version}")
     version = _read_pointer(spark, base_path)
     if version is not None:

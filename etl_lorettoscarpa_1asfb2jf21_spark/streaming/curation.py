@@ -13,9 +13,12 @@ result row-for-row (pinned by tests/test_streaming_curation.py). That is
 the CCNet/DCLM serving shape: train once offline, score every arriving
 shard with the frozen model.
 
-Delivery contract: foreachBatch is at-least-once; the sink append is not
-idempotent, so exactly-once net effect uses the same batch LEDGER as
-streaming/ivm.py — applied batch_ids are recorded and replays skipped.
+Delivery contract: foreachBatch is at-least-once; exactly-once net
+effect uses the batch-scoped commit protocol of streaming/_commit.py —
+decisions stage under a batch_id partition, the ledger row appended
+LAST is the commit point, and ``read_sample_decisions`` serves only
+committed batches, so a crash between the data write and the ledger row
+can never surface duplicate doc_id rows.
 
 Scale: per batch = one whole-stage-codegen projection (tokenize → hash →
 fold the 4097-int weight literal → md5 draw) over the batch rows only;
@@ -62,20 +65,25 @@ def apply_sample_batch(
     """Score + sample one arriving batch under the frozen ``weights`` and
     append the decisions (doc_id, score, draw, p_num, kept) to
     ``out_path``. Replay-safe via the batch ledger."""
+    from ._commit import commit_batch, is_committed, stage_write
+
     spark = batch_df.sparkSession
     ledger_path = out_path + "_applied"
-    try:
-        applied = spark.read.parquet(ledger_path)
-        if applied.filter(F.col("batch_id") == batch_id).limit(1).count() > 0:
-            return  # at-least-once replay → exactly-once net effect
-    except Exception:  # noqa: BLE001 — absent ledger = nothing applied yet
-        pass
-    _score_and_draw(batch_df, weights, den, gain).write.mode("append").parquet(
-        out_path
-    )
-    spark.createDataFrame([(int(batch_id),)], "batch_id long").write.mode(
-        "append"
-    ).parquet(ledger_path)
+    if is_committed(spark, ledger_path, batch_id):
+        return  # at-least-once replay → exactly-once net effect
+    stage_write(_score_and_draw(batch_df, weights, den, gain), out_path, batch_id)
+    commit_batch(spark, ledger_path, batch_id)
+
+
+def read_sample_decisions(spark, out_path: str) -> DataFrame:
+    """The decision table (doc_id, score, draw, p_num, kept) —
+    COMMITTED batches only."""
+    from ._commit import committed_ids, read_committed
+
+    out = read_committed(spark, out_path, committed_ids(spark, out_path + "_applied"))
+    if out is None:
+        raise FileNotFoundError(f"no committed sample decisions at {out_path}")
+    return out
 
 
 def start_quality_sample_sink(

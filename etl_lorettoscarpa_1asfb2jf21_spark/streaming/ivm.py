@@ -51,15 +51,13 @@ def apply_cdc_batch(
     """Fold one CDC batch (op ∈ {'I','D'}; updates arrive as D+I pairs,
     standard CDC) into the persisted rollup. Safe to call again with the
     same ``batch_id`` — the ledger makes the replay a no-op."""
+    from ._commit import _hadoop_exists, is_committed
+
     spark = batch_df.sparkSession
     ledger_path = view_path + "_applied"
 
-    try:
-        applied = spark.read.parquet(ledger_path)
-        if applied.filter(F.col("batch_id") == batch_id).limit(1).count() > 0:
-            return  # at-least-once replay → exactly-once net effect
-    except Exception:  # noqa: BLE001 — absent ledger = nothing applied yet
-        pass
+    if is_committed(spark, ledger_path, batch_id):
+        return  # at-least-once replay → exactly-once net effect
 
     sign = F.when(F.col(op_col) == "D", F.lit(-1)).otherwise(F.lit(1))
     delta = (
@@ -73,10 +71,12 @@ def apply_cdc_batch(
     )
     bucket = key_bucket_expr(key_cols, n_buckets)
 
-    try:
-        cur = spark.read.parquet(view_path)
-    except Exception:  # noqa: BLE001 — bootstrap
-        cur = None
+    # explicit absence probe, not a blanket except: a TRANSIENT read
+    # failure here must fail the micro-batch (retry), because treating it
+    # as bootstrap would dynamic-overwrite merged buckets with delta-only
+    # values — silent state loss (the advisor's splits.py finding, same
+    # class)
+    cur = spark.read.parquet(view_path) if _hadoop_exists(spark, view_path) else None
 
     if cur is None:
         merged = delta.select(

@@ -62,13 +62,15 @@ def start_scd2_sink(
     """
 
     def read_dim(spark) -> DataFrame | None:
-        # probe via Spark, not os.path: dim_path may be hdfs://, s3a://, …
-        # where a driver-local isdir() is always False and would silently
-        # re-initialize (wipe) the history every batch
-        try:
-            return spark.read.parquet(dim_path)
-        except Exception:  # noqa: BLE001 — any unreadable/absent table → bootstrap
+        # explicit Hadoop-FS absence probe (scheme-aware: hdfs://, s3a://,
+        # …), not a blanket except: a TRANSIENT read failure must fail the
+        # micro-batch (retry) — treating it as bootstrap would
+        # re-initialize (wipe) the history
+        from ._commit import _hadoop_exists
+
+        if not _hadoop_exists(spark, dim_path):
             return None
+        return spark.read.parquet(dim_path)
 
     def write_partitioned(spark, merged: DataFrame) -> None:
         # materialize before overwrite (never read and rewrite the same

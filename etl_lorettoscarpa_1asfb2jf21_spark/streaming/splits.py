@@ -6,8 +6,12 @@ batch `tp18_leakage_safe_split` query. This is the property a training
 pipeline actually needs online: once a document is in train, a near
 duplicate arriving next week must never land in val.
 
-Mechanics per micro-batch (foreachBatch, batch-ledger replay protection
-exactly as streaming/ivm.py):
+Mechanics per micro-batch (foreachBatch; the batch-scoped commit
+protocol of streaming/_commit.py — outputs stage under batch_id
+partitions, the ledger row appended LAST is the commit point, and every
+state read is ledger-gated, so an at-least-once replay can neither
+self-match its own partial writes nor silently re-bootstrap on a
+transient read error):
 
 1. WITHIN-BATCH clustering: banded-minhash pairs + the star
    connected-components engine (the same ladder the batch query runs).
@@ -56,8 +60,17 @@ def _split_expr(cluster_col: str):
 
 
 def read_split_assignments(spark: SparkSession, base_path: str) -> DataFrame:
-    """(doc_id, cluster_id, split) for every document assigned so far."""
-    return spark.read.parquet(f"{base_path}/assign")
+    """(doc_id, cluster_id, split) for every document assigned so far —
+    COMMITTED batches only (the ledger is the commit point; an in-flight
+    or crashed batch's staged rows are partition-pruned away)."""
+    from ._commit import committed_ids, read_committed
+
+    out = read_committed(
+        spark, f"{base_path}/assign", committed_ids(spark, f"{base_path}/_applied")
+    )
+    if out is None:
+        raise FileNotFoundError(f"no committed split assignments at {base_path}")
+    return out
 
 
 def apply_split_batch(
@@ -82,14 +95,13 @@ def apply_split_batch(
     )
     from ..operators.graph import duplicate_clusters
 
+    from ._commit import commit_batch, committed_ids, read_committed, stage_write
+
     spark = batch_df.sparkSession
     ledger_path = f"{base_path}/_applied"
-    try:
-        applied = spark.read.parquet(ledger_path)
-        if applied.filter(F.col("batch_id") == batch_id).limit(1).count() > 0:
-            return  # at-least-once replay → exactly-once net effect
-    except Exception:  # noqa: BLE001 — absent ledger = nothing applied yet
-        pass
+    committed = committed_ids(spark, ledger_path)
+    if int(batch_id) in set(committed):
+        return  # at-least-once replay → exactly-once net effect
 
     batch_df = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
     rows_per_band = num_hashes // bands
@@ -117,12 +129,15 @@ def apply_split_batch(
         F.col(id_col).alias("_sid"),
         _hashed_ngrams_from_norm(shingle_size, portable=False).alias("_shs"),
     )
-    try:
-        idx_b = spark.read.parquet(f"{base_path}/buckets")
-        idx_sh = spark.read.parquet(f"{base_path}/shingles")
-        assigned = read_split_assignments(spark, base_path)
-    except Exception:  # noqa: BLE001 — first batch bootstraps the state
-        idx_b = None
+    # COMMITTED state only: an uncommitted replay of this very batch (a
+    # crash between the stage writes and the ledger row) must not
+    # self-match Jaccard-1.0 and re-assign its own docs a second
+    # conflicting cluster; and a TRANSIENT state-read failure raises out
+    # of the micro-batch (retry) instead of silently re-bootstrapping —
+    # both via the ledger-gated reader (_commit module doc).
+    idx_b = read_committed(spark, f"{base_path}/buckets", committed)
+    idx_sh = read_committed(spark, f"{base_path}/shingles", committed)
+    assigned = read_committed(spark, f"{base_path}/assign", committed)
     if idx_b is not None:
         cand = (
             idx_b.join(
@@ -182,12 +197,13 @@ def apply_split_batch(
     out = final.withColumn("split", _split_expr("cluster_id")).localCheckpoint(
         eager=True
     )
-    out.write.mode("append").parquet(f"{base_path}/assign")
-    new_b.write.mode("append").parquet(f"{base_path}/buckets")
-    new_sh.write.mode("append").parquet(f"{base_path}/shingles")
-    spark.createDataFrame([(int(batch_id),)], "batch_id long").write.mode(
-        "append"
-    ).parquet(ledger_path)
+    # stage all three outputs under this batch's partition, THEN commit:
+    # the ledger row is what makes them visible (crash anywhere before it
+    # = clean replay; overwrite staging wipes partial leftovers)
+    stage_write(out, f"{base_path}/assign", batch_id)
+    stage_write(new_b, f"{base_path}/buckets", batch_id)
+    stage_write(new_sh, f"{base_path}/shingles", batch_id)
+    commit_batch(spark, ledger_path, batch_id)
 
 
 def start_cluster_split_sink(

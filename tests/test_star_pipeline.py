@@ -299,6 +299,59 @@ def test_publish_cas_two_writer_race_and_vacuum(spark, staging, tmp_path):
     assert v3 != winner_version
 
 
+def test_publish_slot_atomic_with_content_and_broken_head_fallback(
+    spark, staging, tmp_path
+):
+    """The generation slot must never be visible empty (advisor round-11
+    high): a claimed slot carries its version id atomically (os.link of
+    a fsynced temp locally / rename-no-overwrite on HDFS), no temp
+    litter survives, and readers walk PAST an empty or unreadable head
+    slot (a legacy torn writer / broken store) to the newest readable
+    generation instead of failing forever."""
+    import os
+
+    from etl_lorettoscarpa_1asfb2jf21_spark.plans.star import (
+        _claim_generation,
+        publish_warehouse,
+        read_warehouse,
+        run_etl,
+        vacuum_versions,
+    )
+
+    valid, _ = staging
+    wh = run_etl(valid)
+    base = str(tmp_path / "gold_atomic")
+    v1 = publish_warehouse(wh, base)
+    n1 = read_warehouse(spark, base).fato_lancamento.count()
+    ptr = os.path.join(base, "_ptr")
+
+    # claim primitive: the slot appears WITH content, and no temp files
+    # remain in the pointer dir afterwards
+    assert _claim_generation(spark, base, 5, "vX") is True
+    with open(os.path.join(ptr, f"{5:020d}"), encoding="utf-8") as f:
+        assert f.read() == "vX"
+    assert _claim_generation(spark, base, 5, "vY") is False
+    assert [n for n in os.listdir(ptr) if not n.isdigit()] == []
+    os.remove(os.path.join(ptr, f"{5:020d}"))
+
+    # broken head slot (empty file, as a legacy create-then-crash writer
+    # would leave): reads fall back to v1, not a '_v/' load failure
+    broken = os.path.join(ptr, f"{7:020d}")
+    with open(broken, "wb"):
+        pass
+    assert read_warehouse(spark, base).fato_lancamento.count() == n1
+    # vacuum treats the broken slot as referencing nothing and keeps v1
+    # reachable (it is the newest READABLE generation)
+    deleted = vacuum_versions(spark, base, keep=2, orphan_grace_sec=0.0)
+    assert v1 not in deleted
+    assert read_warehouse(spark, base).fato_lancamento.count() == n1
+    # the chain heals: a new publish claims past the broken slot and
+    # becomes the head
+    v2 = publish_warehouse(wh, base)
+    assert v2 != v1
+    assert read_warehouse(spark, base).fato_lancamento.count() == n1
+
+
 def test_corrupt_record_quarantine(spark, tmp_path):
     """Physically malformed rows (wrong field count in either direction)
     land in the corrupt-record quarantine with the raw line preserved for

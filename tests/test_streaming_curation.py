@@ -40,6 +40,7 @@ def test_streaming_quality_sample_matches_batch_tp17(spark, sf_small, tmp_path):
     from etl_lorettoscarpa_1asfb2jf21_spark.sources.tables import load_table
     from etl_lorettoscarpa_1asfb2jf21_spark.streaming.curation import (
         apply_sample_batch,
+        read_sample_decisions,
         start_quality_sample_sink,
     )
 
@@ -62,7 +63,7 @@ def test_streaming_quality_sample_matches_batch_tp17(spark, sf_small, tmp_path):
 
     got = sorted(
         (r["doc_id"], r["score"], r["draw"], r["p_num"], r["kept"])
-        for r in spark.read.parquet(out).collect()
+        for r in read_sample_decisions(spark, out).collect()
     )
     want = sorted(
         (r["doc_id"], r["score"], r["draw"], r["p_num"], r["kept"])
@@ -73,7 +74,26 @@ def test_streaming_quality_sample_matches_batch_tp17(spark, sf_small, tmp_path):
     # replay: re-applying an already-ledgered batch_id changes nothing
     applied = [r["batch_id"] for r in spark.read.parquet(out + "_applied").collect()]
     apply_sample_batch(docs.limit(50), applied[0], out, W)
-    assert spark.read.parquet(out).count() == len(want)
+    assert read_sample_decisions(spark, out).count() == len(want)
+
+    # crash-replay: a batch that staged its decisions but died BEFORE the
+    # ledger row is invisible to readers, and its replay commits exactly
+    # once (no duplicate doc_id rows) — advisor round-11
+    from etl_lorettoscarpa_1asfb2jf21_spark.streaming._commit import stage_write
+    from etl_lorettoscarpa_1asfb2jf21_spark.streaming.curation import (
+        _score_and_draw,
+    )
+
+    crash_batch = max(applied) + 1
+    # fresh doc_ids (disjoint from the corpus) so the only possible
+    # duplicates are replay-made
+    extra = docs.limit(25).withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    stage_write(_score_and_draw(extra, W, 1000, 25), out, crash_batch)
+    assert read_sample_decisions(spark, out).count() == len(want)  # invisible
+    apply_sample_batch(extra, crash_batch, out, W)  # the stream's retry
+    final = read_sample_decisions(spark, out)
+    assert final.count() == len(want) + 25
+    assert final.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
 
 
 def test_streaming_split_inherits_cluster_and_stays_stable(spark, tmp_path):
@@ -131,3 +151,27 @@ def test_streaming_split_inherits_cluster_and_stays_stable(spark, tmp_path):
     # replay: same batch_id again is a no-op
     apply_split_batch(batch2, 1, base)
     assert read_split_assignments(spark, base).count() == 4
+
+    # crash-replay: a batch that staged state but died before its ledger
+    # row must be invisible to readers AND to its own replay's probe —
+    # the replay must not self-match its staged buckets (Jaccard 1.0)
+    # and re-assign conflicting clusters (advisor round-11). Stage bogus
+    # uncommitted state for batch 2, then run the real batch 2.
+    from etl_lorettoscarpa_1asfb2jf21_spark.streaming._commit import stage_write
+
+    # normalization-identical to doc 2 → deterministic band collision
+    batch3 = mk([(21, " " + body_b.upper() + "  ")])
+    bogus = spark.createDataFrame(
+        [(21, 999_999, "val")], "doc_id long, cluster_id long, split string"
+    )
+    stage_write(bogus, base + "/assign", 2)
+    assert read_split_assignments(spark, base).count() == 4  # invisible
+    apply_split_batch(batch3, 2, base)
+    rows3 = {
+        r["doc_id"]: (r["cluster_id"], r["split"])
+        for r in read_split_assignments(spark, base).collect()
+    }
+    assert read_split_assignments(spark, base).count() == 5  # no dup rows
+    # the staged bogus row was overwritten; doc 21 inherited doc 2's
+    # cluster and split through the committed index, not the staged one
+    assert rows3[21] == first[2]
