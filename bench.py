@@ -4,6 +4,14 @@ JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
 Execution is forced with the noop data source (full computation, no driver
 collect) so timings measure the engine, not result transfer.
+
+$SPARK_GRAFT_REPS (default 1) runs every query N times and records the
+MINIMUM wall — the solo re-measure discipline the sf1 pair tool applies,
+in-harness: a co-tenant CPU burst during one rep can no longer fabricate a
+14x regression for a 0.8 s query (BENCH_r11's x4_bmp_decode read 13.04 s
+in a contaminated window; 0.82 s solo). Min-of-N is the right statistic
+for a deterministic computation on a noisy host: every source of error is
+additive noise, so the minimum is the least-contaminated observation.
 """
 
 from __future__ import annotations
@@ -71,20 +79,28 @@ def main() -> None:
 
     import gc
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "1")))
     errors: dict[str, str] = {}
     for name, fn in qs.items():
-        t0 = time.perf_counter()
-        try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 4)
-        except Exception as exc:  # noqa: BLE001 — one bad query must not lose the whole record
-            msg = str(exc).splitlines() or [type(exc).__name__]
-            errors[name] = msg[0][:200]
-        # each query is an independent measurement: drop cached blocks the
-        # query pinned (cache()/localCheckpoint in iterative ops) so later
-        # queries aren't taxed by earlier queries' storage-memory + GC churn
-        spark.catalog.clearCache()
-        gc.collect()
+        best: float | None = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            except Exception as exc:  # noqa: BLE001 — one bad query must not lose the whole record
+                msg = str(exc).splitlines() or [type(exc).__name__]
+                errors[name] = msg[0][:200]
+                break
+            # each query run is an independent measurement: drop cached
+            # blocks the query pinned (cache()/localCheckpoint in
+            # iterative ops) so later runs aren't taxed by earlier runs'
+            # storage-memory + GC churn
+            spark.catalog.clearCache()
+            gc.collect()
+        if best is not None:
+            timings[name] = round(best, 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -121,11 +137,13 @@ def main() -> None:
         )
         if q in timings
     }
+    full["reps"] = reps
     compact = {
         "metric": "total_query_wall_time",
         "value": full["value"],
         "unit": "sec",
         "sf": sf_val,
+        "reps": reps,
         "n_queries": len(timings),
         "n_errors": len(errors),
         "queries": {**headline, **top},

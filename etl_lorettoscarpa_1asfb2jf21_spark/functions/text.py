@@ -161,6 +161,20 @@ def word_ngrams_expr(col: Column | str, n: int = 5, pre_normalized: bool = False
     )
 
 
+def hashed_word_ngrams_expr(
+    col: Column | str, n: int = 5, pre_normalized: bool = False
+) -> Column:
+    """DISTINCT md5-60-bit hashes of the word n-grams — the decontamination
+    gram signature (tp7 and its streaming twin share this exact expression
+    so batch/stream decisions agree row-for-row; DuckDB mirrors it with
+    ('0x'||substr(md5(gram),1,15))::BIGINT)."""
+    from .hashing import md5_long60
+
+    return F.array_distinct(
+        F.transform(word_ngrams_expr(col, n, pre_normalized), md5_long60)
+    )
+
+
 def char_ngrams_expr(
     col: Column | str, n: int = 3, pre_normalized: bool = False
 ) -> Column:

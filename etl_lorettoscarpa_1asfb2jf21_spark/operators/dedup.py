@@ -61,13 +61,23 @@ def _spread_normalized(df: DataFrame, text_col: str, keep: list, factor: int = 1
     The substring lambda in char_ngrams_expr re-evaluates whatever
     expression it slices once PER GRAM; normalizing (lower+trim+regex)
     inline there costs ~300 regex passes per document. Materializing the
-    normalized text below the spread() exchange makes the lambda slice a
-    plain column instead — measured 2.7x on gram generation at sf0.1 —
-    and the exchange is an optimizer barrier, so CollapseProject can't
-    inline the normalize back into the lambda.
+    normalized text as its OWN projection makes the lambda slice a plain
+    column instead — measured 2.7x on gram generation at sf0.1.
+    CollapseProject leaves the projection alone (regexp_replace is not
+    'cheap' and _norm has multiple consumers — verified in the physical
+    plan: exactly one regexp_replace), so no exchange barrier is needed
+    to protect it.
+
+    The normalize sits ABOVE the spread() exchange (raw text shuffles,
+    similar byte volume): a one-file test-scale scan would otherwise run
+    the whole regex pass in a single task — measured as the ~6 s
+    single-task floor under every sf0.1 gram query (round-12). At 100 TB
+    the scan is already thousands of tasks and the placement is moot.
     """
-    cols = [F.col(c) for c in keep] + [normalized_text_expr(text_col).alias("_norm")]
-    return spread(df.select(*cols), factor=factor)
+    raw = spread(df.select(*[F.col(c) for c in keep], F.col(text_col)), factor=factor)
+    return raw.select(
+        *[F.col(c) for c in keep], normalized_text_expr(text_col).alias("_norm")
+    )
 
 
 def _hashed_ngrams_from_norm(n: int, distinct: bool = True, portable: bool = False):

@@ -2522,6 +2522,48 @@ def hamming_words_expr(a: str, b: str):
     )
 
 
+def _hamming_shortlist(
+    ham: DataFrame, depth: int, query_id: str, corpus_id: str
+) -> DataFrame:
+    """EXACT per-query Hamming shortlist via histogram pruning — the
+    width-scaling fix for the BQ family (round-11 verdict #7: IVF-BQ
+    serving grew width-linearly because every (query, candidate) Hamming
+    row rode per_key_topn's two corpus-mass exchanges).
+
+    Hamming distance is a BOUNDED INT (<= dim), so a per-(query, _ham)
+    count aggregate map-side-combines the width x candidate-mass rows
+    down to <= 65 rows per query per task; a cumulative sum over that
+    tiny histogram yields each query's pruning radius ``_thr`` = the
+    smallest h whose cumulative count reaches ``depth``. The candidate
+    stream is then filtered MAP-SIDE to _ham <= _thr (broadcast of
+    width x 1 thresholds) before any ranking exchange — survivors are
+    ~depth + ties per query instead of the whole scanned cell/corpus.
+
+    Exactness: the filtered set contains every row with _ham < _thr and
+    ALL rows tied at _thr, a superset of the top-``depth`` under the
+    total order (_ham, corpus_id); per_key_topn then selects exactly the
+    rows the unpruned form would. The Hamming column is recomputed by the
+    two branches (histogram + prune) — XOR/POPCNT over the code words is
+    cheaper than materializing the 10^8-row stream once at width 5000.
+    """
+    hist = ham.groupBy(query_id, "_ham").agg(F.count(F.lit(1)).alias("_hc"))
+    wcum = Window.partitionBy(query_id).orderBy("_ham")
+    thr = (
+        hist.withColumn("_cb", F.sum("_hc").over(wcum) - F.col("_hc"))
+        .filter(F.col("_cb") < depth)
+        .groupBy(query_id)
+        .agg(F.max("_ham").alias("_thr"))
+    )
+    pruned = (
+        ham.join(F.broadcast(thr), query_id)
+        .filter(F.col("_ham") <= F.col("_thr"))
+        .drop("_thr")
+    )
+    return per_key_topn(
+        pruned, [query_id], [F.col("_ham"), F.col(corpus_id)], depth
+    ).select(query_id, corpus_id)
+
+
 def build_bq_index(
     corpus: DataFrame,
     dim: int = 64,
@@ -2577,12 +2619,10 @@ def search_bq_index(
         F.col(corpus_id),
         hamming_words_expr("_qw", "_cw").alias("_ham"),
     )
-    # two-phase per-query head: the Hamming scan scores EVERY corpus row
-    # per query, so a plain per-query window is a corpus-sized
-    # single-task sort (per_key_topn docstring)
-    short = per_key_topn(
-        ham, [query_id], [F.col("_ham"), F.col(corpus_id)], max(k, shortlist)
-    ).select(query_id, corpus_id)
+    # histogram-pruned exact shortlist: the Hamming scan scores EVERY
+    # corpus row per query — prune to each query's depth-radius before
+    # any ranking exchange (_hamming_shortlist docstring)
+    short = _hamming_shortlist(ham, max(k, shortlist), query_id, corpus_id)
     return _rerank_exact(
         short, queries, corpus, k, query_id, query_vec, corpus_id, corpus_vec
     )
@@ -2731,9 +2771,10 @@ def search_ivfbq_index(
             hamming_words_expr("_qw", "_cw").alias("_ham"),
         )
     )
-    short = per_key_topn(
-        ham, [query_id], [F.col("_ham"), F.col(corpus_id)], max(k, shortlist)
-    ).select(query_id, corpus_id)
+    # histogram-pruned exact shortlist — the width-5000 fix: the probed
+    # cells' (query x candidate) stream never reaches a ranking exchange
+    # unpruned (_hamming_shortlist docstring)
+    short = _hamming_shortlist(ham, max(k, shortlist), query_id, corpus_id)
     return _rerank_exact(
         short, queries, corpus, k, query_id, query_vec, corpus_id, corpus_vec
     )

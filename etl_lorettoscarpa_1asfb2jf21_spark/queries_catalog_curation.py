@@ -509,11 +509,15 @@ def x3_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     per the catalog dtype policy.
     """
     from .functions.text import normalized_text_expr as _norm
+    from .operators.partitioning import spread
 
     d = load_table(spark, sf_dir, "documents")
-    base = d.select("doc_id", _norm("text").alias("_t")).filter(
-        F.length("_t") > 0
-    )
+    # spread the raw text first: the checkpoint below would otherwise
+    # inherit the one-file test-scale scan's single partition and run the
+    # whole normalize+split in one task (round-12 span-family fix)
+    base = spread(d.select("doc_id", "text")).select(
+        "doc_id", _norm("text").alias("_t")
+    ).filter(F.length("_t") > 0)
     # the normalize+split pipeline feeds four consumers (unigram counts,
     # total, bigram stream, and the scored join's probe side); a lazy
     # localCheckpoint computes it once instead of re-running the regex

@@ -540,10 +540,18 @@ def x1_dup_spans_maximal(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is lazily checkpointed — the normalize+split pipeline runs
     once for its two consumers.
     """
+    from .operators.partitioning import spread
+
     d = load_table(spark, sf_dir, "documents")
     words = F.split(normalized_text_expr("text"), r"\s+")
+    # spread the RAW text first: the checkpoint otherwise inherits the
+    # one-file test-scale scan's single partition and the whole
+    # normalize+split+per-position-md5 pass runs in ONE task (the
+    # round-11 4.1x); the checkpointed token table keeps the wide
+    # partitioning for both downstream consumers
     w = (
-        d.select("doc_id", words.alias("ws"))
+        spread(d.select("doc_id", "text"))
+        .select("doc_id", words.alias("ws"))
         .filter(F.size("ws") >= 8)
         .localCheckpoint(eager=False)
     )
@@ -705,10 +713,14 @@ def x1_dedup_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     token, so the corpus token stream is never exploded or shuffled
     (the oracle's token unnest + anti-join is the SQL mirror only).
     """
+    from .operators.partitioning import spread
+
     d = load_table(spark, sf_dir, "documents")
-    base = d.select("doc_id", normalized_text_expr("text").alias("_t")).filter(
-        F.length("_t") > 0
-    )
+    # spread before normalize — same single-task-checkpoint fix as
+    # x1_dup_spans_maximal
+    base = spread(d.select("doc_id", "text")).select(
+        "doc_id", normalized_text_expr("text").alias("_t")
+    ).filter(F.length("_t") > 0)
     w = base.select("doc_id", F.split("_t", r"\s+").alias("ws")).localCheckpoint(
         eager=False
     )
@@ -1157,14 +1169,16 @@ def ts1_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), g AS (
       SELECT doc_id,
              unnest(list_distinct([
-               array_to_string(w[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')
+               ('0x' || substr(md5(
+                  array_to_string(w[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')
+               ), 1, 15))::BIGINT
                FOR i IN range(1, len(w) - 3)
              ])) AS gram
       FROM toks WHERE len(w) >= 5
     ), eval_g AS (
       SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0
     )
-    SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared
+    SELECT g.doc_id, COUNT(*) AS n_shared
     FROM g JOIN eval_g USING (gram)
     WHERE g.doc_id % 20 != 0
     GROUP BY g.doc_id
@@ -1181,13 +1195,31 @@ def tp7_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams — one corpus pass, no corpus shuffle; the per-doc count is a
     partial-aggregated groupBy. Returns (doc_id, n_shared) for
     contaminated training docs only.
+
+    Grams are md5-60-bit HASHED before the join (round-11 verdict #3 —
+    this was the one standing >2x-DuckDB compute gap): the broadcast
+    table carries 8-byte longs instead of ~30-byte gram strings (~4x
+    smaller ship + a LongHashedRelation probe instead of string
+    equality), and because per-doc grams are already distinct, the
+    matched rows are unique per (doc, gram) so the count_distinct
+    collapses to a plain partial-aggregated count — no distinct-expand.
+    Both engines count distinct HASHES (identical md5-prefix fold,
+    functions/hashing.md5_long60 == DuckDB's '0x'||substr(md5,1,15)), so
+    a collision merges the same two grams on both sides and the oracle
+    stays exact.
     """
-    from .functions.text import word_ngrams_expr
+    from .functions.text import hashed_word_ngrams_expr
+    from .operators.dedup import _spread_normalized
 
     d = load_table(spark, sf_dir, "documents")
-    grams = d.select(
+    # spread + wide normalize: a one-file test-scale scan would otherwise
+    # run the whole regex+gram pass in a single task (the actual round-11
+    # 5.4x: 6 s of the 36.3 s sf1 wall was one normalize task)
+    grams = _spread_normalized(d, "text", keep=["doc_id"]).select(
         "doc_id",
-        F.explode(F.array_distinct(word_ngrams_expr("text", n=5))).alias("gram"),
+        F.explode(
+            hashed_word_ngrams_expr("_norm", n=5, pre_normalized=True)
+        ).alias("gram"),
     )
     eval_grams = F.broadcast(
         grams.filter(F.col("doc_id") % 20 == 0).select("gram").distinct()
@@ -1196,7 +1228,7 @@ def tp7_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.filter(F.col("doc_id") % 20 != 0)
         .join(eval_grams, "gram")
         .groupBy("doc_id")
-        .agg(F.count_distinct("gram").alias("n_shared"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
     )
 
 

@@ -420,8 +420,13 @@ def _x3t_train(spark: SparkSession, sf_dir: str):
     cached = _X3T_CACHE.get(key)
     if cached is not None:
         return cached
+    from .operators.partitioning import spread
+
     d = load_table(spark, sf_dir, "documents")
-    feats = d.select(
+    # spread first: the eager checkpoint otherwise runs the whole
+    # tokenize/bucket feature pipeline in the scan's single task at
+    # test scale (round-12 fix, same class as the span family)
+    feats = spread(d.select("doc_id", "text")).select(
         "doc_id",
         _x3t_label_expr().alias("_y"),
         _x3t_bucket_arr_expr().alias("_bd"),
@@ -1177,20 +1182,21 @@ def gr2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: edges canonicalized (a<b, distinct) once, then ORIENTED from
     the lower-(degree, id) endpoint to the higher (the Schank-Wagner /
-    Cohen MapReduce orientation): the join w1⋈w2 enumerates each
-    directed 2-path u→m→e once, centered at its MIDDLE node — per-middle
-    fan-out is indeg(m)·outdeg(m), and the orientation bounds every
-    out-degree by O(√m), so total work is O(m^1.5) even on power-law
-    graphs, where the naive undirected join explodes on hub nodes
-    (a hub's quadratic blow-up would need high OUT-degree, which the
-    orientation forbids — hubs mostly fan IN). The
-    closing edge check is one more join on the canonical edge table. The
+    Cohen MapReduce orientation — every out-degree bounded by O(√m), so
+    per-vertex work is bounded even on power-law graphs: a hub's
+    quadratic blow-up would need high OUT-degree, which the orientation
+    forbids; hubs mostly fan IN), then counted in the forward/compact
+    ADJACENCY-ARRAY form: each vertex's oriented out-neighborhood ships
+    once as a sorted array and every oriented edge (u,v) contributes
+    |N+(u) ∩ N+(v)| — a map-side sorted-array merge, no wedge rows ever
+    materialized (see inline comment). Total work stays O(m^1.5). The
     DuckDB twin counts the same triangles via the a<b<c form (orientation
     changes enumeration order, not the count); wedges = Σ d(d−1)/2 exact.
 
-    Scale: three shuffles (degree agg, wedge join, closing join), all on
-    edge keys; the skew answer is the orientation itself — a hub's
-    oriented out-neighborhood stays O(√m) small.
+    Scale: three edge-keyed shuffles (degree agg, adjacency build, the
+    two edge⋈adjacency hash joins share the third), each moving edge-mass
+    rows — never wedge-mass; the skew answer is the orientation itself —
+    a hub's oriented out-neighborhood stays O(√m) small.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"),
@@ -1221,15 +1227,27 @@ def gr2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
     )
-    w1 = o.select(F.col("u"), F.col("v").alias("w_mid"))
-    w2 = o.select(F.col("u").alias("w_mid"), F.col("v").alias("w_end"))
-    wedges = w1.join(w2, "w_mid").filter(F.col("u") != F.col("w_end"))
-    closing = wedges.join(
-        e,
-        (F.least("u", "w_end") == F.col("a"))
-        & (F.greatest("u", "w_end") == F.col("b")),
+    # adjacency-array triangle count (round-11 verdict #5): the wedge
+    # self-join materialized EVERY directed 2-path as a row (wedge mass
+    # >> edge mass — the measured 6.3x vs DuckDB at ~sf1) and then paid a
+    # third join to close them. The forward/compact form instead ships
+    # each vertex's oriented out-neighborhood ONCE as a sorted array and
+    # counts per-EDGE: a triangle {u<v<w} (degree order) is exactly one
+    # oriented edge (u,v) plus w ∈ N+(u) ∩ N+(v), so
+    # n_tri = Σ_(u,v)∈o |N+(u) ∩ N+(v)| with each triangle counted once.
+    # Shuffled row mass drops from wedge-count to edge-count (arrays are
+    # orientation-bounded at O(√m) elements — a hub fans IN, not out),
+    # and the intersection is a map-side merge of two sorted arrays.
+    adj = o.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+    au = adj.select("u", F.col("nbrs").alias("_nu"))
+    av = adj.select(F.col("u").alias("v"), F.col("nbrs").alias("_nv"))
+    n_tri = (
+        o.join(au, "u")
+        .join(av, "v")
+        .select(F.size(F.array_intersect("_nu", "_nv")).cast("long").alias("_c"))
+        .agg(F.sum("_c").cast("long").alias("n_triangles"))
+        .select(F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"))
     )
-    n_tri = closing.agg(F.count(F.lit(1)).alias("n_triangles"))
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
     n_wedges = deg.agg(

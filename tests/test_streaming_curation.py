@@ -175,3 +175,53 @@ def test_streaming_split_inherits_cluster_and_stays_stable(spark, tmp_path):
     # the staged bogus row was overwritten; doc 21 inherited doc 2's
     # cluster and split through the committed index, not the staged one
     assert rows3[21] == first[2]
+
+
+def test_streaming_decontam_matches_batch_tp7(spark, sf_small, tmp_path):
+    """The union of per-micro-batch contamination decisions against the
+    frozen eval-gram index must equal the one-shot batch tp7 result
+    row-for-row, regardless of how the training corpus is split into
+    batches; replays (committed and crash-staged) are exactly-once."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.queries_catalog_pipeline import (
+        QUERIES as PIPE_QUERIES,
+    )
+    from etl_lorettoscarpa_1asfb2jf21_spark.sources.tables import load_table
+    from etl_lorettoscarpa_1asfb2jf21_spark.streaming.decontam import (
+        apply_decontam_batch,
+        build_eval_gram_index,
+        read_decontam_decisions,
+        start_decontam_sink,
+    )
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "eval_grams")
+    build_eval_gram_index(docs.filter(F.col("doc_id") % 20 == 0), idx)
+
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    src = str(tmp_path / "train_src")
+    train.repartition(3).write.parquet(src)
+    out = str(tmp_path / "decontam")
+    q = start_decontam_sink(
+        spark.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        out,
+        str(tmp_path / "ckpt_d"),
+        idx,
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["doc_id"], r["n_shared"])
+        for r in read_decontam_decisions(spark, out).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["n_shared"])
+        for r in PIPE_QUERIES["tp7_decontaminate"](spark, sf_small).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # committed replay: no-op
+    applied = [r["batch_id"] for r in spark.read.parquet(out + "_applied").collect()]
+    apply_decontam_batch(train.limit(40), applied[0], out, idx)
+    assert read_decontam_decisions(spark, out).count() == len(want)
