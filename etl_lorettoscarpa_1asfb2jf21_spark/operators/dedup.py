@@ -652,27 +652,56 @@ def ngram_jaccard_pairs(
         .groupBy("_id", "_blk", "_sz")
         .agg(F.array_sort(F.collect_list(F.struct("_df", "_pg"))).alias("_ps"))
     )
+    # the index carries each prefix gram's POSITION in the doc's rarity
+    # order (1-based) for the positional filter below
     idx = by_rarity.select(
         "_id",
         "_blk",
         "_sz",
-        F.explode(
+        F.posexplode(
             F.slice(
                 F.transform("_ps", lambda s: s["_pg"]), F.lit(1), prefix_len
             )
-        ).alias("_pg"),
-    )
+        ).alias("_pp", "_pg"),
+    ).withColumn("_pp", F.col("_pp") + 1)
     l, r = idx.alias("l"), idx.alias("r")
     size_bound = (F.col("l._sz") >= F.lit(threshold) * F.col("r._sz")) & (
         F.col("r._sz") >= F.lit(threshold) * F.col("l._sz")
     )
+    # POSITIONAL filter (Xiao et al. 2008, PPJoin): J(A,B) >= t needs
+    # |A∩B| >= ceil(t/(1+t)·(|A|+|B|)) = α, and a match on gram g at
+    # rarity-positions (i, j) bounds the overlap by 1 + min(|A|-i,
+    # |B|-j) (every other shared gram sits after g in BOTH orders at the
+    # first shared gram). Exact: for a true pair, the occurrence at the
+    # FIRST shared gram satisfies the bound, so keeping pairs with ANY
+    # surviving occurrence is a superset — verify stays the gate. Why it
+    # matters at 100x: prefix filtering alone is blind to WHERE in the
+    # prefix the collision happens, so a corpus-scaling mid-rarity gram
+    # (numbers, dates, boilerplate code) joins its whole posting list
+    # even though the late position proves the pair can't reach t —
+    # measured on the sf10 witness replica as 4.21B candidates for
+    # ~608M true pairs (67x sf1's 62.5M for a 10x corpus) before this
+    # filter. The α slack (1e-9) only ever RELAXES the bound, so float
+    # rounding can drop junk less aggressively, never a true pair.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("l._sz") + F.col("r._sz"))
+        - F.lit(1e-9)
+    )
+    positional = (
+        F.lit(1)
+        + F.least(
+            F.col("l._sz") - F.col("l._pp"), F.col("r._sz") - F.col("r._pp")
+        )
+    ) >= alpha
     cand = (
         l.join(
             r,
             (F.col("l._blk") == F.col("r._blk"))
             & (F.col("l._pg") == F.col("r._pg"))
             & (F.col("l._id") < F.col("r._id"))
-            & size_bound,
+            & size_bound
+            & positional,
         )
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .distinct()
