@@ -2545,6 +2545,12 @@ def _hamming_shortlist(
     rows the unpruned form would. The Hamming column is recomputed by the
     two branches (histogram + prune) — XOR/POPCNT over the code words is
     cheaper than materializing the 10^8-row stream once at width 5000.
+
+    Callers gate this behind ``wide_queries``: the histogram pass adds
+    two stages, which at narrow width costs more in AQE stage floors
+    than the pruning saves (measured at the ~sf1 replica, width 4:
+    bq 2.5→4.5 s, ivfbq 5.5→11.1 s), while at width 5000 the pruning is
+    the difference between shuffling ~10^8 rows and ~10^6.
     """
     hist = ham.groupBy(query_id, "_ham").agg(F.count(F.lit(1)).alias("_hc"))
     wcum = Window.partitionBy(query_id).orderBy("_ham")
@@ -2598,6 +2604,7 @@ def search_bq_index(
     query_vec: str = "q_vec",
     corpus_id: str = "c_id",
     corpus_vec: str = "c_vec",
+    wide_queries: bool = False,
 ) -> DataFrame:
     """BQ search against a built/loaded index: XOR/POPCNT Hamming scan of
     the full code table (32× smaller rows than the float corpus),
@@ -2619,10 +2626,16 @@ def search_bq_index(
         F.col(corpus_id),
         hamming_words_expr("_qw", "_cw").alias("_ham"),
     )
-    # histogram-pruned exact shortlist: the Hamming scan scores EVERY
-    # corpus row per query — prune to each query's depth-radius before
-    # any ranking exchange (_hamming_shortlist docstring)
-    short = _hamming_shortlist(ham, max(k, shortlist), query_id, corpus_id)
+    # wide batches: histogram-pruned exact shortlist (each query's
+    # depth-radius prunes map-side before any ranking exchange); narrow
+    # batches: direct two-phase top-k — fewer stages beat pruning when
+    # the candidate stream is small (_hamming_shortlist docstring)
+    if wide_queries:
+        short = _hamming_shortlist(ham, max(k, shortlist), query_id, corpus_id)
+    else:
+        short = per_key_topn(
+            ham, [query_id], [F.col("_ham"), F.col(corpus_id)], max(k, shortlist)
+        ).select(query_id, corpus_id)
     return _rerank_exact(
         short, queries, corpus, k, query_id, query_vec, corpus_id, corpus_vec
     )
@@ -2722,6 +2735,7 @@ def search_ivfbq_index(
     query_vec: str = "q_vec",
     corpus_id: str = "c_id",
     corpus_vec: str = "c_vec",
+    wide_queries: bool = False,
 ) -> DataFrame:
     """IVF-BQ search against a built/loaded index: probe nprobe nearest
     cells, XOR/POPCNT Hamming scan of the probed cells' codes only,
@@ -2771,10 +2785,16 @@ def search_ivfbq_index(
             hamming_words_expr("_qw", "_cw").alias("_ham"),
         )
     )
-    # histogram-pruned exact shortlist — the width-5000 fix: the probed
-    # cells' (query x candidate) stream never reaches a ranking exchange
-    # unpruned (_hamming_shortlist docstring)
-    short = _hamming_shortlist(ham, max(k, shortlist), query_id, corpus_id)
+    # wide batches: histogram-pruned exact shortlist — the width-5000
+    # fix: the probed cells' (query x candidate) stream never reaches a
+    # ranking exchange unpruned; narrow batches: direct two-phase top-k
+    # (_hamming_shortlist docstring has the measured trade)
+    if wide_queries:
+        short = _hamming_shortlist(ham, max(k, shortlist), query_id, corpus_id)
+    else:
+        short = per_key_topn(
+            ham, [query_id], [F.col("_ham"), F.col(corpus_id)], max(k, shortlist)
+        ).select(query_id, corpus_id)
     return _rerank_exact(
         short, queries, corpus, k, query_id, query_vec, corpus_id, corpus_vec
     )
