@@ -1064,9 +1064,19 @@ def quantized_kmeans_cells(
     n_iter: int = 3,
     scale: int = 10**6,
     use_arrow: bool = True,
+    with_vec: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """DISTRIBUTED fixed-point Lloyd: returns (centroids(_cell,_cvec),
     assignment(corpus_id,_cell)) after ``n_iter`` exact-integer rounds.
+
+    ``with_vec=True`` adds the quantized vector ``_qv`` to the returned
+    assignment frame, so builders that store or residualize the quantized
+    corpus (IVF store, IVFADC residuals) read it straight off the
+    assignment projection instead of re-quantizing the corpus and joining
+    it back on ``corpus_id`` — at scale that join was a second
+    corpus-sized shuffle (or corpus-sized broadcast) per build for a
+    column the assignment pass already holds. Values are unchanged:
+    ``_qv`` is the same quantize_expr projection either way.
 
     Init = the n_centroids smallest-md5(id) vectors (uniform corpus-wide
     draw); argmin ties break toward the lower cell via
@@ -1189,9 +1199,8 @@ def quantized_kmeans_cells(
             list(cents_rows), "_cell INT, _cvec ARRAY<BIGINT>"
         )
         kern = nearest_cell_int_batch_udf(cents_rows, n_centroids)
-        return cents, corpq.select(
-            F.col(corpus_id), kern(F.col("_qv")).alias("_cell")
-        )
+        keep = [F.col(corpus_id)] + ([F.col("_qv")] if with_vec else [])
+        return cents, corpq.select(*keep, kern(F.col("_qv")).alias("_cell"))
 
     for _ in range(n_iter):
         assigned = assign(cents)
@@ -1214,7 +1223,12 @@ def quantized_kmeans_cells(
             .localCheckpoint(eager=False)
         )
 
-    return cents, assign(cents)
+    out = assign(cents)
+    if with_vec:
+        out = corpq.join(out, corpus_id).select(
+            F.col(corpus_id), "_qv", "_cell"
+        )
+    return cents, out
 
 
 # ======================================================================
@@ -1452,11 +1466,15 @@ def build_ivf_index(
     rows) and ``store`` (corpus_id, _cqv, _cell — one row per corpus
     vector; the 'flat' part of IVFFlat, scanned per probed cell)."""
     cents, final_assign = quantized_kmeans_cells(
-        corpus, corpus_id, corpus_vec, n_centroids, n_iter, scale, use_arrow
+        corpus, corpus_id, corpus_vec, n_centroids, n_iter, scale, use_arrow,
+        with_vec=True,
     )
-    store = corpus.select(
-        F.col(corpus_id), quantize_expr(corpus_vec, scale).alias("_cqv")
-    ).join(final_assign, corpus_id)
+    # the store IS the assignment projection — re-quantizing the corpus
+    # and joining it back on corpus_id was a second corpus-sized
+    # shuffle/broadcast per build for a column the assignment holds
+    store = final_assign.select(
+        F.col(corpus_id), F.col("_qv").alias("_cqv"), F.col("_cell")
+    )
     meta = _index_meta(corpus, "ivf", n_centroids=n_centroids, scale=scale)
     return {"centroids": cents, "store": store, "meta": meta}
 
@@ -1680,16 +1698,22 @@ def build_pq_index(
     corpq = corpus.select(
         F.col(corpus_id), quantize_expr(corpus_vec, scale).alias("_qv")
     ).localCheckpoint(eager=False)
-    subs = _to_subs(corpq, [corpus_id], "_qv", n_subspaces, sub_dim).localCheckpoint(
-        eager=False
-    )
-
-    w_init = Window.partitionBy("_sub").orderBy(corpus_id)
-    cents = (
-        subs.withColumn("_rn", F.row_number().over(w_init))
-        .filter(F.col("_rn") <= n_codes)
-        .select("_sub", (F.col("_rn") - 1).alias("_cell"), F.col("_sv").alias("_cv"))
-    )
+    # The long-form subs view + per-_sub window init exist only on the
+    # non-arrow path; the arrow path inits its driver-side codebook from
+    # a distributed top-N over corpq (below) — same rows, no dim-exploded
+    # checkpoint and no full-corpus window shuffle.
+    if not use_arrow:
+        subs = _to_subs(
+            corpq, [corpus_id], "_qv", n_subspaces, sub_dim
+        ).localCheckpoint(eager=False)
+        w_init = Window.partitionBy("_sub").orderBy(corpus_id)
+        cents = (
+            subs.withColumn("_rn", F.row_number().over(w_init))
+            .filter(F.col("_rn") <= n_codes)
+            .select(
+                "_sub", (F.col("_rn") - 1).alias("_cell"), F.col("_sv").alias("_cv")
+            )
+        )
 
     def assign(cc: DataFrame) -> DataFrame:
         if use_arrow:
@@ -1728,9 +1752,24 @@ def build_pq_index(
         def _div0(s: int, n: int) -> int:  # BIGINT div: truncate toward 0
             return -((-s) // n) if s < 0 else s // n
 
+        # init = the n_codes smallest-corpus_id quantized vectors sliced
+        # per subspace — exactly the old per-_sub row_number()<=n_codes
+        # window rows (corpus_id unique; every vector appears in every
+        # subspace partition), via a distributed top-N instead of a
+        # full-corpus window shuffle. Driver re-sort matches JVM order
+        # (BIGINT trivially; STRING because UTF8String byte order equals
+        # Python code-point order).
+        head = sorted(
+            corpq.select(F.col(corpus_id).alias("_i"), "_qv")
+            .orderBy("_i")
+            .limit(n_codes)
+            .collect(),
+            key=lambda r: r["_i"],
+        )
         cb_rows = sorted(
-            (int(r["_sub"]), int(r["_cell"]), [int(x) for x in r["_cv"]])
-            for r in cents.collect()
+            (s, i, [int(x) for x in r["_qv"][s * sub_dim : (s + 1) * sub_dim]])
+            for i, r in enumerate(head)
+            for s in range(n_subspaces)
         )
         slices = F.array(
             *[
@@ -2114,18 +2153,20 @@ def build_ivfpq_index(
         2 * scale, 2 * scale, dim, max(n_centroids, n_codes)
     )
 
-    # 1. coarse quantizer + cell assignment
+    # 1. coarse quantizer + cell assignment (with_vec: the assignment
+    #    carries the quantized vector, so the residual projection below
+    #    needs NO join back to a separately re-quantized corpus — that
+    #    join was a second corpus-sized shuffle/broadcast per build)
     cents, af = quantized_kmeans_cells(
-        corpus, corpus_id, corpus_vec, n_centroids, n_iter, scale, use_arrow
+        corpus, corpus_id, corpus_vec, n_centroids, n_iter, scale, use_arrow,
+        with_vec=True,
     )
-    corpq = corpus.select(
-        F.col(corpus_id), quantize_expr(corpus_vec, scale).alias("_qv")
-    ).localCheckpoint(eager=False)
 
-    # 2. integer residuals against the assigned centroid
+    # 2. integer residuals against the assigned centroid — a map-side
+    #    projection over the assignment (centroids are n_centroids rows,
+    #    broadcast): no corpus-keyed exchange anywhere in the build
     res = (
-        corpq.join(af, corpus_id)
-        .join(F.broadcast(cents), "_cell")
+        af.join(F.broadcast(cents), "_cell")
         .select(
             F.col(corpus_id),
             F.col("_cell"),
@@ -2135,16 +2176,22 @@ def build_ivfpq_index(
     )
 
     # 3. per-subspace codebooks trained on the residuals (same integer
-    #    Lloyd construction as build_pq_index, keyed by subspace)
-    subs = _to_subs(res, [corpus_id], "_rv", n_subspaces, sub_dim).localCheckpoint(
-        eager=False
-    )
-    w_init = Window.partitionBy("_sub").orderBy(corpus_id)
-    pcents = (
-        subs.withColumn("_rn", F.row_number().over(w_init))
-        .filter(F.col("_rn") <= n_codes)
-        .select("_sub", (F.col("_rn") - 1).alias("_cell"), F.col("_sv").alias("_cv"))
-    )
+    #    Lloyd construction as build_pq_index, keyed by subspace). The
+    #    non-arrow path keeps the long-form subs view + window init; the
+    #    arrow path inits driver-side from a distributed top-N (below) —
+    #    same rows, no full-corpus window shuffle, no subs checkpoint.
+    if not use_arrow:
+        subs = _to_subs(
+            res, [corpus_id], "_rv", n_subspaces, sub_dim
+        ).localCheckpoint(eager=False)
+        w_init = Window.partitionBy("_sub").orderBy(corpus_id)
+        pcents = (
+            subs.withColumn("_rn", F.row_number().over(w_init))
+            .filter(F.col("_rn") <= n_codes)
+            .select(
+                "_sub", (F.col("_rn") - 1).alias("_cell"), F.col("_sv").alias("_cv")
+            )
+        )
 
     def assign(cc: DataFrame) -> DataFrame:
         if use_arrow:
@@ -2190,9 +2237,25 @@ def build_ivfpq_index(
         def _div0(s: int, n: int) -> int:  # BIGINT div: truncate toward 0
             return -((-s) // n) if s < 0 else s // n
 
+        # Codebook init, driver-side from a distributed top-N: the
+        # n_codes smallest-corpus_id residuals, sliced per subspace —
+        # exactly the rows the old per-_sub row_number()<=n_codes window
+        # over the exploded subs view produced (corpus_id is unique, and
+        # every residual appears in every subspace partition), without
+        # that window's full-corpus shuffle. Driver re-sort by the id
+        # matches the JVM order: BIGINT ids trivially, STRING ids because
+        # UTF8String's byte order equals Python's code-point order.
+        head = sorted(
+            res.select(F.col(corpus_id).alias("_i"), "_rv")
+            .orderBy("_i")
+            .limit(n_codes)
+            .collect(),
+            key=lambda r: r["_i"],
+        )
         cb_rows = sorted(
-            (int(r["_sub"]), int(r["_cell"]), [int(x) for x in r["_cv"]])
-            for r in pcents.collect()
+            (s, i, [int(x) for x in r["_rv"][s * sub_dim : (s + 1) * sub_dim]])
+            for i, r in enumerate(head)
+            for s in range(n_subspaces)
         )
         slices = F.array(
             *[
