@@ -51,6 +51,27 @@ def md5_long60(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
 
 
+def md5_pair120(col: Column | str) -> Column:
+    """Engine-portable 120-bit hash: STRUCT(h1, h2) of md5 hex chars 1-15
+    and 16-30, each a non-negative 60-bit BIGINT (one md5 per value; the
+    two substrings slice the same digest). DuckDB mirrors it with
+    ``{h1: ('0x'||substr(m,1,15))::BIGINT, h2: ('0x'||substr(m,16,15))::BIGINT}``.
+
+    Why it exists: a single 60-bit key is collision-FREE on gate-scale
+    corpora but collision-EXPECTED at 100 TB (birthday bound ~2^30 keys;
+    a 10^12-gram decontamination pass would merge unrelated grams). At
+    120 bits the birthday bound is ~2^60, so P(any collision) over 10^12
+    distinct grams is ~4e-13 — collision-safe at the target scale while
+    still shuffling 16 fixed bytes instead of ~30-byte gram strings.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    m = F.md5(c)
+    return F.struct(
+        F.conv(F.substring(m, 1, 15), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(m, 16, 15), 16, 10).cast("bigint").alias("h2"),
+    )
+
+
 def business_key_hash(
     tipo: str = "Tipo",
     grupo: str = "Grupo",

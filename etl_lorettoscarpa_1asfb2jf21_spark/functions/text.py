@@ -164,14 +164,24 @@ def word_ngrams_expr(col: Column | str, n: int = 5, pre_normalized: bool = False
 def hashed_word_ngrams_expr(
     col: Column | str, n: int = 5, pre_normalized: bool = False
 ) -> Column:
-    """DISTINCT md5-60-bit hashes of the word n-grams — the decontamination
-    gram signature (tp7 and its streaming twin share this exact expression
-    so batch/stream decisions agree row-for-row; DuckDB mirrors it with
-    ('0x'||substr(md5(gram),1,15))::BIGINT)."""
-    from .hashing import md5_long60
+    """DISTINCT md5-120-bit hashes of the word n-grams, as
+    STRUCT<h1:BIGINT, h2:BIGINT> — the decontamination gram signature (tp7
+    and its streaming twin share this exact expression so batch/stream
+    decisions agree row-for-row; DuckDB mirrors each element with
+    {h1: ('0x'||substr(m,1,15))::BIGINT, h2: ('0x'||substr(m,16,15))::BIGINT}
+    over m = md5(gram)).
+
+    120 bits, not 60 (round-12 verdict #1): at 10^12 grams a 60-bit key is
+    past its birthday bound (~2^30) and would silently inflate n_shared at
+    exactly the 100 TB scale the pipeline targets; at 120 bits P(collision)
+    ~4e-13 there (see functions.hashing.md5_pair120). Still §2.3-narrow:
+    16 fixed bytes per gram through the broadcast semi-join vs ~30-byte
+    strings. One md5 per gram — both 60-bit halves slice the same digest.
+    """
+    from .hashing import md5_pair120
 
     return F.array_distinct(
-        F.transform(word_ngrams_expr(col, n, pre_normalized), md5_long60)
+        F.transform(word_ngrams_expr(col, n, pre_normalized), md5_pair120)
     )
 
 

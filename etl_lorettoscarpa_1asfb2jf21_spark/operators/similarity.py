@@ -2164,7 +2164,9 @@ def build_ivfpq_index(
 
     # 2. integer residuals against the assigned centroid — a map-side
     #    projection over the assignment (centroids are n_centroids rows,
-    #    broadcast): no corpus-keyed exchange anywhere in the build
+    #    broadcast): on the arrow path no corpus-keyed exchange remains
+    #    anywhere in the build (the non-arrow path still pays one inside
+    #    quantized_kmeans_cells' with_vec join-back)
     res = (
         af.join(F.broadcast(cents), "_cell")
         .select(
@@ -2341,7 +2343,11 @@ def build_ivfpq_index(
                 F.col(corpus_id),
                 F.transform("_ps", lambda p: p["_code"]).alias("_codes"),
             )
-            .join(af, corpus_id)
+            # cell tag only — af also carries _qv (with_vec=True), which
+            # would bloat the persisted codes artifact with a dim-wide
+            # array per vector and diverge save_ann_index's schema from
+            # the (corpus_id, _cell, _codes) contract
+            .join(af.select(F.col(corpus_id), "_cell"), corpus_id)
         )
     return {
         "centroids": cents,

@@ -1010,21 +1010,44 @@ def x1_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DuckDB has no banded variant, so its twin pays the full DP — an
     honest algorithmic win, not a measurement artifact).
 
-    Scale: candidate pairs carry only ids through the shuffle; texts join
-    in per side; per-pair cost is one k-banded DP row set.
+    Scale: candidate pairs carry only ids through the shuffle; a LENGTH
+    prefilter runs before any text attaches (round-12 verdict #5):
+    |len(A)−len(B)| > 64 already proves levenshtein > 64 (every length
+    delta costs one edit), so those pairs emit the −1 sentinel from a
+    slim (id, length) join and never enter the text-carrying joins — at
+    corpus scale the text join is the heavy exchange (pair rows × text
+    bytes), and the far-pair branch moves 3 ints per row instead.
+    Surviving pairs join texts per side; per-pair cost is one k-banded
+    DP row set. Value-exact: the banded DP returns the identical −1 for
+    every pair the prefilter drops.
     """
     d = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, "text", "doc_id", "source", n=3, threshold=0.2)
+    la = d.select(F.col("doc_id").alias("_ia"), F.length(normalized_text_expr("text")).alias("_la"))
+    lb = d.select(F.col("doc_id").alias("_ib"), F.length(normalized_text_expr("text")).alias("_lb"))
+    plen = (
+        pairs.select("id_a", "id_b")
+        .join(la, F.col("id_a") == F.col("_ia"))
+        .join(lb, F.col("id_b") == F.col("_ib"))
+        .select("id_a", "id_b", F.abs(F.col("_la") - F.col("_lb")).alias("_dl"))
+    )
+    # conditional LEFT joins (not a filter+union): the pair pipeline above
+    # is the expensive subtree and must not gain a second consumer — far
+    # pairs flow through with NULL text (3 ints + a null), near pairs
+    # attach text and pay the banded DP
     a = d.select(F.col("doc_id").alias("_ia"), normalized_text_expr("text").alias("_ta"))
     b = d.select(F.col("doc_id").alias("_ib"), normalized_text_expr("text").alias("_tb"))
+    near = F.col("_dl") <= 64
     return (
-        pairs.select("id_a", "id_b")
-        .join(a, F.col("id_a") == F.col("_ia"))
-        .join(b, F.col("id_b") == F.col("_ib"))
+        plen.join(a, (F.col("id_a") == F.col("_ia")) & near, "left")
+        .join(b, (F.col("id_b") == F.col("_ib")) & near, "left")
         .select(
             "id_a",
             "id_b",
-            F.levenshtein(F.col("_ta"), F.col("_tb"), 64).cast("long").alias("edit_dist"),
+            F.when(near, F.levenshtein(F.col("_ta"), F.col("_tb"), 64))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("edit_dist"),
         )
     )
 
@@ -1167,21 +1190,30 @@ def ts1_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
              regexp_split_to_array({_NORM_SQL.format(c='text')}, '\\s+') AS w
       FROM documents
     ), g AS (
+      -- dedup on the 30-hex-char md5 prefix: bijective with the engine's
+      -- (h1, h2) 120-bit struct key (hex chars 1-15 / 16-30), so DISTINCT
+      -- here == DISTINCT on the pair (DuckDB's list_distinct can't take
+      -- structs directly)
       SELECT doc_id,
              unnest(list_distinct([
-               ('0x' || substr(md5(
+               substr(md5(
                   array_to_string(w[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')
-               ), 1, 15))::BIGINT
+               ), 1, 30)
                FOR i IN range(1, len(w) - 3)
-             ])) AS gram
+             ])) AS mh
       FROM toks WHERE len(w) >= 5
+    ), g2 AS (
+      SELECT doc_id,
+             ('0x' || substr(mh, 1, 15))::BIGINT AS h1,
+             ('0x' || substr(mh, 16, 15))::BIGINT AS h2
+      FROM g
     ), eval_g AS (
-      SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0
+      SELECT DISTINCT h1, h2 FROM g2 WHERE doc_id % 20 = 0
     )
-    SELECT g.doc_id, COUNT(*) AS n_shared
-    FROM g JOIN eval_g USING (gram)
-    WHERE g.doc_id % 20 != 0
-    GROUP BY g.doc_id
+    SELECT g2.doc_id, COUNT(*) AS n_shared
+    FROM g2 JOIN eval_g USING (h1, h2)
+    WHERE g2.doc_id % 20 != 0
+    GROUP BY g2.doc_id
     """,
 )
 def tp7_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1196,17 +1228,19 @@ def tp7_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregated groupBy. Returns (doc_id, n_shared) for
     contaminated training docs only.
 
-    Grams are md5-60-bit HASHED before the join (round-11 verdict #3 —
-    this was the one standing >2x-DuckDB compute gap): the broadcast
-    table carries 8-byte longs instead of ~30-byte gram strings (~4x
-    smaller ship + a LongHashedRelation probe instead of string
-    equality), and because per-doc grams are already distinct, the
-    matched rows are unique per (doc, gram) so the count_distinct
-    collapses to a plain partial-aggregated count — no distinct-expand.
-    Both engines count distinct HASHES (identical md5-prefix fold,
-    functions/hashing.md5_long60 == DuckDB's '0x'||substr(md5,1,15)), so
-    a collision merges the same two grams on both sides and the oracle
-    stays exact.
+    Grams are md5-HASHED before the join (round-11 verdict #3 — this was
+    the one standing >2x-DuckDB compute gap): the broadcast table carries
+    16 fixed bytes per gram instead of ~30-byte gram strings, and because
+    per-doc grams are already distinct, the matched rows are unique per
+    (doc, gram) so the count_distinct collapses to a plain
+    partial-aggregated count — no distinct-expand. The key is the
+    120-bit STRUCT(h1, h2) of md5 chars 1-15 / 16-30 (round-12 verdict
+    #1: the previous 60-bit key is past its birthday bound at 10^12
+    grams, so n_shared could silently inflate at exactly the 100 TB
+    scale this targets; at 120 bits P(collision) ~4e-13 there — see
+    functions/hashing.md5_pair120). Both engines hash identically
+    (md5_pair120 == DuckDB's struct_pack over the same two substrings of
+    one md5), so the oracle stays exact.
     """
     from .functions.text import hashed_word_ngrams_expr
     from .operators.dedup import _spread_normalized

@@ -1185,19 +1185,33 @@ def gr2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cohen MapReduce orientation — every out-degree bounded by O(√m), so
     per-vertex work is bounded even on power-law graphs: a hub's
     quadratic blow-up would need high OUT-degree, which the orientation
-    forbids; hubs mostly fan IN), then counted in the forward/compact
-    ADJACENCY-ARRAY form: each vertex's oriented out-neighborhood ships
-    once as a sorted array and every oriented edge (u,v) contributes
-    |N+(u) ∩ N+(v)| — a map-side sorted-array merge, no wedge rows ever
-    materialized (see inline comment). Total work stays O(m^1.5). The
-    DuckDB twin counts the same triangles via the a<b<c form (orientation
-    changes enumeration order, not the count); wedges = Σ d(d−1)/2 exact.
+    forbids; hubs mostly fan IN). The triangle count then takes one of
+    two value-identical branches on MEASURED edge mass (round-12 verdict
+    #7 — the same regime-gate pattern as the ANN `wide_queries` flag):
 
-    Scale: three edge-keyed shuffles (degree agg, adjacency build, the
-    two edge⋈adjacency hash joins share the third), each moving edge-mass
-    rows — never wedge-mass; the skew answer is the orientation itself —
-    a hub's oriented out-neighborhood stays O(√m) small.
+    * m <= $SPARK_GRAFT_GR2_ADJ_EDGES (default 20M): the WEDGE self-join
+      form — each directed 2-path u→m→e enumerated once at its middle
+      node, closed by one more join on the canonical edge table. Fewer
+      stages (no adjacency build), and at gate/sf1 scale (<=3M edges)
+      measured FASTER than the adjacency form (~18% at 3M edges,
+      BENCH_sf1_pair.json round 12) because wedge mass is still cheap
+      and the extra array build/shuffle floors dominate.
+    * m above the cap: the forward/compact ADJACENCY-ARRAY form — each
+      vertex's oriented out-neighborhood ships once as a sorted array
+      and every oriented edge (u,v) contributes |N+(u) ∩ N+(v)| — a
+      map-side sorted-array merge, no wedge rows ever materialized.
+      Shuffle mass stays edge-count where the wedge form's grows with
+      Σ indeg·outdeg ≫ m on power-law graphs. Total work O(m^1.5).
+
+    The edge count that picks the branch materializes the edge
+    checkpoint every branch needs anyway. The DuckDB twin counts the
+    same triangles via the a<b<c form (orientation changes enumeration
+    order, not the count); wedges = Σ d(d−1)/2 exact; n_nodes/n_edges/
+    n_wedges fold into ONE aggregate over the degree table (Σd = 2m),
+    replacing three separately-planned scalar subtrees.
     """
+    import os
+
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"),
         F.col("l_partkey").alias("pk"),
@@ -1210,11 +1224,18 @@ def gr2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("s", "d").alias("a"), F.greatest("s", "d").alias("b")
     ).distinct()
     e = e.localCheckpoint(eager=False)
+    # regime gate: one count materializes the checkpoint (paid once, every
+    # downstream branch reads the cached edges) and picks the triangle plan
+    m = e.count()
+    adj_cap = int(os.environ.get("SPARK_GRAFT_GR2_ADJ_EDGES", "20000000"))
+    # the degree table feeds the fused stats row AND both orientation
+    # joins — checkpoint it so the union+agg runs once, not three times
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)
     )
     # orient by (degree, id): lower endpoint -> higher endpoint
     da = deg.select(F.col("node").alias("a"), F.col("d").alias("_da"))
@@ -1227,35 +1248,46 @@ def gr2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
     )
-    # adjacency-array triangle count (round-11 verdict #5): the wedge
-    # self-join materialized EVERY directed 2-path as a row (wedge mass
-    # >> edge mass — the measured 6.3x vs DuckDB at ~sf1) and then paid a
-    # third join to close them. The forward/compact form instead ships
-    # each vertex's oriented out-neighborhood ONCE as a sorted array and
-    # counts per-EDGE: a triangle {u<v<w} (degree order) is exactly one
-    # oriented edge (u,v) plus w ∈ N+(u) ∩ N+(v), so
-    # n_tri = Σ_(u,v)∈o |N+(u) ∩ N+(v)| with each triangle counted once.
-    # Shuffled row mass drops from wedge-count to edge-count (arrays are
-    # orientation-bounded at O(√m) elements — a hub fans IN, not out),
-    # and the intersection is a map-side merge of two sorted arrays.
-    adj = o.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
-    au = adj.select("u", F.col("nbrs").alias("_nu"))
-    av = adj.select(F.col("u").alias("v"), F.col("nbrs").alias("_nv"))
-    n_tri = (
-        o.join(au, "u")
-        .join(av, "v")
-        .select(F.size(F.array_intersect("_nu", "_nv")).cast("long").alias("_c"))
-        .agg(F.sum("_c").cast("long").alias("n_triangles"))
-        .select(F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"))
+    if m <= adj_cap:
+        # wedge self-join form: enumerate each directed 2-path once at its
+        # middle node, close with one join on the canonical edge table
+        w1 = o.select(F.col("u"), F.col("v").alias("w_mid"))
+        w2 = o.select(F.col("u").alias("w_mid"), F.col("v").alias("w_end"))
+        wedges = w1.join(w2, "w_mid").filter(F.col("u") != F.col("w_end"))
+        closing = wedges.join(
+            e,
+            (F.least("u", "w_end") == F.col("a"))
+            & (F.greatest("u", "w_end") == F.col("b")),
+        )
+        n_tri = closing.agg(
+            F.count(F.lit(1)).cast("long").alias("n_triangles")
+        )
+    else:
+        # adjacency-array form (round-11 verdict #5): ship each vertex's
+        # oriented out-neighborhood ONCE as a sorted array; a triangle
+        # {u<v<w} (degree order) is exactly one oriented edge (u,v) plus
+        # w ∈ N+(u) ∩ N+(v), so n_tri = Σ_(u,v)∈o |N+(u) ∩ N+(v)| with
+        # each triangle counted once; the intersection is a map-side
+        # merge of two sorted arrays, shuffles move edge-mass rows only
+        adj = o.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+        au = adj.select("u", F.col("nbrs").alias("_nu"))
+        av = adj.select(F.col("u").alias("v"), F.col("nbrs").alias("_nv"))
+        n_tri = (
+            o.join(au, "u")
+            .join(av, "v")
+            .select(F.size(F.array_intersect("_nu", "_nv")).cast("long").alias("_c"))
+            .agg(F.sum("_c").cast("long").alias("n_triangles"))
+            .select(F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"))
+        )
+    # one aggregate over deg replaces three scalar subtrees: n_nodes =
+    # count, n_edges = Σd div 2 (each edge contributes 2 degree), wedges =
+    # Σ d(d-1)/2 — values and BIGINT types identical to the separate aggs
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.coalesce(F.expr("sum(d) div 2"), F.lit(0)).cast("long").alias("n_edges"),
+        F.sum(F.expr("(d * (d - 1)) div 2")).cast("long").alias("n_wedges"),
     )
-    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
-    n_wedges = deg.agg(
-        F.sum(F.expr("(d * (d - 1)) div 2")).cast("long").alias("n_wedges")
-    )
-    return (
-        n_nodes.crossJoin(n_edges).crossJoin(n_wedges).crossJoin(n_tri)
-    )
+    return stats.crossJoin(n_tri)
 
 
 # =====================================================================

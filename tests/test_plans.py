@@ -271,6 +271,44 @@ def test_pairwise_dedup_stages_are_spread(spark, sf_medium):
     )
 
 
+def test_ngram_prefix_branch_carries_positional_filter(spark, sf_medium):
+    """The prefix (scale) branch of ngram_jaccard_pairs must keep its two
+    round-12 candidate-pruning devices in the PHYSICAL plan (round-12
+    verdict #3 — the committed plan evidence had captured the block
+    branch, leaving the claim unpinned):
+
+    * rare-first prefix order: per-doc grams re-sorted by document
+      frequency ascending — array_sort(collect_list(struct(_df, ...)))
+      feeding the prefix slice;
+    * PPJoin positional filter (Xiao et al. 2008): the candidate join
+      condition bounds the overlap with the rarity POSITIONS,
+      1 + least(|A|-i, |B|-j) >= ceil(t/(1+t)·(|A|+|B|) - 1e-9).
+
+    Asserted on a checkpoint=False strategy="prefix" build (the catalog
+    auto-pick takes the block branch at gate scale, and the checkpoint
+    barrier would hide the pipeline)."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from etl_lorettoscarpa_1asfb2jf21_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_medium, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "text", "doc_id", "source", n=3, threshold=0.2,
+        strategy="prefix", checkpoint=False,
+    )
+    plan = plan_of(pairs)
+    assert "array_sort(collect_list(struct(_df" in plan, (
+        "prefix branch lost the rare-first (df-ascending) gram order"
+    )
+    assert "posexplode(slice(transform(_ps" in plan, (
+        "prefix branch lost the positional prefix explode"
+    )
+    assert "least((_sz" in plan and "1.0E-9" in plan, (
+        "candidate join lost the PPJoin positional filter"
+    )
+
+
 def test_q19_pushes_disjunctive_conjuncts_to_scans(spark, sf_medium):
     """Catalyst must extract the common per-side conjuncts of the OR-of-ANDs
     and push a disjunctive filter below the join into BOTH scans."""

@@ -29,15 +29,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        d, "text", "doc_id", "source", n=3, threshold=0.2, checkpoint=False
-    )
-    qe = pairs._jdf.queryExecution()
-    plan = pairs._sc._jvm.PythonSQLUtils.explainString(qe, "formatted")
-    path = os.path.join(out_dir, f"x1_ngram_jaccard_operator_{suffix}.txt")
-    with open(path, "w") as f:
-        f.write(plan)
-    print(f"wrote {path} ({len(plan)} bytes)")
+    # auto (what the catalog runs at this SF) AND the forced prefix branch:
+    # auto picks the block plan at gate scale, so the prefix/PPJoin claim
+    # needs its own dump (round-12 verdict #3)
+    for strat, stem in (
+        ("auto", "x1_ngram_jaccard_operator"),
+        ("prefix", "x1_ngram_jaccard_prefix_operator"),
+    ):
+        pairs = ngram_jaccard_pairs(
+            d, "text", "doc_id", "source", n=3, threshold=0.2,
+            strategy=strat, checkpoint=False,
+        )
+        qe = pairs._jdf.queryExecution()
+        plan = pairs._sc._jvm.PythonSQLUtils.explainString(qe, "formatted")
+        path = os.path.join(out_dir, f"{stem}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"wrote {path} ({len(plan)} bytes)")
 
 
 if __name__ == "__main__":

@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import calendar
 import time
 import urllib.request
 
@@ -76,8 +77,8 @@ def main() -> None:
         base = None
         prev_end = None
         for s in new:
-            st = time.mktime(time.strptime(s["firstTaskLaunchedTime"][:19], "%Y-%m-%dT%H:%M:%S")) + float(s["firstTaskLaunchedTime"][20:23] or 0) / 1000
-            en = time.mktime(time.strptime(s["completionTime"][:19], "%Y-%m-%dT%H:%M:%S")) + float(s["completionTime"][20:23] or 0) / 1000
+            st = calendar.timegm(time.strptime(s["firstTaskLaunchedTime"][:19], "%Y-%m-%dT%H:%M:%S")) + float(s["firstTaskLaunchedTime"][20:23] or 0) / 1000
+            en = calendar.timegm(time.strptime(s["completionTime"][:19], "%Y-%m-%dT%H:%M:%S")) + float(s["completionTime"][20:23] or 0) / 1000
             if base is None:
                 base = st
             gap = "" if prev_end is None else f" gap {st - prev_end:+.2f}s"
