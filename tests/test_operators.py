@@ -1003,6 +1003,75 @@ def test_pq_quantized_int_kernel_matches_expression(spark, sf_small):
     assert len(got_a) > 0
 
 
+def test_unrolled_lloyd_matches_kernel_chain(spark, sf_small, monkeypatch):
+    """The all-JVM unrolled Lloyd plan (similarity._unrolled_pq_lloyd —
+    the small-corpus side of the round-13 regime gate) must be
+    bit-identical to the kernel-chain recurrence (the at-scale side):
+    identical coarse centroids + assignment, identical PQ/IVFADC
+    codebooks and code tables. This is the equality the oracle relies on —
+    the gate may switch plans, never values."""
+    from etl_lorettoscarpa_1asfb2jf21_spark.operators.similarity import (
+        build_ivfpq_index,
+        build_pq_index,
+        quantized_kmeans_cells,
+    )
+    from etl_lorettoscarpa_1asfb2jf21_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_small, "embeddings").select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+
+    def kmeans_snap():
+        c, a = quantized_kmeans_cells(
+            e, n_centroids=8, n_iter=2, with_vec=True
+        )
+        return (
+            sorted((r["_cell"], tuple(r["_cvec"])) for r in c.collect()),
+            sorted(
+                (r["c_id"], r["_cell"], tuple(r["_qv"])) for r in a.collect()
+            ),
+        )
+
+    def pq_snap():
+        idx = build_pq_index(e, n_subspaces=8, n_codes=8, n_iter=2, dim=64)
+        return (
+            sorted(
+                (r["_sub"], r["_cell"], tuple(r["_cv"]))
+                for r in idx["codebook"].collect()
+            ),
+            sorted(
+                (r["c_id"], tuple(r["_codes"])) for r in idx["codes"].collect()
+            ),
+        )
+
+    def ivfpq_snap():
+        idx = build_ivfpq_index(
+            e, n_centroids=4, n_subspaces=8, n_codes=8, n_iter=2, dim=64
+        )
+        return (
+            sorted(
+                (r["_sub"], r["_cell"], tuple(r["_cv"]))
+                for r in idx["codebook"].collect()
+            ),
+            sorted(
+                (r["c_id"], r["_cell"], tuple(r["_codes"]))
+                for r in idx["codes"].collect()
+            ),
+            sorted(
+                (r["_cell"], tuple(r["_cvec"]))
+                for r in idx["centroids"].collect()
+            ),
+        )
+
+    for snap in (kmeans_snap, pq_snap, ivfpq_snap):
+        monkeypatch.setenv("SPARK_GRAFT_KMEANS_UNROLL_MAX", "0")  # kernel chain
+        kern = snap()
+        monkeypatch.setenv("SPARK_GRAFT_KMEANS_UNROLL_MAX", "1000000")  # unrolled
+        unrolled = snap()
+        assert kern == unrolled, f"{snap.__name__} diverged across the gate"
+        assert len(kern[0]) > 0
+
+
 def test_ivfpq_quantized_recall_and_determinism(spark, sf_small):
     """IVF-PQ (IVFADC): recall floor through probe + residual-ADC +
     re-rank, run-to-run determinism (pure integer recurrence), and
